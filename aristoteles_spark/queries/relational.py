@@ -1,0 +1,249 @@
+"""Core relational operators — SURVEY.md §2's canonical test queries plus
+the join/aggregation breadth a complete engine needs.
+
+Each Spark formulation is the plan we'd want at 100 TB:
+- scans project only needed columns (Catalyst prunes to the parquet reader);
+- filters are literal predicates (pushed to parquet row groups);
+- small-dimension joins are broadcast (no shuffle of the fact table);
+- aggregations rely on partial (map-side) aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aristoteles_spark.sources.parquet_source import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- SURVEY §2.1 S2/A2: min probe (reference SQL #1, aristoteles.py:240-241)
+def q_min_probe(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.min("l_orderkey").alias("min_orderkey"))
+
+
+# --- SURVEY §2.2 P1: static column projection (aristoteles.py:329-343)
+def q_projection(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .limit(100)
+    )
+
+
+# --- SURVEY §2.2 P2: inclusive BETWEEN range predicate (aristoteles.py:303-306)
+def q_range_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").between(1000, 2000))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- SURVEY §2.4 A1: COUNT with range filter (the completeness probe shape)
+def q_count_between(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(10, 20))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- SURVEY §2.2 P3+P4: conditional conversion with the zero-skip guard.
+# Same expression shape as the weather unit conversion (reference
+# aristoteles.py:414-436), applied to the events table the driver registers.
+def q_conditional_convert(spark, sf_dir):
+    v = F.col("value")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.when(
+                (F.col("event_type") == "click") & v.isNotNull() & (v != 0.0),
+                (v - 32) * 5 / 9,
+            )
+            .otherwise(v)
+            .alias("value_c"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- SURVEY §2.5 W1: tumbling 1-day UTC window (aristoteles.py:334)
+def q_daily_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("d")
+    )
+
+
+# --- SURVEY §2.5 W3: intra-day ordering (aristoteles.py:343)
+def q_ordering(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+# --- SURVEY §2.6: union of per-source streams (aristoteles.py:408-440)
+def q_union_all(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return n.unionByName(r).orderBy("name")
+
+
+# --- breadth: broadcast-join star query (dims are tiny -> broadcast,
+# fact table never shuffles for the join; one shuffle for the groupBy)
+def q_join_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- breadth: TPC-H Q1-shaped pricing summary (partial agg -> shuffle ->
+# final agg; decimal sums for order-independent exactness)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,10)")
+    sum_qty = F.sum(dec(F.col("l_quantity"))).alias("sum_qty")
+    sum_base = F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price")
+    sum_disc = F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        "sum_disc_price"
+    )
+    cnt = F.count("*").alias("count_order")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum_qty, sum_base, sum_disc, cnt)
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# --- breadth: semi/anti joins (customers with no orders)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- breadth: distinct (shuffle dedup on a low-cardinality key)
+def q_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- breadth: grouped top-n via join back on aggregated max (no window
+# needed; exercises self-join + broadcast of the small aggregate side)
+def q_group_max(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "s2_min_probe": q_min_probe,
+    "p1_projection": q_projection,
+    "p2_range_count": q_range_count,
+    "a1_count_between": q_count_between,
+    "p4_conditional_convert": q_conditional_convert,
+    "w1_daily_counts": q_daily_counts,
+    "w3_ordering": q_ordering,
+    "u1_union_all": q_union_all,
+    "j1_join_agg": q_join_agg,
+    "g1_pricing_summary": q_pricing_summary,
+    "j2_anti_join": q_anti_join,
+    "g2_distinct": q_distinct,
+    "g3_group_max": q_group_max,
+}
+
+ORACLE = {
+    "s2_min_probe": "SELECT min(l_orderkey) AS min_orderkey FROM lineitem",
+    "p1_projection": (
+        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 100"
+    ),
+    "p2_range_count": "SELECT count(*) AS cnt FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000",
+    "a1_count_between": "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 10 AND 20",
+    "p4_conditional_convert": (
+        "SELECT event_id, CASE WHEN event_type = 'click' AND value IS NOT NULL "
+        "AND value <> 0 THEN (value - 32) * 5 / 9 ELSE value END AS value_c "
+        "FROM events ORDER BY event_id"
+    ),
+    "w1_daily_counts": (
+        "SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY d ORDER BY d"
+    ),
+    "w3_ordering": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"
+    ),
+    "u1_union_all": (
+        "SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region "
+        "ORDER BY name"
+    ),
+    "j1_join_agg": (
+        "SELECT r_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+    ),
+    "g1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty, "
+        "sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "j2_anti_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey"
+    ),
+    "g2_distinct": (
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+        "ORDER BY o_orderstatus, o_orderpriority"
+    ),
+    "g3_group_max": (
+        "SELECT o_orderpriority, max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price, "
+        "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+}

@@ -1,0 +1,54 @@
+"""Headline-query benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is timed end-to-end including the
+action (collect), after a one-query warmup to amortize JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from aristoteles_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warmup: run the cheapest query once to JIT/populate FS caches
+    first = next(iter(qs))
+    qs[first](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

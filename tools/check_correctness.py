@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at sf0.01 and
+compares against ``oracle_sql()`` via duckdb: row count, column-name set,
+and an order-insensitive canonical value comparison (columns sorted by
+name). Strict: floats must match to 9 significant digits.
+
+Usage: python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except ImportError:
+        pass
+    return str(v)
+
+
+def canonical_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from aristoteles_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("check_correctness", cpus=8)
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(s_rows)} (no oracle declared)  [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"schema {sorted(s_cols)} vs {sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(o_rows)}")
+        if not problems:
+            sc = canonical_rows(s_cols, s_rows)
+            oc = canonical_rows(o_cols, o_rows)
+            diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
+            if diffs:
+                problems.append(f"values: first diff {diffs[0]}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}  [{time.time()-t0:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows  [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
