@@ -1,0 +1,183 @@
+"""Window operators: analytic functions and time-bucketed aggregation.
+
+The reference's only window is the tumbling 1-day UTC span
+(aristoteles/aristoteles.py:334, SURVEY §2.5); this module declares that
+shape plus the full analytic-window surface an engine needs (ranking,
+offsets, running frames) and hopping/session variants of time bucketing.
+
+Scale notes: analytic windows shuffle once on the partition key;
+time-bucket groupBys are partial-aggregated map-side. The sliding window is
+expressed as an explicit 2-bucket assignment (explode of the two candidate
+starts) — the same plan F.window generates, kept explicit so the oracle SQL
+is a literal transliteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aristoteles_spark.sources.parquet_source import load_table
+
+
+# --- analytic: ranking within groups (top-3 orders per priority)
+def q_row_number(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+# --- analytic: offset functions (per-user value delta between events)
+def q_lag_delta(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") - F.col("prev_value")).alias("delta"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- analytic: running (cumulative) frame per customer
+def q_running_sum(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn(
+            "running_total",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w),
+        )
+        .select("o_orderkey", "o_custkey", "running_total")
+        .orderBy("o_orderkey")
+    )
+
+
+# --- analytic: dense_rank (gap-free ranking across a whole table)
+def q_dense_rank(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_size").desc())
+    return (
+        p.withColumn("size_rank", F.dense_rank().over(w))
+        .select("p_partkey", "p_size", "size_rank")
+        .orderBy("p_partkey")
+    )
+
+
+# --- time bucket: tumbling 1-hour window (the reference's W1 shape at
+# finer grain; F.window -> struct, we project the start)
+def q_tumbling_hour(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n", "sum_value")
+        .orderBy("bucket")
+    )
+
+
+# --- time bucket: hopping/sliding window (1h length, 30m hop): every row
+# lands in exactly 2 buckets
+def q_sliding_window(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+        .orderBy("bucket")
+    )
+
+
+# --- time bucket: session window (30-minute gap) per user
+def q_session_window(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES = {
+    "wf1_row_number": q_row_number,
+    "wf2_lag_delta": q_lag_delta,
+    "wf3_running_sum": q_running_sum,
+    "wf4_dense_rank": q_dense_rank,
+    "wb1_tumbling_hour": q_tumbling_hour,
+    "wb2_sliding_window": q_sliding_window,
+    "wb3_session_window": q_session_window,
+}
+
+ORACLE = {
+    "wf1_row_number": (
+        "SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM ("
+        "  SELECT o_orderpriority, o_orderkey, o_totalprice,"
+        "         row_number() OVER (PARTITION BY o_orderpriority"
+        "                            ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+        "  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn"
+    ),
+    "wf2_lag_delta": (
+        "SELECT event_id, user_id, value - lag(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS delta "
+        "FROM events ORDER BY event_id"
+    ),
+    "wf3_running_sum": (
+        "SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total "
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    "wf4_dense_rank": (
+        "SELECT p_partkey, p_size, dense_rank() OVER (ORDER BY p_size DESC) AS size_rank "
+        "FROM part ORDER BY p_partkey"
+    ),
+    "wb1_tumbling_hour": (
+        "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
+        "sum(CAST(value AS DECIMAL(28,10))) AS sum_value "
+        "FROM events GROUP BY bucket ORDER BY bucket"
+    ),
+    "wb2_sliding_window": (
+        "WITH assigned AS ("
+        "  SELECT time_bucket(INTERVAL '30 minutes', ts) - "
+        "         (o.off * INTERVAL '30 minutes') AS bucket"
+        "  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o"
+        "  WHERE ts >= time_bucket(INTERVAL '30 minutes', ts) - (o.off * INTERVAL '30 minutes')"
+        "    AND ts <  time_bucket(INTERVAL '30 minutes', ts) - (o.off * INTERVAL '30 minutes')"
+        "         + INTERVAL '1 hour') "
+        "SELECT bucket, count(*) AS n FROM assigned GROUP BY bucket ORDER BY bucket"
+    ),
+    "wb3_session_window": (
+        "WITH marked AS ("
+        "  SELECT user_id, ts,"
+        "         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "                   > INTERVAL '30 minutes' OR"
+        "              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+        "              THEN 1 ELSE 0 END AS new_session"
+        "  FROM events), "
+        "sessions AS ("
+        "  SELECT user_id, ts,"
+        "         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts"
+        "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid"
+        "  FROM marked) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n "
+        "FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ),
+}

@@ -26,9 +26,10 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warmup: run the cheapest query once to JIT/populate FS caches
-    first = next(iter(qs))
-    qs[first](spark, SF_DIR).collect()
+    # warmup pass: JIT the codegen/broadcast/shuffle paths and populate FS
+    # caches so per-query numbers reflect steady-state throughput
+    for fn in qs.values():
+        fn(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
