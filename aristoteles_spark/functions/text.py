@@ -1,0 +1,170 @@
+"""Text-analysis column expressions: tokenization, portable hashing,
+shingles, quality metrics, language-ID heuristic, fingerprints.
+
+All pure Catalyst expressions (higher-order array functions — JVM-side,
+codegen'd, zero Python). The hash primitive is md5-based rather than
+Murmur3 so every function has a bit-identical ANSI-SQL transliteration for
+oracle checking (Spark's F.hash is Murmur3 with Spark-specific seeding;
+duckdb's hash() is different again — md5 is the portable common ground).
+
+At 100 TB these expressions run inside whole-stage codegen over the scan;
+no shuffle is introduced until a downstream groupBy/join needs one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny stopword profiles for the language-ID heuristic (public common words)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "en"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric tokens; empty strings filtered out."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def h32(col: Column, seed: int | Column = 0) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5("{seed}:{s}").
+
+    Identical in duckdb as
+    ``CAST(concat('0x', substr(md5(concat(seed, ':', s)), 1, 8)) AS BIGINT)``.
+    """
+    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    payload = F.concat(seed_col, F.lit(":"), col)
+    return F.conv(F.substring(F.md5(payload.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (token n-grams joined by spaces).
+
+    Built with transform over token indexes — in-row, no explode.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array_distinct(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+    )
+
+
+def minhash_signature(token_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of min(h32(tok, i)) for i in [0, num_hashes).
+
+    In-row array aggregation — the signature computation itself needs NO
+    shuffle; only the LSH band join downstream does.
+    """
+    def hasher(seed: int):
+        # single-arg lambda: a 2-arg lambda would make F.transform pass the
+        # array index as the second arg, clobbering the seed
+        return lambda t: h32(t, seed)
+
+    return F.array(
+        *[F.array_min(F.transform(token_col, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def simhash32(token_col: Column) -> Column:
+    """32-bit SimHash over distinct tokens.
+
+    bit j of the result = 1 iff sum over tokens of (+1 if bit j of
+    h32(token) set else -1) > 0. Computed with zip_with/aggregate in-row;
+    integer sums are order-independent so the relational (explode-based)
+    oracle SQL produces identical values.
+    """
+    # j unrolled at plan-build time: F.shiftright/shiftleft need literal
+    # shift amounts, and unrolling keeps everything inside codegen
+    bits = lambda t: F.array(
+        *[
+            (F.shiftright(h32(t), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for j in range(32)
+        ]
+    )
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(32)])
+    sums = F.aggregate(token_col, zero, lambda acc, t: F.zip_with(acc, bits(t), lambda a, b: a + b))
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    return F.aggregate(
+        F.zip_with(sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, "[a-zA-Z0-9 ]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(token_col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    n = F.size(token_col)
+    hits = F.size(F.filter(token_col, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(token_col: Column) -> Column:
+    n = F.size(token_col)
+    total = F.aggregate(
+        token_col, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: long-enough, low punctuation,
+    some stopwords, sane mean word length. Deterministic double arithmetic."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(toks) * 4, F.lit(1.0))
+    mlen = mean_token_len(toks)
+    mlen_score = F.when((mlen >= 3.0) & (mlen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + punct_score + sw_score + mlen_score) / 4
+
+
+def langid_scores(token_col: Column) -> dict[str, Column]:
+    """Distinct-marker hit count per language profile."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.array_intersect(F.array_distinct(token_col), arr))
+    return out
+
+
+def langid_predict(token_col: Column) -> Column:
+    """argmax language with deterministic tie-break (profile order);
+    'und' when no marker hits at all."""
+    scores = langid_scores(token_col)
+    langs = list(scores)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier profiles win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized token stream — the
+    canonical 'same content modulo whitespace/punct/case' key."""
+    return F.md5(F.array_join(tokens(col), " ").cast("binary"))
