@@ -1,0 +1,120 @@
+"""Text-analysis queries on the documents table + duckdb oracles.
+
+Language-ID, quality scoring, token counting, fingerprinting — each a pure
+column-expression pipeline (functions/text.py) with a value-exact SQL
+transliteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aristoteles_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    langid_predict,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from aristoteles_spark.sources.parquet_source import load_table
+
+_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def q_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("len_chars"),
+        mean_token_len(toks).alias("mean_tok_len"),
+    ).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio(tokens("text")).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_predict(tokens("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+QUERIES = {
+    "tx1_token_stats": q_token_stats,
+    "tx2_quality": q_quality,
+    "tx3_langid": q_langid,
+    "tx4_fingerprint": q_fingerprint,
+}
+
+
+def _sw_array(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_MEAN_TOK = (
+    f"CASE WHEN len({_TOKENS}) > 0 THEN "
+    f"list_sum(list_transform({_TOKENS}, t -> length(t))) / CAST(len({_TOKENS}) AS DOUBLE) "
+    "ELSE 0.0 END"
+)
+_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN "
+    "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE) "
+    "ELSE 0.0 END"
+)
+_SW_RATIO = (
+    f"CASE WHEN len({_TOKENS}) > 0 THEN "
+    f"len(list_filter({_TOKENS}, t -> list_contains({_sw_array(STOPWORDS_EN)}, t))) "
+    f"/ CAST(len({_TOKENS}) AS DOUBLE) ELSE 0.0 END"
+)
+_QUALITY = (
+    f"(least(length(text) / 500.0, 1.0) "
+    f"+ (1.0 - least(({_PUNCT}) * 5, 1.0)) "
+    f"+ least(({_SW_RATIO}) * 4, 1.0) "
+    f"+ (CASE WHEN ({_MEAN_TOK}) >= 3.0 AND ({_MEAN_TOK}) <= 10.0 THEN 1.0 ELSE 0.5 END)) / 4"
+)
+
+_LANG_SCORES = {
+    lang: f"len(list_intersect(list_distinct({_TOKENS}), {_sw_array(markers)}))"
+    for lang, markers in LANG_MARKERS.items()
+}
+_BEST = "greatest(" + ", ".join(_LANG_SCORES.values()) + ")"
+_PRED_CASES = " ".join(
+    f"WHEN ({_LANG_SCORES[lang]}) = ({_BEST}) THEN '{lang}'" for lang in LANG_MARKERS
+)
+_PRED = f"CASE WHEN ({_BEST}) > 0 THEN (CASE {_PRED_CASES} END) ELSE 'und' END"
+
+ORACLE = {
+    "tx1_token_stats": (
+        f"SELECT doc_id, len({_TOKENS}) AS n_tokens, "
+        f"len(list_distinct({_TOKENS})) AS n_distinct, "
+        f"length(text) AS len_chars, {_MEAN_TOK} AS mean_tok_len "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "tx2_quality": (
+        f"SELECT doc_id, {_PUNCT} AS punct_ratio, {_SW_RATIO} AS stopword_ratio, "
+        f"{_QUALITY} AS quality FROM documents ORDER BY doc_id"
+    ),
+    "tx3_langid": f"SELECT doc_id, {_PRED} AS pred_lang FROM documents ORDER BY doc_id",
+    "tx4_fingerprint": (
+        f"SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+}
