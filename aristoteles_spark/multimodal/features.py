@@ -1,0 +1,103 @@
+"""Multimodal operators over binary payload columns.
+
+- :func:`with_payload` — typed binary column + metadata, pure Catalyst.
+- :func:`binary_stats` — byte length + digest, pure Catalyst
+  (whole-stage codegen over the scan; no Python).
+- :func:`decode_features` — Arrow-batched ``mapInPandas`` decode stage:
+  the canonical shape for image/audio feature extraction at scale. Each
+  Python worker receives columnar Arrow batches; the decode kernel runs
+  per-row inside the batch; output is a new columnar batch. No shuffle —
+  a pure map stage that scales linearly with partitions.
+- :func:`frame_sample` — fixed-stride frame sampling over a bytestream,
+  pure Catalyst (substring/ceil arithmetic on binary).
+
+At 100 TB the decode stage is the cost center; keeping it in
+``mapInPandas`` (not a row-at-a-time UDF) gives Arrow transfer + NumPy
+vectorization, and keeping stats/sampling in Catalyst keeps everything
+else JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def payload_col(text_col: Column | str) -> Column:
+    """Opaque binary payload (UTF-8 bytes of the text column — the test
+    tables carry no real media, so text bytes stand in for image bytes)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.encode(c, "UTF-8")
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("payload", payload_col(text_col))
+
+
+def binary_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Byte length + md5 digest of each payload. Pure Catalyst."""
+    return df.select(
+        id_col,
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: (id, payload) -> FEATURE_SCHEMA rows via
+    mapInPandas with the deterministic fake kernel (codecs.py)."""
+    from aristoteles_spark.multimodal.codecs import fake_decode_meta
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [fake_decode_meta(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows, columns=["width", "height", "channels", "mean_px"])
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Treat the payload as a stream of fixed-size frames; report frame
+    counts and the digest of the first sampled frame. Pure Catalyst
+    (ceil/substring on binary) — the real video analogue swaps the
+    digest for a decode_features call on each sampled frame."""
+    n_bytes = F.length("payload")
+    n_frames = F.ceil(n_bytes / F.lit(frame_bytes)).cast("long")
+    n_sampled = F.floor((n_frames + stride - 1) / F.lit(stride)).cast("long")
+    return df.select(
+        id_col,
+        n_frames.alias("n_frames"),
+        n_sampled.alias("n_sampled"),
+        F.md5(F.substring("payload", 1, frame_bytes)).alias("frame0_digest"),
+    )

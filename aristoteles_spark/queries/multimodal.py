@@ -1,0 +1,72 @@
+"""Multimodal queries (binary payload columns) + duckdb oracles.
+
+mm2 runs a real mapInPandas (Arrow-batched Python) decode stage whose
+fake kernel is md5-derived, so the SQL oracle reproduces it exactly —
+a strong correctness check on the UDF plumbing itself.
+"""
+
+from __future__ import annotations
+
+from aristoteles_spark.multimodal.features import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    binary_stats,
+    decode_features,
+    frame_sample,
+    with_payload,
+)
+from aristoteles_spark.sources.parquet_source import load_table
+
+
+def _docs(spark, sf_dir):
+    return with_payload(load_table(spark, sf_dir, "documents"))
+
+
+def q_binary_stats(spark, sf_dir):
+    return binary_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decode_features(spark, sf_dir):
+    return decode_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_frame_sample(spark, sf_dir):
+    return frame_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES = {
+    "mm1_binary_stats": q_binary_stats,
+    "mm2_decode_features": q_decode_features,
+    "mm3_frame_sample": q_frame_sample,
+}
+
+
+def _hex_int(start: int, n: int) -> str:
+    # 1-indexed md5 hex substring as big-endian int (matches int(h[a:b],16)).
+    # duckdb md5(VARCHAR) hashes the UTF-8 bytes == Spark md5(encode(text)).
+    return f"CAST(concat('0x', substr(md5(text), {start + 1}, {n})) AS BIGINT)"
+
+
+ORACLE = {
+    "mm1_binary_stats": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+        "md5(text) AS digest FROM documents ORDER BY doc_id"
+    ),
+    "mm2_decode_features": (
+        f"SELECT doc_id, "
+        f"CAST(1 + {_hex_int(0, 4)} % 1024 AS INTEGER) AS width, "
+        f"CAST(1 + {_hex_int(4, 4)} % 1024 AS INTEGER) AS height, "
+        f"CAST(1 + {_hex_int(8, 1)} % 4 AS INTEGER) AS channels, "
+        f"{_hex_int(9, 4)} / 65535.0 AS mean_px "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "mm3_frame_sample": (
+        f"SELECT doc_id, "
+        f"CAST(ceil(octet_length(encode(text)) / {float(FRAME_BYTES)}) AS BIGINT) AS n_frames, "
+        f"CAST(floor((ceil(octet_length(encode(text)) / {float(FRAME_BYTES)}) + {FRAME_STRIDE - 1}) / {float(FRAME_STRIDE)}) AS BIGINT) AS n_sampled, "
+        # substr on VARCHAR is char-based; byte-exact here because the test
+        # corpus is pure ASCII (verified octet_length == length for all rows)
+        f"md5(substr(text, 1, {FRAME_BYTES})) AS frame0_digest "
+        "FROM documents ORDER BY doc_id"
+    ),
+}
