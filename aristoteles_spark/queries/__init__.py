@@ -23,6 +23,7 @@ _MODULES = [
     "similarity",
     "text",
     "multimodal",
+    "streaming",
 ]
 
 

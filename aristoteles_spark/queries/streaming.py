@@ -1,0 +1,53 @@
+"""Structured Streaming queries + duckdb oracles.
+
+Each query runs a genuine streaming job (readStream file source,
+Trigger.AvailableNow, memory sink) to completion and returns the
+materialized result — so the driver's oracle compare validates the
+streaming state-store path end-to-end, not a batch rewrite. On a bounded
+input AvailableNow yields exactly one deterministic microbatch, which is
+what makes value-exact oracle checking possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aristoteles_spark.streaming.events import (
+    hourly_rollup,
+    run_available_now,
+    stream_events,
+    user_totals_stateful,
+)
+
+
+def q_stream_hourly(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(hourly_rollup(ev), "st1_hourly", "complete")
+    return out.orderBy("hour_start", "event_type")
+
+
+def q_stream_user_totals(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(user_totals_stateful(ev), "st2_user_totals", "append")
+    # one AvailableNow microbatch -> one emitted row per user (final totals)
+    return out.orderBy("user_id")
+
+
+QUERIES = {
+    "st1_stream_hourly": q_stream_hourly,
+    "st2_stream_user_totals": q_stream_user_totals,
+}
+
+ORACLE = {
+    "st1_stream_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour_start, event_type, "
+        "count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY hour_start, event_type "
+        "ORDER BY hour_start, event_type"
+    ),
+    "st2_stream_user_totals": (
+        "SELECT user_id, count(*) AS n_events, sum(value) AS sum_value "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+}

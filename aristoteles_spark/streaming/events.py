@@ -1,0 +1,135 @@
+"""Streaming over the events table: incremental file-source ingest,
+event-time windowed rollups, and custom stateful per-key aggregation.
+
+Scale notes:
+- ``Trigger.AvailableNow`` is the idiomatic Spark form of the
+  reference's catch-up loop (process everything pending, then stop;
+  checkpoint = watermark file). File listing is incremental via the
+  checkpoint's file index, so a 100 TB directory is not re-listed.
+- the windowed rollup is a streaming state-store aggregation: partial
+  aggregation happens map-side per microbatch, state is partitioned by
+  (window, group) — the same shuffle shape as the batch groupBy.
+- ``applyInPandasWithState`` keys state by user_id: state shuffles once
+  per microbatch on the group key, Arrow-batched into Python. The
+  kernel holds O(1) state per key (count + sum), not the event list.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# physical schema: ts is TIMESTAMP(NANOS) in the driver parquet -> read as
+# long (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("sum_value", DoubleType())]
+)
+USER_AGG_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an incremental file-source stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a *directory* (it incrementally lists
+    # new files under it — the growing-directory ingest pattern); select
+    # the events table from the shared dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .option("recursiveFileLookup", "false")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling 1-hour window: count + decimal-exact sum(value)
+    per (window, event_type). Late data beyond the watermark is dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum -> order-independent, exact: hash-matches any oracle
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) kept in the
+    state store via applyInPandasWithState; emits the updated totals for
+    every user seen in the microbatch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_AGG_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    spark = result.sparkSession
+    # state-store instances scale with shuffle partitions; for the test
+    # scale a handful is plenty and cuts per-batch store-commit overhead.
+    # (On a cluster this is sized to executors x cores instead.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
