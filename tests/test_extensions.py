@@ -1,0 +1,95 @@
+"""Unit tests for the extension operators: similarity search, multimodal
+binary columns, streaming helpers. The oracle harness covers end-to-end
+values at sf0.01; these pin operator-level semantics on tiny frames."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aristoteles_spark.multimodal.codecs import decode_image, fake_decode_meta
+from aristoteles_spark.multimodal.features import (
+    FEATURE_SCHEMA,
+    decode_features,
+    with_payload,
+)
+from aristoteles_spark.operators.similarity import (
+    dot,
+    hyperplanes,
+    knn_brute,
+    l2_norm,
+    lsh_signature,
+    neardup_pairs,
+)
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+class TestSimilarity:
+    def test_dot_and_norm_match_python(self, spark):
+        a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+        df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+        got = df.select(
+            dot(F.col("a"), F.col("b")).alias("d"), l2_norm(F.col("a")).alias("n")
+        ).first()
+        assert got.d == pytest.approx(1 * 4 - 2 * 5 + 3 * 6)
+        assert got.n == pytest.approx(math.sqrt(14))
+
+    def test_knn_brute_exact_neighbors(self, spark):
+        # 4 points on axes: nearest neighbor of each is its scaled twin
+        vecs = [[1, 0], [2, 0], [0, 1], [0, 3]]
+        df = _vec_df(spark, vecs)
+        out = knn_brute(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+        assert [(r.neighbor_id, round(r.cos_sim, 6)) for r in out] == [(1, 1.0), (2, 0.0)]
+
+    def test_knn_excludes_self(self, spark):
+        df = _vec_df(spark, [[1, 1], [1, 1], [1, 0]])
+        out = knn_brute(df, df, k=3).collect()
+        assert all(r.query_id != r.neighbor_id for r in out)
+
+    def test_lsh_signature_deterministic_and_bounded(self, spark):
+        planes = hyperplanes(2, 4)
+        df = _vec_df(spark, [[1, 0], [1, 0], [-1, 0]])
+        rows = df.select(lsh_signature(F.col("embedding"), planes).alias("s")).collect()
+        assert rows[0].s == rows[1].s  # identical vectors, identical bucket
+        assert all(0 <= r.s < 16 for r in rows)
+
+    def test_neardup_finds_identical_pair_once(self, spark):
+        planes = hyperplanes(2, 4)
+        df = _vec_df(spark, [[1.0, 2.0], [1.0, 2.0], [5.0, -3.0]])
+        out = neardup_pairs(df, planes, threshold=0.999).collect()
+        assert [(r.vec_a, r.vec_b) for r in out] == [(0, 1)]
+        assert out[0].cos_sim == pytest.approx(1.0)
+
+
+class TestMultimodal:
+    def test_fake_decode_matches_md5_formula(self):
+        payload = b"hello multimodal"
+        h = hashlib.md5(payload).hexdigest()
+        w, hgt, c, m = fake_decode_meta(payload)
+        assert w == 1 + int(h[0:4], 16) % 1024
+        assert hgt == 1 + int(h[4:8], 16) % 1024
+        assert c == 1 + int(h[8], 16) % 4
+        assert m == pytest.approx(int(h[9:13], 16) / 65535.0)
+
+    def test_decode_features_schema_and_values(self, spark):
+        df = with_payload(
+            spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+        )
+        out = decode_features(df)
+        assert out.schema == FEATURE_SCHEMA
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[1].width == fake_decode_meta(b"abc")[0]
+        assert rows[2].mean_px == pytest.approx(fake_decode_meta(b"defg")[3])
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
