@@ -24,6 +24,8 @@ _MODULES = [
     "text",
     "multimodal",
     "streaming",
+    "temporal",
+    "analytics",
 ]
 
 

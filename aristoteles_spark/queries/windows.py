@@ -67,12 +67,19 @@ def q_running_sum(spark, sf_dir):
     )
 
 
-# --- analytic: dense_rank (gap-free ranking across a whole table)
+# --- analytic: dense_rank (gap-free ranking across a whole table).
+# A naive Window.orderBy with no partition key moves the WHOLE table to one
+# partition; but dense_rank of a row == rank of its distinct value, so we
+# rank the distinct values (tiny at any scale) and broadcast-join back —
+# the big table is never globally sorted.
 def q_dense_rank(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     w = Window.orderBy(F.col("p_size").desc())
+    ranks = (
+        p.select("p_size").distinct().withColumn("size_rank", F.dense_rank().over(w))
+    )
     return (
-        p.withColumn("size_rank", F.dense_rank().over(w))
+        p.join(F.broadcast(ranks), "p_size")
         .select("p_partkey", "p_size", "size_rank")
         .orderBy("p_partkey")
     )
