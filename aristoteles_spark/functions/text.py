@@ -64,19 +64,43 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+# Multiply-shift permutation family for MinHash: h_i(x) = (A_i*x + B_i)
+# mod 2^32 over the single md5-derived base hash. One md5 per token total
+# (vs num_hashes md5s) — the md5 is the expensive part. A_i odd < 2^31
+# keeps A_i * h < 2^63 (no signed-64 overflow); constants are fixed
+# literals so the SQL oracle reproduces them exactly.
+_MINHASH_MASK = (1 << 32) - 1
+
+
+def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    # deterministic LCG-generated (A, B) pairs; A forced odd and < 2^31
+    out = []
+    x = 0x9E3779B9
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        a = ((x >> 33) | 1) & 0x7FFFFFFF
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        b = (x >> 32) & 0xFFFFFFFF
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(token_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: array of min(h32(tok, i)) for i in [0, num_hashes).
+    """MinHash signature: array of min over tokens of (A_i*h32(tok)+B_i)
+    mod 2^32, for i in [0, num_hashes).
 
     In-row array aggregation — the signature computation itself needs NO
     shuffle; only the LSH band join downstream does.
     """
-    def hasher(seed: int):
-        # single-arg lambda: a 2-arg lambda would make F.transform pass the
-        # array index as the second arg, clobbering the seed
-        return lambda t: h32(t, seed)
+    base = F.transform(token_col, lambda t: h32(t))
+
+    def perm(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so default-arg
+        # binding would be miscounted as a 3-arg higher-order lambda
+        return lambda h: (F.lit(a) * h + F.lit(b)).bitwiseAND(F.lit(_MINHASH_MASK))
 
     return F.array(
-        *[F.array_min(F.transform(token_col, hasher(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(base, perm(a, b))) for a, b in _minhash_constants(num_hashes)]
     )
 
 

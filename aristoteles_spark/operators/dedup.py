@@ -72,36 +72,65 @@ def ngram_jaccard_pairs(
     loses pairs whose entire overlap is ubiquitous tokens).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # AllPairs/PPJoin prefix filtering — EXACT for the given threshold.
+    # A naive token-inverted-index join explodes on ubiquitous tokens
+    # (a token present in all N docs contributes N^2 candidate rows).
+    # Instead, sort each doc's tokens by global rarity and index only the
+    # first |A| - ceil(t*|A|) + 1 (the "prefix"): any pair with J >= t
+    # provably shares its globally-smallest common token within both
+    # prefixes, and prefix tokens are the RAREST ones, so the index join
+    # fans out minimally. Verification is an in-row array_intersect.
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(distinct_tokens(text_col)).alias("token")
     )
     if max_token_freq is not None:
-        freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+        freq0 = toks.groupBy("token").agg(F.count("*").alias("df"))
         toks = toks.join(
-            F.broadcast(freq.filter(F.col("df") <= max_token_freq).select("token")), "token"
+            F.broadcast(freq0.filter(F.col("df") <= max_token_freq).select("token")), "token"
         )
-    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    # per-doc token array sorted by (rarity, token): struct sort is
+    # lexicographic on fields, giving one global total order
+    docs = (
+        toks.join(freq, "token")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("st"))
         .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+            "doc",
+            F.transform("st", lambda x: x["token"]).alias("toks"),
+            F.size("st").alias("sz"),
+        )
+        .persist()  # consumed by the prefix index and twice in verification
+    )
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
+    index = docs.select(
+        "doc", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("token")
+    )
+    a, b = index.alias("a"), index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    da = docs.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"))
+    db = docs.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -131,7 +160,10 @@ def minhash_lsh_pairs(
     num_hashes. Returns (doc_a, doc_b, est_sim), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    # persist: the self-join consumes the signatures on BOTH sides; without
+    # this, Spark recomputes the full tokenize+hash subtree twice. At scale
+    # signatures would be written to a table between the two stages.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes).persist()
     band_digest = [
         F.md5(
             F.array_join(

@@ -14,6 +14,7 @@ from aristoteles_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     normalized_dedup_groups,
+    simhash_pairs,
     simhash_sketches,
 )
 from aristoteles_spark.sources.parquet_source import load_table
@@ -46,15 +47,31 @@ def q_normalized(spark, sf_dir):
     return normalized_dedup_groups(d).orderBy("digest")
 
 
+# The pair-generating operators emit O(cluster^2) rows on a dup-heavy
+# corpus; materializing all pairs to the driver is exactly what a 100 TB
+# dedup job must NOT do. The declared queries therefore aggregate the pair
+# stream per doc (the realistic deliverable: how many near-dups each doc
+# has, and how close the nearest is) — the oracle hash still pins every
+# pair through the counts/extrema.
+
+
 def q_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8)
+    return (
+        pairs.groupBy("doc_a")
+        .agg(F.count("*").alias("n_dups"), F.max("jaccard").alias("max_jaccard"))
+        .orderBy("doc_a")
+    )
 
 
 def q_minhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
+    pairs = minhash_lsh_pairs(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
+    return (
+        pairs.groupBy("doc_a")
+        .agg(F.count("*").alias("n_pairs"), F.max("est_sim").alias("max_est_sim"))
+        .orderBy("doc_a")
     )
 
 
@@ -63,19 +80,40 @@ def q_simhash(spark, sf_dir):
     return simhash_sketches(d).orderBy("doc")
 
 
+MAX_HAMMING = 2
+# block layout must mirror operators/dedup.py:simhash_pairs: nblocks =
+# max_hamming+1, width = ceil(32/nblocks)
+_NBLOCKS = MAX_HAMMING + 1
+_BWIDTH = 32 // _NBLOCKS + (1 if 32 % _NBLOCKS else 0)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, max_hamming=MAX_HAMMING)
+    return (
+        pairs.groupBy("doc_a")
+        .agg(F.count("*").alias("n_pairs"), F.min("hamming").alias("min_hamming"))
+        .orderBy("doc_a")
+    )
+
+
 QUERIES = {
     "dd1_exact_groups": q_exact,
     "dd2_normalized_groups": q_normalized,
     "dd3_jaccard_pairs": q_jaccard,
     "dd4_minhash_lsh_pairs": q_minhash,
     "dd5_simhash_sketches": q_simhash,
+    "dd6_simhash_pairs": q_simhash_pairs,
 }
 
 # ------------------------------------------------------------------ oracles
 
+from aristoteles_spark.functions.text import _minhash_constants  # noqa: E402
+
+_MH = _minhash_constants(NUM_HASHES)
 _sig_cols = ",\n    ".join(
-    f"list_min(list_transform({_DTOKENS}, t -> {_h32('t', str(i))})) AS s{i}"
-    for i in range(NUM_HASHES)
+    f"list_min(list_transform(base_h, h -> ({a} * h + {b}) & 4294967295)) AS s{i}"
+    for i, (a, b) in enumerate(_MH)
 )
 _band_cols = ",\n    ".join(
     "md5(concat_ws(',', "
@@ -110,25 +148,34 @@ WITH toks AS (
   FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-FROM inter JOIN sizes sa ON inter.doc_a = sa.doc JOIN sizes sb ON inter.doc_b = sb.doc
-WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
-ORDER BY doc_a, doc_b
+, pairs AS (
+  SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc JOIN sizes sb ON inter.doc_b = sb.doc
+  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+)
+SELECT doc_a, count(*) AS n_dups, max(jaccard) AS max_jaccard
+FROM pairs GROUP BY doc_a ORDER BY doc_a
 """,
     "dd4_minhash_lsh_pairs": f"""
-WITH sigs AS (
-  SELECT doc_id AS doc,
-    {_sig_cols}
+WITH hashed AS (
+  SELECT doc_id AS doc, list_transform({_DTOKENS}, t -> {_h32('t')}) AS base_h
   FROM documents
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
 ), banded AS (
   SELECT *,
     {_band_cols}
   FROM sigs
 )
-SELECT a.doc AS doc_a, b.doc AS doc_b, {_est_sim} AS est_sim
-FROM banded a JOIN banded b ON a.doc < b.doc AND ({_band_match})
-WHERE {_est_sim} >= 0.5
-ORDER BY doc_a, doc_b
+, pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, {_est_sim} AS est_sim
+  FROM banded a JOIN banded b ON a.doc < b.doc AND ({_band_match})
+  WHERE {_est_sim} >= 0.5
+)
+SELECT doc_a, count(*) AS n_pairs, max(est_sim) AS max_est_sim
+FROM pairs GROUP BY doc_a ORDER BY doc_a
 """,
     "dd5_simhash_sketches": f"""
 WITH th AS (
@@ -141,5 +188,30 @@ WITH th AS (
 )
 SELECT doc, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
 FROM bits GROUP BY doc ORDER BY doc
+""",
+    "dd6_simhash_pairs": f"""
+WITH th AS (
+  SELECT doc_id AS doc, {_h32('token')} AS h
+  FROM (SELECT doc_id, unnest({_DTOKENS}) AS token FROM documents)
+), bits AS (
+  SELECT doc, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(32)) AS j) js
+  GROUP BY doc, j
+), sk AS (
+  SELECT doc, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc
+), blocked AS (
+  SELECT doc, simhash, i AS block_idx,
+         (simhash >> (i * {_BWIDTH})) & {(1 << _BWIDTH) - 1} AS block_val
+  FROM sk CROSS JOIN (SELECT unnest(range({_NBLOCKS})) AS i) bi
+), pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM blocked a
+  JOIN blocked b ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc < b.doc
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+)
+SELECT doc_a, count(*) AS n_pairs, min(hamming) AS min_hamming
+FROM pairs GROUP BY doc_a ORDER BY doc_a
 """,
 }
