@@ -112,16 +112,19 @@ def simhash32(token_col: Column) -> Column:
     integer sums are order-independent so the relational (explode-based)
     oracle SQL produces identical values.
     """
-    # j unrolled at plan-build time: F.shiftright/shiftleft need literal
-    # shift amounts, and unrolling keeps everything inside codegen
-    bits = lambda t: F.array(
+    # hash each token ONCE (md5 is the expensive part), then fold cheap
+    # bit ops over the hash array; j unrolled at plan-build time because
+    # F.shiftright needs literal shift amounts, and unrolling keeps
+    # everything inside codegen
+    hashes = F.transform(token_col, lambda t: h32(t))
+    bits = lambda h: F.array(
         *[
-            (F.shiftright(h32(t), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
             for j in range(32)
         ]
     )
     zero = F.array(*[F.lit(0).cast("long") for _ in range(32)])
-    sums = F.aggregate(token_col, zero, lambda acc, t: F.zip_with(acc, bits(t), lambda a, b: a + b))
+    sums = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b))
     weights = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
     return F.aggregate(
         F.zip_with(sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
