@@ -180,6 +180,66 @@ def q_group_max(spark, sf_dir):
     )
 
 
+# --- breadth: semi join (existence check without materializing the right)
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- breadth: full outer join of two keyed aggregates
+def q_full_outer(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+        .withColumnRenamed("c_nationkey", "nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+        .withColumnRenamed("s_nationkey", "nationkey")
+    )
+    return c.join(s, "nationkey", "full_outer").orderBy("nationkey")
+
+
+# --- breadth: pivot (wide aggregation; fixed value list so the plan is a
+# single pass with no distinct-values pre-query)
+def q_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- breadth: exact percentiles (sort-based, deterministic — unlike
+# approx_percentile, which is sketch-dependent and engine-specific)
+def q_percentiles(spark, sf_dir):
+    lf = _t(spark, sf_dir, "lineitem")
+    return (
+        lf.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "s2_min_probe": q_min_probe,
     "p1_projection": q_projection,
@@ -194,6 +254,10 @@ QUERIES = {
     "j2_anti_join": q_anti_join,
     "g2_distinct": q_distinct,
     "g3_group_max": q_group_max,
+    "j3_semi_join": q_semi_join,
+    "j4_full_outer": q_full_outer,
+    "g6_pivot": q_pivot,
+    "g7_percentiles": q_percentiles,
 }
 
 ORACLE = {
@@ -245,5 +309,31 @@ ORACLE = {
     "g3_group_max": (
         "SELECT o_orderpriority, max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price, "
         "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "j3_semi_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "ORDER BY c_custkey"
+    ),
+    "j4_full_outer": (
+        "WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust "
+        "           FROM customer GROUP BY 1), "
+        "s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp "
+        "      FROM supplier GROUP BY 1) "
+        "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp "
+        "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey ORDER BY nationkey"
+    ),
+    "g6_pivot": (
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (o_orderstatus = 'F') AS n_f, "
+        "count(*) FILTER (o_orderstatus = 'O') AS n_o, "
+        "count(*) FILTER (o_orderstatus = 'P') AS n_p "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "g7_percentiles": (
+        "SELECT l_returnflag, "
+        "quantile_cont(l_extendedprice, 0.5) AS median_price, "
+        "quantile_cont(l_extendedprice, 0.9) AS p90_price "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
 }

@@ -57,11 +57,27 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
+def q_regex_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    upper_stripped = F.regexp_replace("text", "[^A-Z]", "")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_num"),
+        F.when(
+            F.length("text") > 0, F.length(upper_stripped) / F.length("text")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("upper_ratio"),
+        F.col("text").contains("the").cast("int").alias("has_the"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
     "tx3_langid": q_langid,
     "tx4_fingerprint": q_fingerprint,
+    "tx5_regex_features": q_regex_features,
 }
 
 
@@ -115,6 +131,15 @@ ORACLE = {
     "tx3_langid": f"SELECT doc_id, {_PRED} AS pred_lang FROM documents ORDER BY doc_id",
     "tx4_fingerprint": (
         f"SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "tx5_regex_features": (
+        "SELECT doc_id, "
+        "coalesce(regexp_extract(text, '[0-9]+'), '') AS first_num, "
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) "
+        "ELSE 0.0 END AS upper_ratio, "
+        "CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS has_the "
         "FROM documents ORDER BY doc_id"
     ),
 }
