@@ -42,10 +42,71 @@ def q_kmv(spark, sf_dir):
     return kmv_distinct_estimate(lf, "l_orderkey", k=KMV_K)
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the events props column (string JSON).
+    get_json_object is a codegen'd path expression — no Python, no parse
+    of unused fields."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 5% sample by content hash — the reproducible sampling
+    a training-data pipeline needs (same rows selected on every engine and
+    every run, unlike rand()-based sampling)."""
+    from aristoteles_spark.functions.text import h32
+
+    lf = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        lf.filter(h32(key) % 100 < 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_multires_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: hour + day + month
+    aggregates of the events stream in ONE scan via GROUPING SETS (the
+    continuous-aggregate pattern; each finer level could also fold into
+    the coarser one incrementally)."""
+    from aristoteles_spark.sources.parquet_source import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+               date_trunc('month', ts) AS m,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_trunc('hour', ts)),
+          (date_trunc('day', ts)),
+          (date_trunc('month', ts))
+        )
+        ORDER BY h, d, m
+        """
+    )
+
+
 QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
+    "jx1_json_extract": q_json_extract,
+    "p5_hash_sample": q_hash_sample,
+    "wb4_multires_rollup": q_multires_rollup,
 }
 
 _H32_KEY = (
@@ -79,5 +140,30 @@ SELECT count(*) AS k_used, max(h) AS kth_min_hash,
   CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
        ELSE {KMV_K - 1} * 4294967296.0 / max(h) END AS est_distinct
 FROM topk
+""",
+    "jx1_json_extract": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events ORDER BY event_id"
+    ),
+    "p5_hash_sample": (
+        "SELECT l_returnflag, count(*) AS n_sampled, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty FROM lineitem "
+        "WHERE CAST(concat('0x', substr(md5(concat('0:', "
+        "concat(l_orderkey, ':', l_linenumber))), 1, 8)) AS BIGINT) % 100 < 5 "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "wb4_multires_rollup": """
+SELECT date_trunc('hour', ts) AS h,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('hour', ts)),
+  (date_trunc('day', ts)),
+  (date_trunc('month', ts))
+)
+ORDER BY h, d, m
 """,
 }
