@@ -100,6 +100,27 @@ def q_multires_rollup(spark, sf_dir):
     )
 
 
+def q_salted_token_df(spark, sf_dir):
+    """Top-50 tokens by document frequency via explicit two-stage salted
+    aggregation — the exact-result skew pattern for hot keys ('the'
+    appears in every document; salting spreads it over 16 reducers)."""
+    from aristoteles_spark.functions.text import distinct_tokens
+    from aristoteles_spark.operators.skew import salted_agg
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(distinct_tokens("text")).alias("token")
+    )
+    counts = salted_agg(
+        toks,
+        "token",
+        {"df": (F.count(F.lit(1)), lambda c: F.sum(c))},
+        salt_buckets=16,
+        salt_on=F.col("doc_id"),
+    )
+    return counts.orderBy(F.col("df").desc(), "token").limit(50)
+
+
 QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
@@ -107,6 +128,7 @@ QUERIES = {
     "jx1_json_extract": q_json_extract,
     "p5_hash_sample": q_hash_sample,
     "wb4_multires_rollup": q_multires_rollup,
+    "tk1_salted_token_df": q_salted_token_df,
 }
 
 _H32_KEY = (
@@ -166,4 +188,11 @@ GROUP BY GROUPING SETS (
 )
 ORDER BY h, d, m
 """,
+    "tk1_salted_token_df": (
+        "SELECT token, count(*) AS df FROM ("
+        "  SELECT doc_id, unnest(list_distinct(list_filter("
+        "    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token"
+        "  FROM documents)"
+        "GROUP BY token ORDER BY df DESC, token LIMIT 50"
+    ),
 }

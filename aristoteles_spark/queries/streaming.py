@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aristoteles_spark.streaming.events import (
+    dedup_counts,
     hourly_rollup,
     run_available_now,
     stream_events,
@@ -33,9 +34,16 @@ def q_stream_user_totals(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_stream_dedup(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(dedup_counts(ev), "st3_dedup", "complete")
+    return out.orderBy("event_type")
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st2_stream_user_totals": q_stream_user_totals,
+    "st3_stream_dedup": q_stream_dedup,
 }
 
 ORACLE = {
@@ -49,5 +57,9 @@ ORACLE = {
     "st2_stream_user_totals": (
         "SELECT user_id, count(*) AS n_events, sum(value) AS sum_value "
         "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    "st3_stream_dedup": (
+        "SELECT event_type, count(DISTINCT event_id) AS n_events "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
 }

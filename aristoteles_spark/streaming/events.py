@@ -109,6 +109,16 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_counts(events: DataFrame) -> DataFrame:
+    """Streaming exactly-once ingest dedup: dropDuplicates on the event
+    key (state-store backed — replayed/duplicate inputs collapse), then a
+    per-type count. Without a watermark the dedup state is unbounded; a
+    production stream would add withWatermark(ts, ...) to age it out."""
+    return events.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame."""
