@@ -72,12 +72,44 @@ def q_regex_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. tf and df are computed in one
+    exploded pass each; idf joins back on the token (shuffle on token —
+    the natural key); top-k per doc via WindowGroupLimit (map-side
+    partial top-k, no full sort)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "token", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
     "tx3_langid": q_langid,
     "tx4_fingerprint": q_fingerprint,
     "tx5_regex_features": q_regex_features,
+    "tx6_tfidf_top_terms": q_tfidf_top_terms,
 }
 
 
@@ -142,4 +174,22 @@ ORACLE = {
         "CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS has_the "
         "FROM documents ORDER BY doc_id"
     ),
+    "tx6_tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks)
+  GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf * (ln(((SELECT count(*) FROM documents) + 1) / CAST(df + 1 AS DOUBLE)) + 1) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+""",
 }
