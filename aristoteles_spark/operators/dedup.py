@@ -88,9 +88,15 @@ def ngram_jaccard_pairs(
         toks = toks.join(
             F.broadcast(freq0.filter(F.col("df") <= max_token_freq).select("token")), "token"
         )
+    # persist: consumed by the df-count aggregation AND the probe side of
+    # the rarity join — without it the tokenize+explode runs twice
+    toks = toks.persist()
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # per-doc token array sorted by (rarity, token): struct sort is
-    # lexicographic on fields, giving one global total order
+    # lexicographic on fields, giving one global total order. The rarity
+    # join is left to Catalyst/AQE (measured: forcing a broadcast of freq
+    # was slower here — the probe side re-shuffles by doc right after
+    # anyway, so saving the token shuffle buys nothing).
     docs = (
         toks.join(freq, "token")
         .groupBy("doc")
