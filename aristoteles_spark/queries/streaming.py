@@ -17,6 +17,7 @@ from aristoteles_spark.streaming.events import (
     hourly_rollup,
     run_available_now,
     stream_events,
+    stream_stream_purchase_attribution,
     user_totals_stateful,
 )
 
@@ -40,10 +41,19 @@ def q_stream_dedup(spark, sf_dir):
     return out.orderBy("event_type")
 
 
+def q_stream_stream_join(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(
+        stream_stream_purchase_attribution(ev), "st4_attribution", "append"
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st2_stream_user_totals": q_stream_user_totals,
     "st3_stream_dedup": q_stream_dedup,
+    "st4_stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
@@ -61,5 +71,13 @@ ORACLE = {
     "st3_stream_dedup": (
         "SELECT event_type, count(DISTINCT event_id) AS n_events "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "st4_stream_stream_join": (
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id, p.value AS amount "
+        "FROM events p JOIN events c ON p.event_type = 'purchase' "
+        "AND c.event_type = 'click' AND c.user_id = p.user_id "
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '10 minutes' "
+        "ORDER BY purchase_id, click_id"
     ),
 }

@@ -119,6 +119,38 @@ def dedup_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding 10 minutes. Both sides carry
+    watermarks so the join state is bounded — Spark evicts click state
+    once the purchase-side watermark passes click.ts + 10 min."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "amount")
+
+
 def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame."""
