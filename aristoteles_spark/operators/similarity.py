@@ -152,6 +152,97 @@ def knn_lsh(
     )
 
 
+def _cell_entries(
+    vec: Column, nrm: Column, centroids: list[tuple[int, list[float]]]
+) -> list[Column]:
+    """One struct(cos, -cid) per centroid; array_max/sort_array pick the
+    best cell with deterministic smallest-cid tie-breaking."""
+    import math
+
+    entries = []
+    for cid, cvec in centroids:
+        cn = math.sqrt(sum(x * x for x in cvec))
+        p = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = (
+            F.when(F.lit(cn) * nrm > 0, dot(vec, p) / (F.lit(cn) * nrm))
+            .otherwise(F.lit(0.0))
+        )
+        entries.append(F.struct(cos.alias("s"), F.lit(-cid).cast("long").alias("m")))
+    return entries
+
+
+def ivf_cell(vec: Column, nrm: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id — a pure codegen argmax, no shuffle."""
+    return -F.array_max(F.array(*_cell_entries(vec, nrm, centroids)))["m"]
+
+
+def ivf_probe_cells(
+    vec: Column, nrm: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """Array of the nprobe nearest cell ids (IVF multi-probe)."""
+    ordered = F.sort_array(F.array(*_cell_entries(vec, nrm, centroids)), asc=False)
+    return F.transform(F.slice(ordered, 1, nprobe), lambda e: -e["m"])
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    (the inverted file); each query exactly reranks only the rows in its
+    nprobe nearest cells.
+
+    Scale design: the quantizer is a driver-side literal (train step on a
+    tiny sample), so corpus cell assignment is embarrassingly parallel —
+    no shuffle, no join. Candidate generation is corpus ⋈ broadcast
+    (query, probed-cell) pairs on a small int key; with C cells and
+    nprobe probes each query scores ~nprobe·N/C rows instead of N.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    ).withColumn("_cell", ivf_cell(F.col("_cvec"), F.col("_cnorm"), centroids))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
+        )
+        .withColumn(
+            "_qcell",
+            F.explode(
+                ivf_probe_cells(F.col("_qvec"), F.col("_qnorm"), centroids, nprobe)
+            ),
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("_cell") == F.col("_qcell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            cosine(F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     planes: list[list[float]],

@@ -240,6 +240,75 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+# --- breadth: TPC-H Q3-shaped 3-way join + grouped revenue + top-k.
+# The two fact tables (orders, lineitem) shuffle-join on l_orderkey; the
+# filtered customer side is small enough for AQE to pick broadcast at any
+# scale where the segment filter is selective. Top-k is a TakeOrdered —
+# no global sort materialization.
+def q_multi_join_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    ).alias("revenue")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev)
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- breadth: TPC-H Q5-shaped 5-way star join. region/nation are broadcast
+# (tiny dims); customer and supplier join the fact chain on their keys; the
+# c_nationkey = s_nationkey condition closes the snowflake.
+def q_star_join(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    ).alias("revenue")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev)
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- breadth: TPC-H Q17-shaped correlated scalar subquery, decorrelated as
+# an aggregate join: per-part avg quantity is computed once (partial agg
+# before the shuffle), then joined back to the filtered lineitem. At scale
+# the per-part aggregate is far smaller than lineitem -> broadcastable.
+def q_scalar_subquery(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == avg_q.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
 QUERIES = {
     "s2_min_probe": q_min_probe,
     "p1_projection": q_projection,
@@ -258,6 +327,9 @@ QUERIES = {
     "j4_full_outer": q_full_outer,
     "g6_pivot": q_pivot,
     "g7_percentiles": q_percentiles,
+    "j5_multi_join_topk": q_multi_join_topk,
+    "j6_star_join": q_star_join,
+    "j7_scalar_subquery": q_scalar_subquery,
 }
 
 ORACLE = {
@@ -335,5 +407,32 @@ ORACLE = {
         "quantile_cont(l_extendedprice, 0.5) AS median_price, "
         "quantile_cont(l_extendedprice, 0.9) AS p90_price "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "j5_multi_join_topk": (
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' "
+        "AND l_shipdate > '1995-03-15' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "j6_star_join": (
+        "SELECT n_name, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    "j7_scalar_subquery": (
+        "SELECT sum(CAST(l_extendedprice AS DECIMAL(28,10))) / 7.0 AS avg_yearly "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < "
+        "(SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
     ),
 }

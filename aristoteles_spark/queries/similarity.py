@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from aristoteles_spark.operators.similarity import (
     hyperplanes,
     knn_brute,
+    knn_ivf,
     knn_lsh,
     neardup_pairs,
 )
@@ -41,6 +42,25 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(v, q, PLANES, k=K).orderBy("query_id", "neighbor_id")
 
 
+CENT_MOD = 101  # centroid set = vec_id % 101 == 3 (5 cells at sf0.01)
+CENT_OFF = 3
+NPROBE = 2
+
+
+def q_knn_ivf(spark, sf_dir):
+    v = _load(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0)
+    # train step: the coarse quantizer is tiny by construction — collect it
+    # once and inline as literals so cell assignment is shuffle-free codegen
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter(F.col("vec_id") % CENT_MOD == CENT_OFF)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return knn_ivf(v, q, cents, k=K, nprobe=NPROBE).orderBy("query_id", "neighbor_id")
+
+
 def q_neardup(spark, sf_dir):
     v = _load(spark, sf_dir)
     return neardup_pairs(v, PLANES, threshold=NEARDUP_T).orderBy("vec_a", "vec_b")
@@ -50,6 +70,7 @@ QUERIES = {
     "sim1_knn_brute": q_knn_brute,
     "sim2_knn_lsh": q_knn_lsh,
     "sim3_neardup_pairs": q_neardup,
+    "sim4_knn_ivf": q_knn_ivf,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -73,6 +94,38 @@ _COS = (
 )
 
 _V = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings"
+
+_IVF_ORACLE = f"""
+WITH v AS ({{v}}),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v
+         WHERE vec_id % {{cent_mod}} = {{cent_off}}),
+asg AS (
+  SELECT v.vec_id, cid,
+    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      (CASE WHEN cn * nrm > 0 THEN list_dot_product(e, ce) / (cn * nrm)
+            ELSE 0.0 END) DESC, cid) AS rn
+  FROM v, cent
+),
+ccell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+qcell AS (SELECT vec_id, cid AS cell FROM asg
+          WHERE rn <= {{nprobe}} AND vec_id % {{query_mod}} = 0),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CASE WHEN qv.nrm * cv.nrm > 0
+         THEN list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm)
+         ELSE 0.0 END AS cos_sim
+  FROM qcell q JOIN ccell c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+  JOIN v qv ON qv.vec_id = q.vec_id
+  JOIN v cv ON cv.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {{k}}
+ORDER BY query_id, neighbor_id
+"""
 
 ORACLE = {
     "sim1_knn_brute": f"""
@@ -122,4 +175,8 @@ WHERE CASE WHEN a.nrm * b.nrm > 0
        THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END >= {NEARDUP_T}
 ORDER BY vec_a, vec_b
 """,
+    "sim4_knn_ivf": _IVF_ORACLE.format(
+        v=_V, cent_mod=CENT_MOD, cent_off=CENT_OFF,
+        nprobe=NPROBE, query_mod=QUERY_MOD, k=K,
+    ),
 }

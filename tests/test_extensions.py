@@ -19,7 +19,10 @@ from aristoteles_spark.multimodal.features import (
 from aristoteles_spark.operators.similarity import (
     dot,
     hyperplanes,
+    ivf_cell,
+    ivf_probe_cells,
     knn_brute,
+    knn_ivf,
     l2_norm,
     lsh_signature,
     neardup_pairs,
@@ -68,6 +71,36 @@ class TestSimilarity:
         out = neardup_pairs(df, planes, threshold=0.999).collect()
         assert [(r.vec_a, r.vec_b) for r in out] == [(0, 1)]
         assert out[0].cos_sim == pytest.approx(1.0)
+
+    def test_ivf_cell_assignment_and_probe_order(self, spark):
+        # two orthogonal centroids; each point lands in the nearer cell,
+        # and probe order is nearest-first
+        cents = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
+        df = _vec_df(spark, [[2.0, 0.1], [0.1, 5.0]])
+        got = df.select(
+            "vec_id",
+            ivf_cell(F.col("embedding"), l2_norm(F.col("embedding")), cents).alias("c"),
+            ivf_probe_cells(
+                F.col("embedding"), l2_norm(F.col("embedding")), cents, 2
+            ).alias("p"),
+        ).collect()
+        by_id = {r.vec_id: r for r in got}
+        assert by_id[0].c == 10 and by_id[0].p == [10, 20]
+        assert by_id[1].c == 20 and by_id[1].p == [20, 10]
+
+    def test_knn_ivf_matches_brute_when_probing_all_cells(self, spark):
+        vecs = [[1, 0], [2, 0.1], [0, 1], [0.1, 3], [1, 1], [-1, 0.5]]
+        df = _vec_df(spark, vecs)
+        cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        q = df.filter(F.col("vec_id") < 2)
+        exact = {
+            (r.query_id, r.neighbor_id) for r in knn_brute(df, q, k=3).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_ivf(df, q, cents, k=3, nprobe=2).collect()
+        }
+        assert ivf == exact
 
 
 class TestMultimodal:
