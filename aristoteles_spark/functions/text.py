@@ -85,14 +85,18 @@ def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(token_col: Column, num_hashes: int = 16) -> Column:
+def minhash_signature(token_col: Column, num_hashes: int = 16, hash_fn=None) -> Column:
     """MinHash signature: array of min over tokens of (A_i*h32(tok)+B_i)
     mod 2^32, for i in [0, num_hashes).
 
     In-row array aggregation — the signature computation itself needs NO
-    shuffle; only the LSH band join downstream does.
+    shuffle; only the LSH band join downstream does. ``hash_fn`` swaps the
+    per-token base hash (default md5-derived h32) for e.g. a precomputed
+    dictionary lookup — md5 inside an interpreted higher-order lambda is
+    the dominant cost at small vocabularies.
     """
-    base = F.transform(token_col, lambda t: h32(t))
+    hash_fn = hash_fn or h32
+    base = F.transform(token_col, lambda t: hash_fn(t))
 
     def perm(a: int, b: int):
         # closure factory: pyspark introspects lambda arity, so default-arg
@@ -104,7 +108,7 @@ def minhash_signature(token_col: Column, num_hashes: int = 16) -> Column:
     )
 
 
-def simhash32(token_col: Column) -> Column:
+def simhash32(token_col: Column, hash_fn=None) -> Column:
     """32-bit SimHash over distinct tokens.
 
     bit j of the result = 1 iff sum over tokens of (+1 if bit j of
@@ -116,7 +120,8 @@ def simhash32(token_col: Column) -> Column:
     # bit ops over the hash array; j unrolled at plan-build time because
     # F.shiftright needs literal shift amounts, and unrolling keeps
     # everything inside codegen
-    hashes = F.transform(token_col, lambda t: h32(t))
+    hash_fn = hash_fn or h32
+    hashes = F.transform(token_col, lambda t: hash_fn(t))
     bits = lambda h: F.array(
         *[
             (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")

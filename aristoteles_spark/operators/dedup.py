@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     max_token_freq: int | None = None,
+    dict_bitmap_max_vocab: int = 4096,
 ) -> DataFrame:
     """Candidate pairs by token-inverted-index join + exact Jaccard.
 
@@ -71,6 +72,19 @@ def ngram_jaccard_pairs(
     (stopword-like tokens explode the join at scale; dropping them only
     loses pairs whose entire overlap is ubiquitous tokens).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Adaptive plan: when the global vocabulary fits in
+    ``dict_bitmap_max_vocab`` tokens, each doc's token set is
+    dictionary-encoded IN-ROW into a fixed-width bitset (array of 64-bit
+    words; the dictionary is collected driver-side like any column
+    dictionary — a tiny "train" step). Docs then collapse into DISTINCT
+    bitsets (a dup-heavy corpus has far fewer sets than docs), distinct
+    sets are compared all-pairs with popcount(a AND b) — embarrassingly
+    parallel codegen, no explode, no inverted-index shuffle — and
+    qualifying set pairs expand back to doc pairs through broadcast
+    membership joins. Jaccard depends only on the token set, so this is
+    exact. Large vocabularies fall back to the AllPairs prefix-filtered
+    inverted-index join with rarity-sorted array intersect.
     """
     # AllPairs/PPJoin prefix filtering — EXACT for the given threshold.
     # A naive token-inverted-index join explodes on ubiquitous tokens
@@ -91,6 +105,13 @@ def ngram_jaccard_pairs(
     # persist: consumed by the df-count aggregation AND the probe side of
     # the rarity join — without it the tokenize+explode runs twice
     toks = toks.persist()
+
+    vocab = toks.select("token").distinct().limit(dict_bitmap_max_vocab + 1).collect()
+    if len(vocab) <= dict_bitmap_max_vocab:
+        return _jaccard_pairs_bitset(
+            df, [r["token"] for r in vocab], text_col, id_col, threshold, max_token_freq
+        )
+
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # per-doc token array sorted by (rarity, token): struct sort is
     # lexicographic on fields, giving one global total order. The rarity
@@ -106,7 +127,7 @@ def ngram_jaccard_pairs(
             F.transform("st", lambda x: x["token"]).alias("toks"),
             F.size("st").alias("sz"),
         )
-        .persist()  # consumed by the prefix index and twice in verification
+        .persist()  # consumed by the prefix index and twice in verify
     )
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
     index = docs.select(
@@ -140,13 +161,160 @@ def ngram_jaccard_pairs(
     )
 
 
+def _or_lookup(word_map):
+    """Closure factory (default-arg binding breaks PySpark lambda arity):
+    OR the token's precomputed bit value into the accumulator; tokens of
+    other words miss the map and contribute 0."""
+
+    def orbit(acc, t):
+        return acc.bitwiseOR(F.coalesce(word_map[t], F.lit(0).cast("long")))
+
+    return orbit
+
+
+def _jaccard_pairs_bitset(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_token_freq: int | None,
+) -> DataFrame:
+    """Small-dictionary exact Jaccard pairs (see ngram_jaccard_pairs).
+
+    Plan: in-row bitset encode -> collapse to distinct sets -> all-pairs
+    popcount over distinct sets (a blocked nested-loop join of longs; with
+    M distinct sets and W words this is M^2*W/2 register ops, perfectly
+    parallel and shuffle-free with the small side broadcast) -> expand to
+    doc pairs via broadcast membership joins. Identical sets short-circuit
+    to jaccard = 1.0 without comparison.
+    """
+    n_words = (len(vocab) + 63) // 64 or 1
+    word_maps = []
+    for w in range(n_words):
+        entries = []
+        for i, tok in enumerate(vocab):
+            if i // 64 != w:
+                continue
+            bit = 1 << (i % 64)
+            if bit >= 1 << 63:  # wrap to signed 64-bit
+                bit -= 1 << 64
+            entries += [F.lit(tok), F.lit(bit).cast("long")]
+        word_maps.append(F.create_map(*entries))
+    mask = F.array(
+        *[
+            F.aggregate(
+                distinct_tokens(text_col), F.lit(0).cast("long"), _or_lookup(m)
+            )
+            for m in word_maps
+        ]
+    )
+    members = df.select(F.col(id_col).alias("doc"), mask.alias("mask")).persist()
+    popcnt = F.aggregate(
+        F.transform("mask", lambda x: F.bit_count(x)), F.lit(0), lambda a, v: a + v
+    )
+    uniq = (
+        members.groupBy("mask")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sz", popcnt)
+        .persist()
+    )
+
+    # distinct-set all-pairs: popcount(AND) with the cheap size-ratio
+    # prefilter first (J >= t forces t*max(sz) <= min(sz))
+    a = uniq.select(
+        F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")
+    )
+    b = uniq.select(
+        F.col("mask").alias("mask_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.aggregate(
+        F.zip_with("mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    set_pairs = (
+        a.join(
+            b,
+            (F.col("mask_a") < F.col("mask_b"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a")),
+        )
+        .withColumn(
+            "jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("mask_a", "mask_b", "jaccard")
+    )
+
+    # expand set pairs to doc pairs (membership is small relative to the
+    # pair output — broadcast; doc order normalized with least/greatest)
+    m1 = members.select(F.col("doc").alias("da"), F.col("mask").alias("mask_a"))
+    m2 = members.select(F.col("doc").alias("db"), F.col("mask").alias("mask_b"))
+    cross = (
+        set_pairs.join(F.broadcast(m1), "mask_a")
+        .join(F.broadcast(m2), "mask_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # identical sets: every intra-group pair has jaccard exactly 1.0
+    # (empty sets excluded — no shared token means no pair)
+    g1 = members.select(F.col("doc").alias("da"), "mask")
+    g2 = members.select(F.col("doc").alias("db"), "mask")
+    intra = (
+        g1.join(F.broadcast(g2), "mask")
+        .filter((F.col("da") < F.col("db")) & (popcnt > 0))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 4096):
+    """If the corpus vocabulary fits ``max_vocab``, return a token->h32
+    lookup backed by a literal map (hashes computed driver-side — Python
+    md5 is bit-identical to the engine's md5, see functions/text.py:h32).
+    Replaces per-token md5 inside interpreted higher-order lambdas, which
+    dominates signature cost. Returns None for large vocabularies."""
+    import hashlib
+
+    rows = (
+        df.select(F.explode(distinct_tokens(text_col)).alias("token"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        return None
+    entries = []
+    for r in rows:
+        t = r["token"]
+        h = int(hashlib.md5(f"0:{t}".encode()).hexdigest()[:8], 16)
+        entries += [F.lit(t), F.lit(h).cast("long")]
+    m = F.create_map(*entries)
+
+    def lookup(t):
+        return m[t]
+
+    return lookup
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
     """(id, sig array<long>) — computed in-row, zero shuffle."""
+    hash_fn = _small_vocab_hash_fn(df, text_col)
     return df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(distinct_tokens(text_col), num_hashes).alias("sig"),
+        minhash_signature(distinct_tokens(text_col), num_hashes, hash_fn=hash_fn).alias(
+            "sig"
+        ),
     )
 
 
@@ -166,57 +334,74 @@ def minhash_lsh_pairs(
     num_hashes. Returns (doc_a, doc_b, est_sim), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    # persist: the self-join consumes the signatures on BOTH sides; without
-    # this, Spark recomputes the full tokenize+hash subtree twice. At scale
-    # signatures would be written to a table between the two stages.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes).persist()
-    band_digest = [
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).cast("binary")
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "doc",
-        "sig",
-        F.posexplode(F.array(*band_digest)).alias("band_idx", "digest"),
-    )
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.digest") == F.col("b.digest"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # Signatures are a pure function of the token set, so docs collapse to
+    # DISTINCT signatures first (a dup-heavy corpus has far fewer); the
+    # banded-LSH candidate condition (>=1 equal band) and the signature
+    # agreement are then evaluated all-pairs over distinct signatures — a
+    # broadcast nested-loop of in-row array compares, no explode×bands
+    # shuffle, no candidate dropDuplicates — and qualifying signature
+    # pairs expand back to doc pairs via broadcast membership joins.
+    # At 100 TB the signature table would persist to storage between the
+    # two stages; distinct signatures remain ~the number of distinct
+    # contents, which is what LSH buckets anyway.
+    members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
+    a = uniq.select(F.col("sig").alias("sig_a"))
+    b_ = uniq.select(F.col("sig").alias("sig_b"))
+    band_match = None
+    for bi in range(bands):
+        eq = F.slice("sig_a", bi * rows_per_band + 1, rows_per_band) == F.slice(
+            "sig_b", bi * rows_per_band + 1, rows_per_band
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        band_match = eq if band_match is None else (band_match | eq)
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return cand.select(
-        "doc_a", "doc_b", (matches / F.lit(float(num_hashes))).alias("est_sim")
-    ).filter(F.col("est_sim") >= threshold)
+    sig_pairs = (
+        a.join(b_, (F.col("sig_a") < F.col("sig_b")) & band_match)
+        .withColumn("est_sim", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_sim") >= threshold)
+        .select("sig_a", "sig_b", "est_sim")
+    )
+    m1 = members.select(F.col("doc").alias("da"), F.col("sig").alias("sig_a"))
+    m2 = members.select(F.col("doc").alias("db"), F.col("sig").alias("sig_b"))
+    cross = (
+        sig_pairs.join(F.broadcast(m1), "sig_a")
+        .join(F.broadcast(m2), "sig_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "est_sim",
+        )
+    )
+    # identical signatures: all bands collide and est_sim is exactly 1.0
+    # (empty docs carry null signature entries and never pair — matches
+    # the null-propagation of the agreement count on the cross path)
+    g2 = members.select(F.col("doc").alias("db"), "sig")
+    intra = (
+        members.select(F.col("doc").alias("da"), "sig")
+        .join(F.broadcast(g2), "sig")
+        .filter(
+            (F.col("da") < F.col("db"))
+            & F.forall("sig", lambda x: x.isNotNull())
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1.0).alias("est_sim"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_sketches(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash bigint) — 32-bit sketch per doc, in-row."""
+    hash_fn = _small_vocab_hash_fn(df, text_col)
     return df.select(
-        F.col(id_col).alias("doc"), simhash32(distinct_tokens(text_col)).alias("simhash")
+        F.col(id_col).alias("doc"),
+        simhash32(distinct_tokens(text_col), hash_fn=hash_fn).alias("simhash"),
     )
 
 
@@ -235,29 +420,48 @@ def simhash_pairs(
     """
     nblocks = max_hamming + 1
     width = 32 // nblocks + (1 if 32 % nblocks else 0)
-    sk = simhash_sketches(df, text_col, id_col)
-    blocks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-            for i in range(nblocks)
-        ]
-    )
-    blocked = sk.select("doc", "simhash", F.posexplode(blocks).alias("block_idx", "block_val"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # The sketch is a pure function of the token set -> collapse docs to
+    # DISTINCT sketches, compare those all-pairs (single-long XOR+popcount
+    # per pair in a broadcast nested loop — the pigeonhole block-equality
+    # condition kept as the candidate predicate), then expand via
+    # broadcast membership joins. Identical sketches are hamming 0.
+    members = simhash_sketches(df, text_col, id_col).persist()
+    uniq = members.groupBy("simhash").agg(F.count("*").alias("n"))
+    a = uniq.select(F.col("simhash").alias("sk_a"))
+    b = uniq.select(F.col("simhash").alias("sk_b"))
+    block_match = None
+    for i in range(nblocks):
+        eq = F.shiftright(F.col("sk_a"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        ) == F.shiftright(F.col("sk_b"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+        block_match = eq if block_match is None else (block_match | eq)
+    sk_pairs = (
+        a.join(b, (F.col("sk_a") < F.col("sk_b")) & block_match)
+        .withColumn(
+            "hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    m1 = members.select(F.col("doc").alias("da"), F.col("simhash").alias("sk_a"))
+    m2 = members.select(F.col("doc").alias("db"), F.col("simhash").alias("sk_b"))
+    cross = (
+        sk_pairs.join(F.broadcast(m1), "sk_a")
+        .join(F.broadcast(m2), "sk_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    g2 = members.select(F.col("doc").alias("db"), "simhash")
+    intra = (
+        members.select(F.col("doc").alias("da"), "simhash")
+        .join(F.broadcast(g2), "simhash")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -121,6 +121,30 @@ def q_salted_token_df(spark, sf_dir):
     return counts.orderBy(F.col("df").desc(), "token").limit(50)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum rates (rare strata
+    kept at a higher rate) with a content-hash threshold, so the sample is
+    reproducible across engines and runs — the rebalancing primitive for
+    training-data mixes. One scan, no shuffle before the tiny groupBy."""
+    from aristoteles_spark.functions.text import h32
+
+    e = load_table(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "click", 5)
+        .when(F.col("event_type") == "purchase", 50)
+        .otherwise(20)
+    )
+    return (
+        e.filter(h32(F.col("event_id").cast("string")) % 100 < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
@@ -129,6 +153,7 @@ QUERIES = {
     "p5_hash_sample": q_hash_sample,
     "wb4_multires_rollup": q_multires_rollup,
     "tk1_salted_token_df": q_salted_token_df,
+    "p6_stratified_sample": q_stratified_sample,
 }
 
 _H32_KEY = (
@@ -188,6 +213,15 @@ GROUP BY GROUPING SETS (
 )
 ORDER BY h, d, m
 """,
+    "p6_stratified_sample": (
+        "SELECT event_type, count(*) AS n_sampled, "
+        "sum(CAST(value AS DECIMAL(28,10))) AS sum_value FROM events "
+        "WHERE CAST(concat('0x', substr(md5(concat('0:', "
+        "CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < "
+        "(CASE WHEN event_type = 'click' THEN 5 "
+        " WHEN event_type = 'purchase' THEN 50 ELSE 20 END) "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
     "tk1_salted_token_df": (
         "SELECT token, count(*) AS df FROM ("
         "  SELECT doc_id, unnest(list_distinct(list_filter("

@@ -240,6 +240,20 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+# --- breadth: INTERSECT / EXCEPT set ops (dedup semantics; both compile
+# to an aggregate + join, shuffling only the projected key column)
+def q_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q_except(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(F.col("p_size").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return p.subtract(c).orderBy("k")
+
+
 # --- breadth: TPC-H Q3-shaped 3-way join + grouped revenue + top-k.
 # The two fact tables (orders, lineitem) shuffle-join on l_orderkey; the
 # filtered customer side is small enough for AQE to pick broadcast at any
@@ -330,6 +344,8 @@ QUERIES = {
     "j5_multi_join_topk": q_multi_join_topk,
     "j6_star_join": q_star_join,
     "j7_scalar_subquery": q_scalar_subquery,
+    "u2_intersect": q_intersect,
+    "u3_except": q_except,
 }
 
 ORACLE = {
@@ -428,6 +444,14 @@ ORACLE = {
         "JOIN region ON n_regionkey = r_regionkey "
         "WHERE r_name = 'ASIA' "
         "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    "u2_intersect": (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"
+    ),
+    "u3_except": (
+        "SELECT p_size AS k FROM part "
+        "EXCEPT SELECT c_nationkey AS k FROM customer ORDER BY k"
     ),
     "j7_scalar_subquery": (
         "SELECT sum(CAST(l_extendedprice AS DECIMAL(28,10))) / 7.0 AS avg_yearly "

@@ -123,6 +123,23 @@ def q_session_window(spark, sf_dir):
     )
 
 
+# --- analytic: ntile quartiles + first/last value frames per group
+def q_ntile_bounds(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.first_value("o_orderkey").over(wfull).alias("cheapest_key"),
+            F.last_value("o_orderkey").over(wfull).alias("priciest_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "wf1_row_number": q_row_number,
     "wf2_lag_delta": q_lag_delta,
@@ -131,6 +148,7 @@ QUERIES = {
     "wb1_tumbling_hour": q_tumbling_hour,
     "wb2_sliding_window": q_sliding_window,
     "wb3_session_window": q_session_window,
+    "wf5_ntile_bounds": q_ntile_bounds,
 }
 
 ORACLE = {
@@ -155,6 +173,17 @@ ORACLE = {
     "wf4_dense_rank": (
         "SELECT p_partkey, p_size, dense_rank() OVER (ORDER BY p_size DESC) AS size_rank "
         "FROM part ORDER BY p_partkey"
+    ),
+    "wf5_ntile_bounds": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "ntile(4) OVER w AS quartile, "
+        "first_value(o_orderkey) OVER wf AS cheapest_key, "
+        "last_value(o_orderkey) OVER wf AS priciest_key "
+        "FROM orders WINDOW "
+        "w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), "
+        "wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "ORDER BY o_orderkey"
     ),
     "wb1_tumbling_hour": (
         "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
