@@ -103,6 +103,54 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+# GPT-2-style pretokenizer shape: contractions, space-prefixed letter/digit
+# runs, punctuation runs. Alternation-only pattern (no lookarounds) so Java
+# regex and RE2 agree byte-for-byte.
+_BPE_PAT = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting — the pretokenizer pass of an LLM data
+    pipeline (whitespace token count alongside for the ratio)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PAT)).alias("n_bpe"),
+        F.size(tokens("text")).alias("n_ws"),
+    ).orderBy("doc_id")
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composite: keep each exact-dup cluster's
+    representative (min doc_id per content digest), score quality and
+    language in the same scan, keep good English docs, report the surviving
+    mix per source. One digest shuffle + one tiny group-by — the shape of a
+    real pretraining-mix job."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    keep = (
+        d.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    scored = d.join(keep, "doc_id").select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("q"),
+        langid_predict(tokens("text")).alias("lang"),
+    )
+    return (
+        scored.filter((F.col("q") >= 0.5) & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.avg("q").alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -110,6 +158,8 @@ QUERIES = {
     "tx4_fingerprint": q_fingerprint,
     "tx5_regex_features": q_regex_features,
     "tx6_tfidf_top_terms": q_tfidf_top_terms,
+    "tx7_bpe_token_count": q_bpe_token_count,
+    "cp1_curation_pipeline": q_curation_pipeline,
 }
 
 
@@ -174,6 +224,21 @@ ORACLE = {
         "CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS has_the "
         "FROM documents ORDER BY doc_id"
     ),
+    "tx7_bpe_token_count": (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_PAT.replace(chr(39), chr(39) * 2)}')) AS n_bpe, "
+        f"len({_TOKENS}) AS n_ws FROM documents ORDER BY doc_id"
+    ),
+    "cp1_curation_pipeline": f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), scored AS (
+  SELECT d.doc_id, d.source, {_QUALITY} AS q, {_PRED} AS lang
+  FROM documents d JOIN keep USING (doc_id)
+)
+SELECT source, count(*) AS n_kept, avg(q) AS avg_quality
+FROM scored WHERE q >= 0.5 AND lang = 'en'
+GROUP BY source ORDER BY source
+""",
     "tx6_tfidf_top_terms": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
