@@ -97,6 +97,18 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup cluster labeling: MinHash-LSH pairs as edges, iterated
+    min-label propagation to a fixpoint (operators/graph.py). The
+    'keep one per cluster' deliverable of a dedup pipeline."""
+    from aristoteles_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    return connected_components(nodes, pairs).orderBy("node")
+
+
 QUERIES = {
     "dd1_exact_groups": q_exact,
     "dd2_normalized_groups": q_normalized,
@@ -104,6 +116,7 @@ QUERIES = {
     "dd4_minhash_lsh_pairs": q_minhash,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
+    "dd7_dup_clusters": q_dup_clusters,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -176,6 +189,37 @@ WITH hashed AS (
 )
 SELECT doc_a, count(*) AS n_pairs, max(est_sim) AS max_est_sim
 FROM pairs GROUP BY doc_a ORDER BY doc_a
+""",
+    "dd7_dup_clusters": f"""
+WITH RECURSIVE hashed AS (
+  SELECT doc_id AS doc, list_transform({_DTOKENS}, t -> {_h32('t')}) AS base_h
+  FROM documents
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT *,
+    {_band_cols}
+  FROM sigs
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b ON a.doc < b.doc AND ({_band_match})
+  WHERE {_est_sim} >= 0.5
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), r AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, min(b) AS cluster FROM r GROUP BY a
+)
+SELECT doc_id AS node, coalesce(cluster, doc_id) AS cluster
+FROM documents LEFT JOIN comp ON doc_id = comp.node
+ORDER BY node
 """,
     "dd5_simhash_sketches": f"""
 WITH th AS (

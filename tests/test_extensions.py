@@ -126,3 +126,33 @@ class TestMultimodal:
     def test_real_decode_is_stubbed(self):
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+
+class TestConnectedComponents:
+    def _run(self, spark, nodes, edges):
+        from aristoteles_spark.operators.graph import connected_components
+
+        n = spark.createDataFrame([(x,) for x in nodes], "doc long")
+        e = spark.createDataFrame(
+            [(a, b) for a, b in edges] or [(None, None)], "doc_a long, doc_b long"
+        )
+        if not edges:
+            e = e.filter("doc_a is not null")
+        return {r.node: r.cluster for r in connected_components(n, e).collect()}
+
+    def test_chain_collapses_to_min(self, spark):
+        # 10-node path: deep diameter exercises pointer halving
+        got = self._run(spark, range(1, 11), [(i, i + 1) for i in range(1, 10)])
+        assert got == {i: 1 for i in range(1, 11)}
+
+    def test_isolated_nodes_self_label(self, spark):
+        got = self._run(spark, [1, 2, 3, 4], [(3, 4)])
+        assert got == {1: 1, 2: 2, 3: 3, 4: 3}
+
+    def test_two_components_and_edge_direction(self, spark):
+        got = self._run(spark, [1, 2, 3, 4, 5, 6], [(2, 1), (5, 6), (4, 5)])
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4}
+
+    def test_no_edges(self, spark):
+        got = self._run(spark, [7, 8], [])
+        assert got == {7: 7, 8: 8}
