@@ -323,6 +323,85 @@ def q_scalar_subquery(spark, sf_dir):
     )
 
 
+# --- breadth: TPC-H Q13-shaped outer join + two-level aggregation. The
+# LEFT join keeps customers with zero qualifying orders (count = 0 bucket);
+# the first groupBy shuffles on the high-cardinality custkey, the second is
+# a tiny re-aggregation over distinct counts. Both partial-agg map-side.
+def q_outer_count_dist(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- breadth: TPC-H Q18-shaped HAVING-driven key subset join. The
+# large-order key set (sum(qty) > 250) is tiny relative to lineitem, so it
+# is broadcast back against the fact tables — no second fact-fact shuffle.
+def q_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("o_sum_qty"))
+        .filter(F.col("o_sum_qty") > 250)
+    )
+    return (
+        li.join(F.broadcast(big.select("l_orderkey")), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- breadth: TPC-H Q21-shaped semi + anti self-joins on the fact table
+# (adapted to this schema's l_returnflag: suppliers who were the ONLY
+# supplier with a returned line on a multi-supplier order). Both the EXISTS
+# and NOT EXISTS decorrelate to leftsemi/leftanti hash joins on l_orderkey;
+# the non-equi suppkey<>suppkey rides along as the join residual, so the
+# shuffle is a plain equi-join shuffle at scale.
+def q_semi_anti_self(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "leftsemi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "leftanti",
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "s2_min_probe": q_min_probe,
     "p1_projection": q_projection,
@@ -344,6 +423,9 @@ QUERIES = {
     "j5_multi_join_topk": q_multi_join_topk,
     "j6_star_join": q_star_join,
     "j7_scalar_subquery": q_scalar_subquery,
+    "j8_outer_count_dist": q_outer_count_dist,
+    "j9_large_orders": q_large_orders,
+    "j10_semi_anti_self": q_semi_anti_self,
     "u2_intersect": q_intersect,
     "u3_except": q_except,
 }
@@ -458,5 +540,35 @@ ORACLE = {
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE p_brand = 'Brand#1' AND l_quantity < "
         "(SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+    ),
+    "j8_outer_count_dist": (
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "  SELECT c_custkey, count(o_orderkey) AS c_count"
+        "  FROM customer LEFT JOIN orders"
+        "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'"
+        "  GROUP BY c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "j9_large_orders": (
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN ("
+        "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey"
+        "  HAVING sum(l_quantity) > 250) "
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    "j10_semi_anti_self": (
+        "SELECT s_name, count(*) AS numwait "
+        "FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE l1.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+        "  AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
     ),
 }
