@@ -145,6 +145,74 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered 3-stage funnel (view -> click -> purchase): users reaching
+    each stage, first-touch chained (first click after first view, first
+    purchase after that click). Three user_id aggregations — each stage
+    output is per-user (tiny), joined back broadcast-style; the event scan
+    dominates and every groupBy hashes on the same key."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stages = (
+        v.select(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), "user_id")
+        .unionByName(
+            c.select(F.lit(2).alias("stage"), F.lit("click").alias("stage_name"), "user_id")
+        )
+        .unionByName(
+            p.select(F.lit(3).alias("stage"), F.lit("purchase").alias("stage_name"), "user_id")
+        )
+    )
+    return (
+        stages.groupBy("stage", "stage_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: cohort = ISO week of the user's first
+    event; cell (cohort_week, week_offset) counts distinct users from that
+    cohort active that week. The first-seen table is one row per user —
+    broadcast back onto the event scan; one countDistinct shuffle on the
+    (small) cohort x offset grid."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
@@ -154,6 +222,8 @@ QUERIES = {
     "wb4_multires_rollup": q_multires_rollup,
     "tk1_salted_token_df": q_salted_token_df,
     "p6_stratified_sample": q_stratified_sample,
+    "an1_funnel": q_funnel,
+    "an2_retention_cohorts": q_retention_cohorts,
 }
 
 _H32_KEY = (
@@ -229,4 +299,32 @@ ORDER BY h, d, m
         "  FROM documents)"
         "GROUP BY token ORDER BY df DESC, token LIMIT 50"
     ),
+    "an1_funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts) AS c_ts FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts) AS p_ts FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+UNION ALL SELECT 2, 'click', count(*) FROM c
+UNION ALL SELECT 3, 'purchase', count(*) FROM p
+ORDER BY stage
+""",
+    "an2_retention_cohorts": """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(datediff('day', cohort_week, date_trunc('week', ts)) / 7 AS INT)
+         AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM events JOIN first_seen USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
 }

@@ -40,9 +40,46 @@ def q_interval_counts(spark, sf_dir):
     )
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user (TimescaleDB-style `time_weight`
+    with last-observation-carried-forward): each sample's value is
+    weighted by the interval until the next sample; the last sample
+    carries no weight. Windowed `lead` partitioned by user_id — fully
+    distributed, no cross-partition state; microsecond-exact weights
+    (unix_micros) and a decimal accumulator so the sum is
+    order-insensitive (float summation order differs across engines).
+    """
+    from pyspark.sql.window import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("w_us"),
+        "value",
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("value") * F.col("w_us")).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum("w_us").cast("double")
+            ).alias("twa")
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "at1_asof_join": q_asof,
     "at2_interval_join": q_interval_counts,
+    "at3_time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLE = {
@@ -70,5 +107,17 @@ LEFT JOIN events e
 WHERE c.event_type = 'click'
 GROUP BY c.event_id
 ORDER BY c.event_id
+""",
+    "at3_time_weighted_avg": """
+WITH seg AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS w_us
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
+            / CAST(sum(w_us) AS DOUBLE) AS twa
+FROM seg GROUP BY user_id ORDER BY user_id
 """,
 }

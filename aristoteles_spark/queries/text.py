@@ -151,6 +151,32 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_bigram_topk(spark, sf_dir):
+    """Corpus top-50 bigrams: adjacent-token pairs built in-row with
+    zip_with over two array slices (pure codegen, no Python), then one
+    explode + partial-agg count and a TakeOrdered top-k — the n-gram LM /
+    collocation-mining primitive. Hot bigrams ('of the') are absorbed by
+    map-side partial aggregation."""
+    t = tokens("text")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
 QUERIES = {
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -160,6 +186,7 @@ QUERIES = {
     "tx6_tfidf_top_terms": q_tfidf_top_terms,
     "tx7_bpe_token_count": q_bpe_token_count,
     "cp1_curation_pipeline": q_curation_pipeline,
+    "tx8_bigram_topk": q_bigram_topk,
 }
 
 
@@ -256,5 +283,16 @@ WITH toks AS (
   FROM scored
 )
 SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+""",
+    "tx8_bigram_topk": f"""
+WITH toks AS (
+  SELECT {_TOKENS} AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+    AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 """,
 }
