@@ -70,6 +70,32 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "cp1_curation_pipeline": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "digest dedup is partial-aggregated before its shuffle"),
     ],
+    "j8_outer_count_dist": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-customer count partial-aggregated before the shuffle"),
+    ],
+    "j9_large_orders": [
+        (r"BroadcastHashJoin", "HAVING-filtered key subset broadcast back to the fact tables"),
+        (r"TakeOrderedAndProject", "top-100 via TakeOrdered — no global sort"),
+    ],
+    "j10_semi_anti_self": [
+        (r"LeftSemi", "EXISTS decorrelates to a semi join (equi on l_orderkey)"),
+        (r"LeftAnti", "NOT EXISTS decorrelates to an anti join (equi on l_orderkey)"),
+    ],
+    "an1_funnel": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "stage minima partial-aggregated before the user_id shuffle"),
+    ],
+    "an2_retention_cohorts": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "distinct-user counting is two-phase, partial before shuffle"),
+    ],
+    "tx8_bigram_topk": [
+        (r"TakeOrderedAndProject", "top-50 via TakeOrdered — no global sort"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "hot bigrams absorbed by map-side partial agg"),
+        (r"(?s)Generate.*explode", "bigrams built in-row, exploded lazily — no Python"),
+    ],
+    "at3_time_weighted_avg": [
+        (r"(?s)hashpartitioning\(user_id.*Window", "one user_id shuffle feeds the lead() window"),
+        (r"(?s)Window.*HashAggregate", "final agg reuses the window's user_id partitioning"),
+    ],
 }
 
 
