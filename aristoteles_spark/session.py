@@ -8,6 +8,7 @@ Arrow enabled for the pandas-UDF slow path).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +38,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # throwaway per-process warehouse + metastore: bucketed saveAsTable needs
+    # a catalog, and the default would drop derby/warehouse dirs into CWD
+    # (repo pollution + derby lock collisions between concurrent processes)
+    mdir = tempfile.mkdtemp(prefix="aspark_meta_")
+    b = b.config("spark.sql.warehouse.dir", f"{mdir}/warehouse").config(
+        "javax.jdo.option.ConnectionURL",
+        f"jdbc:derby:;databaseName={mdir}/metastore;create=true",
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
