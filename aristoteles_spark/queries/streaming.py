@@ -16,6 +16,7 @@ from aristoteles_spark.streaming.events import (
     dedup_counts,
     hourly_rollup,
     run_available_now,
+    session_rollup,
     stream_events,
     stream_stream_purchase_attribution,
     user_totals_stateful,
@@ -49,11 +50,18 @@ def q_stream_stream_join(spark, sf_dir):
     return out.orderBy("purchase_id", "click_id")
 
 
+def q_stream_sessions(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(session_rollup(ev), "st5_sessions", "complete")
+    return out.orderBy("user_id", "session_start")
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st2_stream_user_totals": q_stream_user_totals,
     "st3_stream_dedup": q_stream_dedup,
     "st4_stream_stream_join": q_stream_stream_join,
+    "st5_stream_sessions": q_stream_sessions,
 }
 
 ORACLE = {
@@ -71,6 +79,22 @@ ORACLE = {
     "st3_stream_dedup": (
         "SELECT event_type, count(DISTINCT event_id) AS n_events "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "st5_stream_sessions": (
+        "WITH marked AS ("
+        "  SELECT user_id, ts,"
+        "         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "                   > INTERVAL '30 minutes' OR"
+        "              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+        "              THEN 1 ELSE 0 END AS new_session"
+        "  FROM events), "
+        "sessions AS ("
+        "  SELECT user_id, ts,"
+        "         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts"
+        "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid"
+        "  FROM marked) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n "
+        "FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start"
     ),
     "st4_stream_stream_join": (
         "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "

@@ -109,6 +109,21 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-based sessionization: ``session_window`` keeps one
+    MERGING state entry per (user, open session); the watermark closes and
+    evicts sessions whose gap has passed, bounding state. Matches the
+    batch wb3 semantics (30-minute inactivity gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+
+
 def dedup_counts(events: DataFrame) -> DataFrame:
     """Streaming exactly-once ingest dedup: dropDuplicates on the event
     key (state-store backed — replayed/duplicate inputs collapse), then a
