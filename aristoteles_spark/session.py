@@ -39,13 +39,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # throwaway per-process warehouse + metastore: bucketed saveAsTable needs
-    # a catalog, and the default would drop derby/warehouse dirs into CWD
-    # (repo pollution + derby lock collisions between concurrent processes)
-    mdir = tempfile.mkdtemp(prefix="aspark_meta_")
-    b = b.config("spark.sql.warehouse.dir", f"{mdir}/warehouse").config(
-        "javax.jdo.option.ConnectionURL",
-        f"jdbc:derby:;databaseName={mdir}/metastore;create=true",
+    # throwaway per-process warehouse: bucketed saveAsTable writes through
+    # the (in-memory) catalog, and the default warehouse dir would land in
+    # CWD — repo pollution and collisions between concurrent processes
+    b = b.config(
+        "spark.sql.warehouse.dir",
+        tempfile.mkdtemp(prefix="aspark_meta_") + "/warehouse",
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

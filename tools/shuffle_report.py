@@ -1,0 +1,114 @@
+"""Shuffle/input-volume report: runs headline queries and records, per
+query, the bytes actually read from parquet and the bytes moved through
+shuffles (from Spark's AppStatusStore stage metrics).
+
+This is the quantitative side of PLANS.md: the plan audit proves the
+*shape* (pushdown, broadcast, partial agg); this proves the *volume* — a
+query whose shuffle-write is a tiny fraction of its input is the one that
+survives a 100x scale-up. Writes METRICS.md.
+
+Usage: python tools/shuffle_report.py  [SPARK_GRAFT_SF_DIR=... to change sf]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# batch headliners across categories (streaming excluded: the memory-sink
+# runner muddies per-query stage attribution)
+HEADLINERS = [
+    "g1_pricing_summary",
+    "j5_multi_join_topk",
+    "j6_star_join",
+    "j8_outer_count_dist",
+    "j9_large_orders",
+    "j10_semi_anti_self",
+    "dd1_exact_groups",
+    "dd3_jaccard_pairs",
+    "dd4_minhash_lsh_pairs",
+    "dd7_dup_clusters",
+    "sim1_knn_brute",
+    "sim4_knn_ivf",
+    "tx6_tfidf_top_terms",
+    "tx8_bigram_topk",
+    "an2_retention_cohorts",
+    "at3_time_weighted_avg",
+    "tk1_salted_token_df",
+    "wb4_multires_rollup",
+]
+
+
+def _stages(spark):
+    store = spark._jsparkSession.sparkContext().statusStore()
+    gw = spark._sc._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    quantiles = gw.new_array(gw.jvm.double, 0)
+    lst = store.stageList(empty, False, False, quantiles, empty)
+    out = {}
+    for i in range(lst.size()):
+        s = lst.apply(i)
+        out[(s.stageId(), s.attemptId())] = (
+            s.inputBytes(),
+            s.shuffleWriteBytes(),
+            s.shuffleWriteRecords(),
+            s.shuffleReadBytes(),
+        )
+    return out
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from aristoteles_spark.session import get_spark
+
+    spark = get_spark("shuffle_report")
+    qs = entrymod.queries()
+    rows = []
+    for name in HEADLINERS:
+        before = _stages(spark)
+        t0 = time.time()
+        n_rows = len(qs[name](spark, SF_DIR).collect())
+        wall = time.time() - t0
+        after = _stages(spark)
+        new = [v for k, v in after.items() if k not in before]
+        inp = sum(v[0] for v in new)
+        sw = sum(v[1] for v in new)
+        swr = sum(v[2] for v in new)
+        sr = sum(v[3] for v in new)
+        rows.append((name, n_rows, wall, inp, sw, swr, sr))
+        print(f"{name}: input={inp/1e6:.1f}MB shuffleW={sw/1e6:.2f}MB", flush=True)
+
+    mb = lambda b: f"{b/1e6:.2f}"  # noqa: E731
+    lines = [
+        "# Shuffle / input volume report",
+        "",
+        f"Stage-metric deltas per headline query at sf_dir={SF_DIR}",
+        "(tools/shuffle_report.py, AppStatusStore). Shuffle-write is the",
+        "volume that would cross the network on a real cluster — the",
+        "scale-limiting quantity. Cached/persisted subtrees shared between",
+        "queries are charged to the first query that materializes them.",
+        "",
+        "| query | rows | wall s | input MB | shuffle write MB | shuffle write rows | shuffle read MB | write/input |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, n_rows, wall, inp, sw, swr, sr in rows:
+        ratio = f"{sw/inp:.3f}" if inp else "—"
+        lines.append(
+            f"| {name} | {n_rows} | {wall:.2f} | {mb(inp)} | {mb(sw)} | {swr} | {mb(sr)} | {ratio} |"
+        )
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "METRICS.md"),
+        "w",
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+    print("METRICS.md written")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
