@@ -46,6 +46,7 @@ def load_conf(path: str) -> PipelineConfig:
         archive=g["archive"],
         stations=stations,
         netfc_path=g.get("netfc_path"),
+        output_format=g.get("output_format", "parquet"),
     )
 
 

@@ -49,6 +49,7 @@ class PipelineConfig:
     netfc_path: str | None = None
     strict_units: bool = True
     expected_samples: int = SAMPLES_PER_DAY
+    output_format: str = "parquet"  # parquet | orc
 
 
 @dataclass
@@ -109,7 +110,14 @@ def run(
                 S.write_state(conf.state_path, day)
                 continue
             converted = convert_dataframe(df, strict=conf.strict_units)
-            rows = write_day(converted, conf.archive, conf.instrument, day, conf.stations)
+            rows = write_day(
+                converted,
+                conf.archive,
+                conf.instrument,
+                day,
+                conf.stations,
+                fmt=conf.output_format,
+            )
             result.rows_written += rows
             result.days_written += 1
             # crash-safe: advance watermark only after the day's commit

@@ -81,11 +81,14 @@ def write_day(
     day: dt.date,
     stations_conf: dict[str, dict] | None = None,
     nan_for_null: bool = True,
+    fmt: str = "parquet",
 ) -> int:
     """Write one UTC day's converted rows; returns rows written.
 
     ``nan_for_null`` reproduces the reference's NULL->NaN policy
     (np.asarray(..., dtype=float) turns None into NaN, aristoteles.py:346).
+    ``fmt`` selects the columnar format: parquet (default) or orc — both
+    support the same partitioned layout, pushdown, and dynamic overwrite.
     Idempotent: partition directory is fully overwritten, mirroring the
     reference's whole-file overwrite (h5py.File(..., 'w'), aristoteles.py:393).
     """
@@ -113,7 +116,8 @@ def write_day(
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("acq", "date")
-            .parquet(archive_dir)
+            .format(fmt)
+            .save(archive_dir)
         )
         _write_sidecar(archive_dir, acq, instrument, stations_conf or {})
     finally:
