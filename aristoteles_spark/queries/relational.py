@@ -230,11 +230,16 @@ def q_pivot(spark, sf_dir):
 # approx_percentile, which is sketch-dependent and engine-specific)
 def q_percentiles(spark, sf_dir):
     lf = _t(spark, sf_dir, "lineitem")
+    # both quantiles from ONE percentile buffer (array arg) — the sort of
+    # each group's values is paid once, not per-quantile
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         lf.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
-            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        .agg(pcts.alias("p"))
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("median_price"),
+            F.col("p")[1].alias("p90_price"),
         )
         .orderBy("l_returnflag")
     )

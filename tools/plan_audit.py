@@ -146,6 +146,56 @@ def _bucketing_section(spark, failures: list) -> str:
     )
 
 
+def _partition_pruning_section(spark, failures: list) -> str:
+    """Evidence that a filter on the partition column prunes directories at
+    planning time (the daily sink's date-partitioned layout exists exactly
+    for this: a time-range query over a 100 TB archive must list only the
+    matching day directories, not scan-and-filter)."""
+    import tempfile
+
+    from aristoteles_spark.sources.parquet_source import load_table
+
+    tmp = tempfile.mkdtemp(prefix="prune_audit_")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    q = spark.read.parquet(tmp).filter("event_type = 'click'").groupBy().count()
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    checks = [
+        (
+            re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*=[^\]]*click", plan)
+            is not None,
+            "partition filter applied at file-listing time (directory pruning)",
+        ),
+        (
+            "Filter (" not in plan.split("\n\n")[0],
+            "no post-scan Filter node — the predicate is fully absorbed by pruning",
+        ),
+    ]
+    notes = []
+    for ok, why in checks:
+        notes.append(f"- {'✅' if ok else '❌'} {why}")
+        if not ok:
+            failures.append(("partition_pruning", why))
+    tree = plan.split("\n\n")[0]
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    pf = m.group(0) if m else "(not found)"
+    return (
+        "## partition pruning (date/key-partitioned layout)\n\n"
+        "events written `partitionBy(event_type)`; a query filtering on the\n"
+        "partition column lists only matching directories:\n\n"
+        + "\n".join(notes)
+        + f"\n\n`{pf}`\n\n```\n{tree}\n```\n"
+    )
+
+
 def main() -> int:
     from aristoteles_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -172,6 +222,7 @@ def main() -> int:
         sections.append(f"## {name}\n\n" + "\n".join(notes) + f"\n\n```\n{tree}\n```\n")
 
     sections.append(_bucketing_section(spark, failures))
+    sections.append(_partition_pruning_section(spark, failures))
 
     out = (
         "# Physical-plan audit\n\n"
