@@ -66,11 +66,27 @@ def q_neardup(spark, sf_dir):
     return neardup_pairs(v, PLANES, threshold=NEARDUP_T).orderBy("vec_a", "vec_b")
 
 
+def q_semantic_clusters(spark, sf_dir):
+    """Semantic dedup clusters: embedding near-dup pairs (sim3) as edges,
+    connected components (operators/graph.py) as the cluster labeling —
+    the 'semantic dedup' stage of a pretraining pipeline (SemDeDup-style,
+    but with an exact deterministic pair predicate)."""
+    from aristoteles_spark.operators.graph import connected_components
+
+    v = _load(spark, sf_dir)
+    pairs = neardup_pairs(v, PLANES, threshold=NEARDUP_T)
+    nodes = v.select(F.col("vec_id").alias("doc"))
+    return connected_components(
+        nodes, pairs, src_col="vec_a", dst_col="vec_b"
+    ).orderBy("node")
+
+
 QUERIES = {
     "sim1_knn_brute": q_knn_brute,
     "sim2_knn_lsh": q_knn_lsh,
     "sim3_neardup_pairs": q_neardup,
     "sim4_knn_ivf": q_knn_ivf,
+    "sim5_semantic_clusters": q_semantic_clusters,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -179,4 +195,28 @@ ORDER BY vec_a, vec_b
         v=_V, cent_mod=CENT_MOD, cent_off=CENT_OFF,
         nprobe=NPROBE, query_mod=QUERY_MOD, k=K,
     ),
+    "sim5_semantic_clusters": f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm * b.nrm > 0
+        THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END
+        >= {NEARDUP_T}
+), e AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+), r AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, min(b) AS cluster FROM r GROUP BY a
+)
+SELECT vec_id AS node, coalesce(cluster, vec_id) AS cluster
+FROM embeddings LEFT JOIN comp ON vec_id = comp.node
+ORDER BY node
+""",
 }
