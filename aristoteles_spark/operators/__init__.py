@@ -11,6 +11,7 @@ similarity:  dot, l2_norm, cosine, knn_brute, knn_lsh, neardup_pairs,
 temporal:    asof_join, interval_join_binned
 sketches:    kmv_distinct_estimate
 skew:        salted_agg
+graph:       connected_components (two-level contraction)
 """
 
 from aristoteles_spark.operators.dedup import (  # noqa: F401
@@ -32,6 +33,7 @@ from aristoteles_spark.operators.similarity import (  # noqa: F401
     lsh_signature,
     neardup_pairs,
 )
+from aristoteles_spark.operators.graph import connected_components  # noqa: F401
 from aristoteles_spark.operators.sketches import kmv_distinct_estimate  # noqa: F401
 from aristoteles_spark.operators.skew import salted_agg  # noqa: F401
 from aristoteles_spark.operators.temporal import (  # noqa: F401
