@@ -213,6 +213,39 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_grouped_lists(spark, sf_dir):
+    """Deterministic grouped collection: per priority, the sorted set of
+    statuses seen and per-status order counts. collect_set is
+    order-nondeterministic under parallelism — array_sort canonicalizes,
+    which is the only way list-valued results are reproducible at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_approx_stats(spark, sf_dir):
+    """Spark-native approximate sketches: HLL++ distinct counting and
+    t-digest-style quantiles per group. Deliberately has NO duckdb oracle:
+    both engines implement different sketch algorithms, so values cannot
+    hash-match — the driver records the weaker rows-only check. Exact
+    deterministic counterparts: g2/sk1 (distinct), g7 (percentiles)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return (
+        lf.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
@@ -224,6 +257,8 @@ QUERIES = {
     "p6_stratified_sample": q_stratified_sample,
     "an1_funnel": q_funnel,
     "an2_retention_cohorts": q_retention_cohorts,
+    "g8_grouped_lists": q_grouped_lists,
+    "g9_approx_stats": q_approx_stats,
 }
 
 _H32_KEY = (
@@ -298,6 +333,11 @@ ORDER BY h, d, m
         "    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token"
         "  FROM documents)"
         "GROUP BY token ORDER BY df DESC, token LIMIT 50"
+    ),
+    "g8_grouped_lists": (
+        "SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses, "
+        "count(*) AS n_orders FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "an1_funnel": """
 WITH v AS (

@@ -109,6 +109,35 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(nodes, pairs).orderBy("node")
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """'Keep one per cluster', quality-aware: for each exact-dup group pick
+    the member with the best quality score (ties -> lowest doc_id) and
+    report the group size. One digest shuffle with map-side partial agg —
+    the argmax is a struct-max aggregate, no per-group window/sort."""
+    from aristoteles_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(
+            F.col("q").alias("q"),
+            (-F.col("doc_id")).alias("nd"),
+            F.col("doc_id").alias("doc_id"),
+        )
+    )
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("digest"),
+                 "doc_id", quality_score("text").alias("q"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("b"))
+        .select(
+            F.col("b.doc_id").alias("rep_doc"),
+            "n_members",
+            F.col("b.q").alias("rep_quality"),
+        )
+        .orderBy("rep_doc")
+    )
+
+
 QUERIES = {
     "dd1_exact_groups": q_exact,
     "dd2_normalized_groups": q_normalized,
@@ -117,6 +146,7 @@ QUERIES = {
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
     "dd7_dup_clusters": q_dup_clusters,
+    "dd9_cluster_representatives": q_cluster_representatives,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -146,6 +176,7 @@ ORACLE = {
         "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id "
         "FROM documents GROUP BY digest ORDER BY digest"
     ),
+    "dd9_cluster_representatives": None,  # filled below (_QUALITY import)
     "dd2_normalized_groups": (
         f"SELECT md5(array_to_string({_TOKENS}, ' ')) AS digest, "
         "count(*) AS n_docs, min(doc_id) AS keep_id "
@@ -259,3 +290,21 @@ SELECT doc_a, count(*) AS n_pairs, min(hamming) AS min_hamming
 FROM pairs GROUP BY doc_a ORDER BY doc_a
 """,
 }
+
+
+# dd9 oracle needs the quality-score SQL transliteration from the text
+# module (same fragment tx2 is checked against)
+from aristoteles_spark.queries.text import _QUALITY  # noqa: E402
+
+ORACLE["dd9_cluster_representatives"] = f"""
+WITH scored AS (
+  SELECT doc_id, md5(text) AS digest, {_QUALITY} AS q FROM documents
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY digest ORDER BY q DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY digest) AS n_members
+  FROM scored
+)
+SELECT doc_id AS rep_doc, n_members, q AS rep_quality
+FROM ranked WHERE rn = 1 ORDER BY rep_doc
+"""
