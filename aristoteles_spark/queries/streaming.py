@@ -16,6 +16,7 @@ from aristoteles_spark.streaming.events import (
     dedup_counts,
     hourly_rollup,
     run_available_now,
+    run_foreach_batch_parquet,
     session_rollup,
     stream_events,
     stream_stream_purchase_attribution,
@@ -56,12 +57,34 @@ def q_stream_sessions(spark, sf_dir):
     return out.orderBy("user_id", "session_start")
 
 
+def q_stream_sink_parquet(spark, sf_dir):
+    """Streaming -> idempotent partitioned-parquet sink (foreachBatch +
+    dynamic partition overwrite), validated by reading the written table
+    back: the durable-sink counterpart of st1's memory sink."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir)
+    agg = hourly_rollup(ev).withColumn(
+        "d", F.date_format("hour_start", "yyyy-MM-dd")
+    )
+    out_dir = tempfile.mkdtemp(prefix="st6_sink_")
+    run_foreach_batch_parquet(agg, out_dir, "d")
+    return (
+        spark.read.parquet(out_dir)
+        .select("hour_start", "event_type", "n_events", "sum_value")
+        .orderBy("hour_start", "event_type")
+    )
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st2_stream_user_totals": q_stream_user_totals,
     "st3_stream_dedup": q_stream_dedup,
     "st4_stream_stream_join": q_stream_stream_join,
     "st5_stream_sessions": q_stream_sessions,
+    "st6_stream_sink_parquet": q_stream_sink_parquet,
 }
 
 ORACLE = {
@@ -79,6 +102,13 @@ ORACLE = {
     "st3_stream_dedup": (
         "SELECT event_type, count(DISTINCT event_id) AS n_events "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "st6_stream_sink_parquet": (
+        "SELECT date_trunc('hour', ts) AS hour_start, event_type, "
+        "count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY hour_start, event_type "
+        "ORDER BY hour_start, event_type"
     ),
     "st5_stream_sessions": (
         "WITH marked AS ("

@@ -166,6 +166,42 @@ def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "amount")
 
 
+def run_foreach_batch_parquet(
+    result: DataFrame, out_dir: str, partition_col: str
+) -> None:
+    """Streaming -> partitioned parquet via foreachBatch with DYNAMIC
+    partition overwrite: re-processing a microbatch rewrites exactly the
+    partitions it touches, so the sink is idempotent under replay — the
+    exactly-once recipe for object-store tables (no transactional format
+    needed). Update-mode rows for a window land in that window's partition
+    and overwrite the previous emission."""
+    spark = result.sparkSession
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_fb_") as ckpt:
+            q = (
+                result.writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame."""
