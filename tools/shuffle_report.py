@@ -33,6 +33,8 @@ HEADLINERS = [
     "dd3_jaccard_pairs",
     "dd4_minhash_lsh_pairs",
     "dd7_dup_clusters",
+    "dd9_cluster_representatives",
+    "sim5_semantic_clusters",
     "sim1_knn_brute",
     "sim4_knn_ivf",
     "tx6_tfidf_top_terms",
