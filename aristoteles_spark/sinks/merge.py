@@ -1,0 +1,60 @@
+"""Key-level upsert (MERGE) into a partitioned parquet table.
+
+Parquet is immutable, so an upsert rewrites files — the scale question is
+only HOW MANY. This implements the standard object-store merge recipe
+(what Delta/Iceberg do under the hood, minus the transaction log):
+
+1. the updates' partition values are collected (tiny: one value per
+   touched partition) and the existing table is read WITH a partition
+   filter — only touched partitions are scanned, everything else is never
+   read or written;
+2. existing rows whose key appears in the updates are dropped via a
+   LEFT ANTI join (hash join on the key, updates side broadcast when
+   small — the common case for incremental corrections);
+3. survivors + updates are written back with dynamic partition overwrite,
+   which atomically replaces exactly the touched partition directories.
+
+Idempotent: re-running the same merge yields the same table. Crash-safety
+is per-partition-directory (the reference's whole-file overwrite idiom,
+aristoteles/aristoteles.py:393, at partition granularity). For multi-writer
+concurrency you would layer a transactional table format on top; the
+dataflow stays the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """Merge ``updates`` into the parquet table at ``path``; rows matching
+    on ``key_cols`` are replaced, new keys inserted. Updates must carry the
+    table's full schema (including ``partition_col``). Returns the number
+    of partitions rewritten.
+
+    Constraint (same as every partition-scoped merge): a key's partition
+    value must not change between versions, otherwise the old row lives in
+    an untouched partition and survives. Callers changing partition values
+    must delete-then-insert.
+    """
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = existing.join(
+        F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
+    ).unionByName(updates.select(*existing.columns))
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return len(touched)
