@@ -156,3 +156,38 @@ class TestConnectedComponents:
     def test_no_edges(self, spark):
         got = self._run(spark, [7, 8], [])
         assert got == {7: 7, 8: 8}
+
+
+class TestAnnRecall:
+    def test_recall_at_least_coverage_and_deterministic(self, spark):
+        """ANN quality floor: recall@k must be >= the fraction of the
+        corpus examined (an ANN that loses to random scanning is broken),
+        and results must be run-to-run deterministic. On these synthetic
+        near-uniform embeddings recall ~= coverage is the expected ceiling
+        too; clustered real data is where IVF/LSH beat the floor."""
+        from aristoteles_spark.queries.similarity import (
+            CENT_MOD,
+            CENT_OFF,
+            NPROBE,
+            q_knn_brute,
+            q_knn_ivf,
+            q_knn_lsh,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        brute = {(r.query_id, r.neighbor_id) for r in q_knn_brute(spark, sf).collect()}
+        ivf1 = {(r.query_id, r.neighbor_id) for r in q_knn_ivf(spark, sf).collect()}
+        ivf2 = {(r.query_id, r.neighbor_id) for r in q_knn_ivf(spark, sf).collect()}
+        assert ivf1 == ivf2  # deterministic
+        n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        n_cells = sum(
+            1 for i in range(n_emb) if i % CENT_MOD == CENT_OFF
+        )
+        coverage = NPROBE / n_cells
+        recall_ivf = len(ivf1 & brute) / len(brute)
+        assert recall_ivf >= coverage, (recall_ivf, coverage)
+
+        lsh = {(r.query_id, r.neighbor_id) for r in q_knn_lsh(spark, sf).collect()}
+        recall_lsh = len(lsh & brute) / len(brute)
+        # single-table LSH examines ~1/2^planes of the corpus per query
+        assert recall_lsh >= 1 / 64, recall_lsh
