@@ -325,43 +325,75 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_allpairs_sigs: int = 65536,
 ) -> DataFrame:
     """LSH-banded candidate pairs with signature-estimated similarity.
 
     Signature rows are grouped into ``bands`` bands of num_hashes/bands
-    values; docs sharing any band's digest become candidates (one shuffle
-    keyed by (band, digest)); est_sim = matching signature positions /
-    num_hashes. Returns (doc_a, doc_b, est_sim), doc_a < doc_b.
+    values; docs sharing any band's digest become candidates; est_sim =
+    matching signature positions / num_hashes. Returns
+    (doc_a, doc_b, est_sim), doc_a < doc_b.
+
+    ADAPTIVE physical strategy (same result either way; chosen from the
+    measured distinct-signature count, which the persist pays for anyway):
+
+    - **all-pairs** (distinct sigs <= ``max_allpairs_sigs``): dup-heavy
+      corpora collapse to few distinct signatures; a broadcast
+      nested-loop of in-row array compares beats the explode-by-bands
+      shuffle and needs no candidate dedup. O(u^2) in distinct sigs — only
+      sane when u is small, which the threshold guards.
+    - **banded equi-join** (above the threshold — the 100 TB path on a
+      mostly-unique corpus where u ~ n): each signature explodes into
+      ``bands`` (band, xxhash64(band slice)) keys, candidates come from a
+      plain HASH join on the digest (shuffle keyed by the band digest, no
+      quadratic compare anywhere), then distinct + est_sim verification.
+      Cost is O(n·bands) shuffle + per-bucket pair expansion — exactly
+      what LSH bucket sizing controls.
     """
     rows_per_band = num_hashes // bands
-    # Signatures are a pure function of the token set, so docs collapse to
-    # DISTINCT signatures first (a dup-heavy corpus has far fewer); the
-    # banded-LSH candidate condition (>=1 equal band) and the signature
-    # agreement are then evaluated all-pairs over distinct signatures — a
-    # broadcast nested-loop of in-row array compares, no explode×bands
-    # shuffle, no candidate dropDuplicates — and qualifying signature
-    # pairs expand back to doc pairs via broadcast membership joins.
-    # At 100 TB the signature table would persist to storage between the
-    # two stages; distinct signatures remain ~the number of distinct
-    # contents, which is what LSH buckets anyway.
     members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
     uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
-    a = uniq.select(F.col("sig").alias("sig_a"))
-    b_ = uniq.select(F.col("sig").alias("sig_b"))
-    band_match = None
-    for bi in range(bands):
-        eq = F.slice("sig_a", bi * rows_per_band + 1, rows_per_band) == F.slice(
-            "sig_b", bi * rows_per_band + 1, rows_per_band
-        )
-        band_match = eq if band_match is None else (band_match | eq)
+    n_uniq = uniq.count()
+
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    if n_uniq <= max_allpairs_sigs:
+        a = uniq.select(F.col("sig").alias("sig_a"))
+        b_ = uniq.select(F.col("sig").alias("sig_b"))
+        band_match = None
+        for bi in range(bands):
+            eq = F.slice("sig_a", bi * rows_per_band + 1, rows_per_band) == F.slice(
+                "sig_b", bi * rows_per_band + 1, rows_per_band
+            )
+            band_match = eq if band_match is None else (band_match | eq)
+        cand = a.join(b_, (F.col("sig_a") < F.col("sig_b")) & band_match)
+    else:
+        banded = uniq.select(
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bi), F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("band_digest"),
+        )
+        x = banded.select(F.col("sig").alias("sig_a"), "band_digest")
+        y = banded.select(F.col("sig").alias("sig_b"), "band_digest")
+        cand = (
+            x.join(y, "band_digest")
+            .filter(F.col("sig_a") < F.col("sig_b"))
+            .select("sig_a", "sig_b")
+            .distinct()  # a pair may collide in several bands
+        )
     sig_pairs = (
-        a.join(b_, (F.col("sig_a") < F.col("sig_b")) & band_match)
-        .withColumn("est_sim", matches / F.lit(float(num_hashes)))
+        cand.withColumn("est_sim", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_sim") >= threshold)
         .select("sig_a", "sig_b", "est_sim")
     )

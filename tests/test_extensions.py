@@ -191,3 +191,22 @@ class TestAnnRecall:
         recall_lsh = len(lsh & brute) / len(brute)
         # single-table LSH examines ~1/2^planes of the corpus per query
         assert recall_lsh >= 1 / 64, recall_lsh
+
+
+class TestAdaptiveLsh:
+    def test_banded_equijoin_matches_allpairs(self, spark):
+        """The two physical strategies (all-pairs over distinct sigs vs
+        banded equi-join) must produce identical pairs."""
+        from aristoteles_spark.operators.dedup import minhash_lsh_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        kw = dict(num_hashes=16, bands=4, threshold=0.5)
+        allpairs = {
+            (r.doc_a, r.doc_b, round(r.est_sim, 9))
+            for r in minhash_lsh_pairs(d, **kw).collect()
+        }
+        banded = {
+            (r.doc_a, r.doc_b, round(r.est_sim, 9))
+            for r in minhash_lsh_pairs(d, max_allpairs_sigs=0, **kw).collect()
+        }
+        assert banded == allpairs and len(allpairs) > 0
