@@ -210,3 +210,23 @@ class TestAdaptiveLsh:
             for r in minhash_lsh_pairs(d, max_allpairs_sigs=0, **kw).collect()
         }
         assert banded == allpairs and len(allpairs) > 0
+
+
+class TestAdaptiveJaccard:
+    def test_prefix_index_path_matches_bitset(self, spark):
+        """The large-vocab AllPairs prefix-index plan must produce the
+        same exact-Jaccard pairs as the small-vocab bitset plan."""
+        from aristoteles_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bitset = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(d, threshold=0.6).collect()
+        }
+        index = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                d, threshold=0.6, dict_bitmap_max_vocab=0
+            ).collect()
+        }
+        assert index == bitset and len(bitset) > 0
