@@ -442,38 +442,56 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_allpairs_sketches: int = 65536,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with banded blocking.
 
     The 32-bit sketch splits into (max_hamming+1) blocks; by pigeonhole any
-    pair within max_hamming agrees on >=1 whole block, so candidates are
-    generated by a block-equality join (shuffle keyed by (block_idx,
-    block_value)) instead of a cross join. Returns (doc_a, doc_b, hamming).
+    pair within max_hamming agrees on >=1 whole block. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Adaptive like ``minhash_lsh_pairs``: docs collapse to DISTINCT
+    sketches; a small distinct set (dup-heavy corpus) is compared
+    all-pairs (one XOR+popcount per pair in a broadcast nested loop); a
+    large one (100 TB mostly-unique corpus, distinct ~ n) generates
+    candidates with a plain HASH join keyed by (block_idx, block_value) —
+    O(n·blocks) shuffle, no quadratic compare.
     """
     nblocks = max_hamming + 1
     width = 32 // nblocks + (1 if 32 % nblocks else 0)
-    # The sketch is a pure function of the token set -> collapse docs to
-    # DISTINCT sketches, compare those all-pairs (single-long XOR+popcount
-    # per pair in a broadcast nested loop — the pigeonhole block-equality
-    # condition kept as the candidate predicate), then expand via
-    # broadcast membership joins. Identical sketches are hamming 0.
     members = simhash_sketches(df, text_col, id_col).persist()
-    uniq = members.groupBy("simhash").agg(F.count("*").alias("n"))
-    a = uniq.select(F.col("simhash").alias("sk_a"))
-    b = uniq.select(F.col("simhash").alias("sk_b"))
-    block_match = None
-    for i in range(nblocks):
-        eq = F.shiftright(F.col("sk_a"), i * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        ) == F.shiftright(F.col("sk_b"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-        block_match = eq if block_match is None else (block_match | eq)
-    sk_pairs = (
-        a.join(b, (F.col("sk_a") < F.col("sk_b")) & block_match)
-        .withColumn(
-            "hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    uniq = members.groupBy("simhash").agg(F.count("*").alias("n")).persist()
+    n_uniq = uniq.count()
+
+    def _block(col, i):
+        return F.shiftright(F.col(col), i * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    if n_uniq <= max_allpairs_sketches:
+        a = uniq.select(F.col("simhash").alias("sk_a"))
+        b = uniq.select(F.col("simhash").alias("sk_b"))
+        block_match = None
+        for i in range(nblocks):
+            eq = _block("sk_a", i) == _block("sk_b", i)
+            block_match = eq if block_match is None else (block_match | eq)
+        cand = a.join(b, (F.col("sk_a") < F.col("sk_b")) & block_match)
+    else:
+        blocks = uniq.select(
+            "simhash",
+            F.posexplode(
+                F.array(*[_block("simhash", i) for i in range(nblocks)])
+            ).alias("block_idx", "block_val"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        x = blocks.select(F.col("simhash").alias("sk_a"), "block_idx", "block_val")
+        y = blocks.select(F.col("simhash").alias("sk_b"), "block_idx", "block_val")
+        cand = (
+            x.join(y, ["block_idx", "block_val"])
+            .filter(F.col("sk_a") < F.col("sk_b"))
+            .select("sk_a", "sk_b")
+            .distinct()  # a pair may agree on several blocks
+        )
+    sk_pairs = cand.withColumn(
+        "hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    ).filter(F.col("hamming") <= max_hamming)
     m1 = members.select(F.col("doc").alias("da"), F.col("simhash").alias("sk_a"))
     m2 = members.select(F.col("doc").alias("db"), F.col("simhash").alias("sk_b"))
     cross = (

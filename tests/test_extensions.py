@@ -230,3 +230,19 @@ class TestAdaptiveJaccard:
             ).collect()
         }
         assert index == bitset and len(bitset) > 0
+
+
+class TestAdaptiveSimhash:
+    def test_block_equijoin_matches_allpairs(self, spark):
+        from aristoteles_spark.operators.dedup import simhash_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        allpairs = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(d, max_hamming=3).collect()
+        }
+        blocked = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(d, max_hamming=3, max_allpairs_sketches=0).collect()
+        }
+        assert blocked == allpairs and len(allpairs) > 0
