@@ -33,6 +33,17 @@ from aristoteles_spark.functions.text import (
 )
 
 
+# membership tables are broadcast only when MEASURED small (the count is
+# free — the frame is already persisted for reuse): AQE cannot size cached
+# frames, and an unconditional hint would ship the full corpus's membership
+# to every executor at 100 TB
+_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _maybe_broadcast(frame: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(frame) if n_rows <= _BROADCAST_MAX_ROWS else frame
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group by content digest; keep the min id as the representative.
 
@@ -100,7 +111,7 @@ def ngram_jaccard_pairs(
     if max_token_freq is not None:
         freq0 = toks.groupBy("token").agg(F.count("*").alias("df"))
         toks = toks.join(
-            F.broadcast(freq0.filter(F.col("df") <= max_token_freq).select("token")), "token"
+            freq0.filter(F.col("df") <= max_token_freq).select("token"), "token"
         )
     # persist: consumed by the df-count aggregation AND the probe side of
     # the rarity join — without it the tokenize+explode runs twice
@@ -210,6 +221,7 @@ def _jaccard_pairs_bitset(
         ]
     )
     members = df.select(F.col(id_col).alias("doc"), mask.alias("mask")).persist()
+    n_members = members.count()
     popcnt = F.aggregate(
         F.transform("mask", lambda x: F.bit_count(x)), F.lit(0), lambda a, v: a + v
     )
@@ -247,13 +259,18 @@ def _jaccard_pairs_bitset(
         .select("mask_a", "mask_b", "jaccard")
     )
 
-    # expand set pairs to doc pairs (membership is small relative to the
-    # pair output — broadcast; doc order normalized with least/greatest)
-    m1 = members.select(F.col("doc").alias("da"), F.col("mask").alias("mask_a"))
-    m2 = members.select(F.col("doc").alias("db"), F.col("mask").alias("mask_b"))
+    # expand set pairs to doc pairs; doc order normalized least/greatest
+    m1 = _maybe_broadcast(
+        members.select(F.col("doc").alias("da"), F.col("mask").alias("mask_a")),
+        n_members,
+    )
+    m2 = _maybe_broadcast(
+        members.select(F.col("doc").alias("db"), F.col("mask").alias("mask_b")),
+        n_members,
+    )
     cross = (
-        set_pairs.join(F.broadcast(m1), "mask_a")
-        .join(F.broadcast(m2), "mask_b")
+        set_pairs.join(m1, "mask_a")
+        .join(m2, "mask_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
@@ -263,9 +280,9 @@ def _jaccard_pairs_bitset(
     # identical sets: every intra-group pair has jaccard exactly 1.0
     # (empty sets excluded — no shared token means no pair)
     g1 = members.select(F.col("doc").alias("da"), "mask")
-    g2 = members.select(F.col("doc").alias("db"), "mask")
+    g2 = _maybe_broadcast(members.select(F.col("doc").alias("db"), "mask"), n_members)
     intra = (
-        g1.join(F.broadcast(g2), "mask")
+        g1.join(g2, "mask")
         .filter((F.col("da") < F.col("db")) & (popcnt > 0))
         .select(
             F.col("da").alias("doc_a"),
@@ -352,6 +369,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    n_members = members.count()
     uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
     n_uniq = uniq.count()
 
@@ -397,11 +415,17 @@ def minhash_lsh_pairs(
         .filter(F.col("est_sim") >= threshold)
         .select("sig_a", "sig_b", "est_sim")
     )
-    m1 = members.select(F.col("doc").alias("da"), F.col("sig").alias("sig_a"))
-    m2 = members.select(F.col("doc").alias("db"), F.col("sig").alias("sig_b"))
+    m1 = _maybe_broadcast(
+        members.select(F.col("doc").alias("da"), F.col("sig").alias("sig_a")),
+        n_members,
+    )
+    m2 = _maybe_broadcast(
+        members.select(F.col("doc").alias("db"), F.col("sig").alias("sig_b")),
+        n_members,
+    )
     cross = (
-        sig_pairs.join(F.broadcast(m1), "sig_a")
-        .join(F.broadcast(m2), "sig_b")
+        sig_pairs.join(m1, "sig_a")
+        .join(m2, "sig_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
@@ -411,10 +435,10 @@ def minhash_lsh_pairs(
     # identical signatures: all bands collide and est_sim is exactly 1.0
     # (empty docs carry null signature entries and never pair — matches
     # the null-propagation of the agreement count on the cross path)
-    g2 = members.select(F.col("doc").alias("db"), "sig")
+    g2 = _maybe_broadcast(members.select(F.col("doc").alias("db"), "sig"), n_members)
     intra = (
         members.select(F.col("doc").alias("da"), "sig")
-        .join(F.broadcast(g2), "sig")
+        .join(g2, "sig")
         .filter(
             (F.col("da") < F.col("db"))
             & F.forall("sig", lambda x: x.isNotNull())
@@ -460,6 +484,7 @@ def simhash_pairs(
     nblocks = max_hamming + 1
     width = 32 // nblocks + (1 if 32 % nblocks else 0)
     members = simhash_sketches(df, text_col, id_col).persist()
+    n_members = members.count()
     uniq = members.groupBy("simhash").agg(F.count("*").alias("n")).persist()
     n_uniq = uniq.count()
 
@@ -492,21 +517,29 @@ def simhash_pairs(
     sk_pairs = cand.withColumn(
         "hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
     ).filter(F.col("hamming") <= max_hamming)
-    m1 = members.select(F.col("doc").alias("da"), F.col("simhash").alias("sk_a"))
-    m2 = members.select(F.col("doc").alias("db"), F.col("simhash").alias("sk_b"))
+    m1 = _maybe_broadcast(
+        members.select(F.col("doc").alias("da"), F.col("simhash").alias("sk_a")),
+        n_members,
+    )
+    m2 = _maybe_broadcast(
+        members.select(F.col("doc").alias("db"), F.col("simhash").alias("sk_b")),
+        n_members,
+    )
     cross = (
-        sk_pairs.join(F.broadcast(m1), "sk_a")
-        .join(F.broadcast(m2), "sk_b")
+        sk_pairs.join(m1, "sk_a")
+        .join(m2, "sk_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
             "hamming",
         )
     )
-    g2 = members.select(F.col("doc").alias("db"), "simhash")
+    g2 = _maybe_broadcast(
+        members.select(F.col("doc").alias("db"), "simhash"), n_members
+    )
     intra = (
         members.select(F.col("doc").alias("da"), "simhash")
-        .join(F.broadcast(g2), "simhash")
+        .join(g2, "simhash")
         .filter(F.col("da") < F.col("db"))
         .select(
             F.col("da").alias("doc_a"),
