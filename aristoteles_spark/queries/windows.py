@@ -67,6 +67,31 @@ def q_running_sum(spark, sf_dir):
     )
 
 
+# --- analytic: time-RANGE window frame (trailing 1-hour moving average).
+# rows-based frames (wf3) count rows; RANGE frames bound by a VALUE delta
+# on the ordering column — Spark needs a numeric order key for
+# rangeBetween, so the frame orders on epoch seconds. Decimal-cast sum /
+# count keeps the average order-insensitive and engine-exact.
+def q_time_range_avg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            (
+                F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("trailing_avg"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --- analytic: dense_rank (gap-free ranking across a whole table).
 # A naive Window.orderBy with no partition key moves the WHOLE table to one
 # partition; but dense_rank of a row == rank of its distinct value, so we
@@ -149,6 +174,7 @@ QUERIES = {
     "wb2_sliding_window": q_sliding_window,
     "wb3_session_window": q_session_window,
     "wf5_ntile_bounds": q_ntile_bounds,
+    "wf6_time_range_avg": q_time_range_avg,
 }
 
 ORACLE = {
@@ -184,6 +210,15 @@ ORACLE = {
         "wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
         "ORDER BY o_orderkey"
+    ),
+    "wf6_time_range_avg": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) "
+        "/ count(*) OVER w AS trailing_avg "
+        "FROM events WHERE value IS NOT NULL "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) "
+        "ORDER BY event_id"
     ),
     "wb1_tumbling_hour": (
         "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
