@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative operators localCheckpoint per round; the blocks are
+        # freed by ContextCleaner only after a JVM GC, and with a large
+        # heap GC may not run for the whole session — force one
+        # periodically so dead checkpoint/persist blocks don't accumulate
+        # and evict live caches (default is 30min)
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     # throwaway per-process warehouse: bucketed saveAsTable writes through
     # the (in-memory) catalog, and the default warehouse dir would land in
