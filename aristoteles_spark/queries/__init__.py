@@ -18,6 +18,7 @@ from importlib import import_module
 
 _MODULES = [
     "relational",
+    "tpch_shapes",
     "windows",
     "dedup",
     "similarity",

@@ -92,6 +92,40 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "hot bigrams absorbed by map-side partial agg"),
         (r"(?s)Generate.*explode", "bigrams built in-row, exploded lazily — no Python"),
     ],
+    "h2_min_cost_supplier": [
+        (r"BroadcastHashJoin", "filtered parts and per-part minima broadcast — lineitem never shuffles"),
+        (r"PushedFilters: \[.*EqualTo\(p_size,15\)", "part dimension filter pushed to its scan"),
+    ],
+    "h4_priority_exists": [
+        (r"LeftSemi", "EXISTS decorrelates to a left-semi join, no probe-side dedup"),
+        (r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", "returnflag filter pushed into the lineitem scan"),
+    ],
+    "h7_nation_volume": [
+        (r"BroadcastHashJoin", "nation broadcast under both roles (supplier/customer side)"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "revenue grid partial-aggregated before the shuffle"),
+    ],
+    "h9_profit": [
+        (r"PushedFilters: \[.*StringContains\(p_name,red\)", "LIKE '%red%' pushed to the part scan as StringContains"),
+        (r"BroadcastHashJoin", "LIKE-pruned part dimension broadcast"),
+    ],
+    "h11_important_parts": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-part value partial-aggregated before the shuffle"),
+    ],
+    "h15_top_supplier": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "supplier revenue partial-aggregated before the shuffle"),
+    ],
+    "h16_supplier_cnt": [
+        (r"LeftAnti", "NOT IN blacklist as a left-anti hash join"),
+        (r"BroadcastHashJoin", "filtered part attribute set broadcast"),
+    ],
+    "h19_disjunctive": [
+        (r"BroadcastHashJoin", "part side broadcast; OR-of-conjunctions evaluated in codegen"),
+        (r"PushedFilters: \[.*Or\(", "disjunctive l_quantity bounds pushed to the parquet scan"),
+    ],
+    "h22_idle_customers": [
+        (r"LeftAnti", "NOT EXISTS recent-order check as a left-anti join"),
+        (r"PushedFilters: \[.*In\(c_nationkey", "nation-set filter pushed to the customer scan"),
+    ],
     "at3_time_weighted_avg": [
         (r"(?s)hashpartitioning\(user_id.*Window", "one user_id shuffle feeds the lead() window"),
         (r"(?s)Window.*HashAggregate", "final agg reuses the window's user_id partitioning"),
