@@ -245,6 +245,19 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+# --- breadth: fixed-width numeric histogram (binning aggregation). The
+# bucket id is computed in codegen on the scan; one partial-agg'd shuffle
+# over ~#buckets groups regardless of input size.
+def q_histogram(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
 # --- breadth: INTERSECT / EXCEPT set ops (dedup semantics; both compile
 # to an aggregate + join, shuffling only the projected key column)
 def q_intersect(spark, sf_dir):
@@ -433,6 +446,7 @@ QUERIES = {
     "j10_semi_anti_self": q_semi_anti_self,
     "u2_intersect": q_intersect,
     "u3_except": q_except,
+    "g10_histogram": q_histogram,
 }
 
 ORACLE = {
@@ -539,6 +553,10 @@ ORACLE = {
     "u3_except": (
         "SELECT p_size AS k FROM part "
         "EXCEPT SELECT c_nationkey AS k FROM customer ORDER BY k"
+    ),
+    "g10_histogram": (
+        "SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS bucket, "
+        "count(*) AS n FROM lineitem GROUP BY bucket ORDER BY bucket"
     ),
     "j7_scalar_subquery": (
         "SELECT sum(CAST(l_extendedprice AS DECIMAL(28,10))) / 7.0 AS avg_yearly "

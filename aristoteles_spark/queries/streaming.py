@@ -18,6 +18,7 @@ from aristoteles_spark.streaming.events import (
     run_available_now,
     run_foreach_batch_parquet,
     session_rollup,
+    static_enrichment,
     stream_events,
     stream_stream_purchase_attribution,
     user_totals_stateful,
@@ -78,6 +79,21 @@ def q_stream_sink_parquet(spark, sf_dir):
     )
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static join: streaming events enriched with the static
+    customer dimension (broadcast per microbatch), then a streaming
+    grouped rollup per market segment."""
+    from aristoteles_spark.sources.parquet_source import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    n_cust = customer.count()
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(
+        static_enrichment(ev, customer, n_cust), "st7_static_join", "complete"
+    )
+    return out.orderBy("c_mktsegment")
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st2_stream_user_totals": q_stream_user_totals,
@@ -85,6 +101,7 @@ QUERIES = {
     "st4_stream_stream_join": q_stream_stream_join,
     "st5_stream_sessions": q_stream_sessions,
     "st6_stream_sink_parquet": q_stream_sink_parquet,
+    "st7_stream_static_join": q_stream_static_join,
 }
 
 ORACLE = {
@@ -125,6 +142,13 @@ ORACLE = {
         "  FROM marked) "
         "SELECT user_id, min(ts) AS session_start, count(*) AS n "
         "FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ),
+    "st7_stream_static_join": (
+        "SELECT c_mktsegment, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value "
+        "FROM events JOIN customer "
+        "ON c_custkey = user_id % (SELECT count(*) FROM customer) "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     ),
     "st4_stream_stream_join": (
         "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "

@@ -42,8 +42,14 @@ def get_spark(
         # freed by ContextCleaner only after a JVM GC, and with a large
         # heap GC may not run for the whole session — force one
         # periodically so dead checkpoint/persist blocks don't accumulate
-        # and evict live caches (default is 30min)
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        # and evict live caches. Must be longer than any latency-sensitive
+        # run: a forced full GC + the ContextCleaner's blocking block
+        # removals landing inside a query added ~50 s to it (measured);
+        # bench disables it entirely and GCs between passes instead.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "15min"),
+        )
     )
     # throwaway per-process warehouse: bucketed saveAsTable writes through
     # the (in-memory) catalog, and the default warehouse dir would land in

@@ -166,6 +166,25 @@ def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "amount")
 
 
+def static_enrichment(events: DataFrame, customer: DataFrame, n_cust: int) -> DataFrame:
+    """Stream-static join: each streaming event is enriched with a static
+    dimension row (customer segment; the synthetic key is user_id mod the
+    customer count). The static side is broadcast per microbatch — no
+    stream-side shuffle for the join, and the dimension can be updated
+    between microbatches (re-read each trigger). The grouped rollup after
+    it is a normal streaming state-store aggregation."""
+    joined = events.withColumn(
+        "custkey", F.col("user_id") % F.lit(n_cust)
+    ).join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("sum_value"),
+    )
+
+
 def run_foreach_batch_parquet(
     result: DataFrame, out_dir: str, partition_col: str
 ) -> None:

@@ -26,6 +26,11 @@ HEADLINERS = [
     "g1_pricing_summary",
     "j5_multi_join_topk",
     "j6_star_join",
+    "h2_min_cost_supplier",
+    "h8_market_share",
+    "h9_profit",
+    "h11_important_parts",
+    "h16_supplier_cnt",
     "j8_outer_count_dist",
     "j9_large_orders",
     "j10_semi_anti_self",
