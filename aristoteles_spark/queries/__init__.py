@@ -27,6 +27,7 @@ _MODULES = [
     "streaming",
     "temporal",
     "analytics",
+    "arrays",
 ]
 
 

@@ -258,6 +258,19 @@ def q_histogram(spark, sf_dir):
     )
 
 
+# --- breadth: UNPIVOT (wide -> long melt). Compiles to Expand — each input
+# row emits one row per value column in a single pass, no shuffle beyond
+# the source aggregation's.
+def q_unpivot(spark, sf_dir):
+    wide = q_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n"
+        )
+        .orderBy("o_orderpriority", "status_col")
+    )
+
+
 # --- breadth: INTERSECT / EXCEPT set ops (dedup semantics; both compile
 # to an aggregate + join, shuffling only the projected key column)
 def q_intersect(spark, sf_dir):
@@ -447,6 +460,7 @@ QUERIES = {
     "u2_intersect": q_intersect,
     "u3_except": q_except,
     "g10_histogram": q_histogram,
+    "g11_unpivot": q_unpivot,
 }
 
 ORACLE = {
@@ -557,6 +571,19 @@ ORACLE = {
     "g10_histogram": (
         "SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS bucket, "
         "count(*) AS n FROM lineitem GROUP BY bucket ORDER BY bucket"
+    ),
+    "g11_unpivot": (
+        "WITH wide AS ("
+        "  SELECT o_orderpriority, "
+        "  count(*) FILTER (o_orderstatus = 'F') AS n_f, "
+        "  count(*) FILTER (o_orderstatus = 'O') AS n_o, "
+        "  count(*) FILTER (o_orderstatus = 'P') AS n_p "
+        "  FROM orders GROUP BY o_orderpriority) "
+        "SELECT o_orderpriority, status_col, n FROM ("
+        "  SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide "
+        "  UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM wide "
+        "  UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide) "
+        "ORDER BY o_orderpriority, status_col"
     ),
     "j7_scalar_subquery": (
         "SELECT sum(CAST(l_extendedprice AS DECIMAL(28,10))) / 7.0 AS avg_yearly "

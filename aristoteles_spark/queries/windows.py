@@ -165,6 +165,24 @@ def q_ntile_bounds(spark, sf_dir):
     )
 
 
+# --- analytic: relative-position functions. percent_rank and cume_dist
+# are exact integer ratios ((rank-1)/(n-1), n_at_or_before/n) — engine-
+# independent doubles, so value-hash oracle checking is exact.
+def q_percent_rank(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
+
+
 QUERIES = {
     "wf1_row_number": q_row_number,
     "wf2_lag_delta": q_lag_delta,
@@ -175,9 +193,16 @@ QUERIES = {
     "wb3_session_window": q_session_window,
     "wf5_ntile_bounds": q_ntile_bounds,
     "wf6_time_range_avg": q_time_range_avg,
+    "wf7_percent_rank": q_percent_rank,
 }
 
 ORACLE = {
+    "wf7_percent_rank": (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank, "
+        "cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cum_dist "
+        "FROM orders ORDER BY o_orderpriority, o_totalprice, o_orderkey"
+    ),
     "wf1_row_number": (
         "SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM ("
         "  SELECT o_orderpriority, o_orderkey, o_totalprice,"
