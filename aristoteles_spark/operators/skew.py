@@ -19,6 +19,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    salt_on: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """``big ⋈ small`` on ``key`` with explicit skew salting: the big
+    side's rows scatter over ``salt_buckets`` sub-keys (derived
+    deterministically from ``salt_on``, default spark_partition_id), and
+    the small side is replicated once per sub-key, so a hot join key
+    occupies S reducers instead of pinning one.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime — the explicit version is for when the skew is known ahead
+    of time, the small side is too big to broadcast but cheap to
+    replicate S times, or the engine's runtime split can't see the skew
+    (e.g. a single monster key inside one shuffle block). Exact: the
+    (key, salt) equi-join partitions the same matches, just spread out.
+    """
+    salt = (
+        F.abs(salt_on if salt_on is not None else F.spark_partition_id())
+        % salt_buckets
+    )
+    b = big.withColumn("_salt", salt.cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

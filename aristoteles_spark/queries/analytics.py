@@ -246,6 +246,37 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Events joined to a per-type dimension through an explicit salted
+    join (operators/skew.py): event_type has only a handful of values —
+    the canonical hot-key join — so the big side scatters over 16
+    (type, salt) sub-keys and the dim replicates 16x. The shuffle_hash
+    hint stands in for a dimension too big to broadcast at scale; the
+    result is exactly the plain join's."""
+    from aristoteles_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count("value")
+        ).alias("type_avg")
+    )
+    joined = salted_join(
+        e.select("event_id", "event_type", "value"),
+        dim.hint("shuffle_hash"),
+        "event_type",
+        salt_buckets=16,
+        salt_on=F.col("event_id"),
+    )
+    return (
+        joined.filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
@@ -254,6 +285,7 @@ QUERIES = {
     "p5_hash_sample": q_hash_sample,
     "wb4_multires_rollup": q_multires_rollup,
     "tk1_salted_token_df": q_salted_token_df,
+    "tk2_salted_join": q_salted_join,
     "p6_stratified_sample": q_stratified_sample,
     "an1_funnel": q_funnel,
     "an2_retention_cohorts": q_retention_cohorts,
@@ -326,6 +358,15 @@ ORDER BY h, d, m
         "(CASE WHEN event_type = 'click' THEN 5 "
         " WHEN event_type = 'purchase' THEN 50 ELSE 20 END) "
         "GROUP BY event_type ORDER BY event_type"
+    ),
+    "tk2_salted_join": (
+        "WITH dim AS (SELECT event_type, "
+        "  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value) "
+        "  AS type_avg FROM events GROUP BY event_type) "
+        "SELECT e.event_type, count(*) AS n_above "
+        "FROM events e JOIN dim d ON e.event_type = d.event_type "
+        "WHERE e.value > d.type_avg "
+        "GROUP BY e.event_type ORDER BY e.event_type"
     ),
     "tk1_salted_token_df": (
         "SELECT token, count(*) AS df FROM ("

@@ -55,6 +55,35 @@ def test_salted_agg_matches_plain_groupby(spark, rows):
     assert got == want
 
 
+@PROP
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=60
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 9)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_salted_join_matches_plain_join(spark, big, small):
+    from aristoteles_spark.operators.skew import salted_join
+
+    b = spark.createDataFrame(
+        [(f"k{k}", v) for k, v in big], "key string, v long"
+    )
+    s = spark.createDataFrame(
+        [(f"k{k}", w) for k, w in small], "key string, w long"
+    )
+    got = {
+        (r.key, r.v, r.w)
+        for r in salted_join(b, s, "key", salt_buckets=4, salt_on=F.col("v")).collect()
+    }
+    want = {(r.key, r.v, r.w) for r in b.join(s, "key").collect()}
+    assert got == want
+
+
 # ------------------------------------------------------ connected components
 def _union_find(nodes, edges):
     parent = {n: n for n in nodes}

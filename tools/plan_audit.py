@@ -126,6 +126,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"LeftAnti", "NOT EXISTS recent-order check as a left-anti join"),
         (r"PushedFilters: \[.*In\(c_nationkey", "nation-set filter pushed to the customer scan"),
     ],
+    "tk2_salted_join": [
+        (r"ShuffledHashJoin", "salted join is a shuffle hash join — the scale stand-in for a dim too big to broadcast"),
+        (r"hashpartitioning\(event_type#\d+, _salt", "hot join key spread over (key, salt) sub-keys"),
+    ],
     "at3_time_weighted_avg": [
         (r"(?s)hashpartitioning\(user_id.*Window", "one user_id shuffle feeds the lead() window"),
         (r"(?s)Window.*HashAggregate", "final agg reuses the window's user_id partitioning"),
@@ -230,6 +234,96 @@ def _partition_pruning_section(spark, failures: list) -> str:
     )
 
 
+def _total_input_bytes(spark) -> int:
+    store = spark._jsparkSession.sparkContext().statusStore()
+    gw = spark._sc._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    quantiles = gw.new_array(gw.jvm.double, 0)
+    lst = store.stageList(empty, False, False, quantiles, empty)
+    return sum(lst.apply(i).inputBytes() for i in range(lst.size()))
+
+
+def _data_skipping_section(spark, failures: list) -> str:
+    """Evidence that value-clustering the file layout (sort by the filter
+    column at write time) lets parquet row-group min/max statistics skip
+    most of the file for a narrow range predicate. At 100 TB this is the
+    difference between scanning a shard and scanning the archive: the
+    sorted layout gives each row group a tight l_shipdate span, so the
+    reader's PushedFilters prune row groups before any IO."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="skip_audit_")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    # small row groups so sf0.01 yields many prunable units (the 100 TB
+    # analogue is the default 128 MB group)
+    opts = {"parquet.block.size": str(64 * 1024)}
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_shipdate")
+        .write.options(**opts)
+        .mode("overwrite")
+        .parquet(f"{tmp}/clustered")
+    )
+    (
+        li.repartition(1)
+        .sortWithinPartitions(F.hash("l_orderkey"))
+        .write.options(**opts)
+        .mode("overwrite")
+        .parquet(f"{tmp}/scattered")
+    )
+
+    # row groups a min/max-pruning reader must touch for the range
+    # predicate — computed straight from the parquet footer stats, i.e.
+    # exactly the information PushedFilters prunes on
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lo = datetime.datetime(1997, 6, 1)
+    hi = datetime.datetime(1997, 7, 1)
+
+    def overlap(path: str) -> tuple[int, int]:
+        must_read = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ship_idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ship_idx).statistics
+                total += 1
+                mn = st.min.replace(tzinfo=None)
+                mx = st.max.replace(tzinfo=None)
+                if mx >= lo and mn < hi:
+                    must_read += 1
+        return must_read, total
+
+    c_read, c_total = overlap(f"{tmp}/clustered")
+    s_read, s_total = overlap(f"{tmp}/scattered")
+    ok = c_read <= max(2, c_total // 8) and s_read >= s_total - 1
+    if not ok:
+        failures.append(
+            (
+                "data_skipping",
+                f"clustered {c_read}/{c_total} vs scattered {s_read}/{s_total} "
+                "row groups overlap the predicate — expected tight vs total",
+            )
+        )
+    return (
+        "## data skipping via value-clustered layout\n\n"
+        "Same table, same narrow date-range predicate (one month of ~7\n"
+        "years); the only difference is file-write order. Row-group\n"
+        "min/max footer stats — what the reader's PushedFilters prune\n"
+        "on — only bound the predicate tightly in the clustered layout:\n\n"
+        f"- {'✅' if ok else '❌'} clustered layout: {c_read} of {c_total} "
+        f"row groups overlap the range; scattered: {s_read} of {s_total} "
+        "— sort-on-write turns a full scan into a pinpoint read\n"
+    )
+
+
 def main() -> int:
     from aristoteles_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -257,6 +351,7 @@ def main() -> int:
 
     sections.append(_bucketing_section(spark, failures))
     sections.append(_partition_pruning_section(spark, failures))
+    sections.append(_data_skipping_section(spark, failures))
 
     out = (
         "# Physical-plan audit\n\n"
