@@ -67,3 +67,34 @@ class TestOrcSink:
         back = spark.read.orc(tmp)
         assert back.count() == 4
         assert back.filter(F.col("outTemp").isNotNull()).count() == 4
+
+
+class TestSqlSurface:
+    def test_run_sql_matches_dataframe_api(self, spark):
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.plans.sql import register_views, run_sql
+        from aristoteles_spark.sources.parquet_source import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = run_sql(
+            spark,
+            sf,
+            "SELECT r_name, count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name",
+        ).collect()
+        want = (
+            load_table(spark, sf, "customer")
+            .join(load_table(spark, sf, "nation"),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(load_table(spark, sf, "region"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("r_name")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert set(register_views(spark, sf)) >= {"lineitem", "orders"}
