@@ -98,3 +98,58 @@ class TestSqlSurface:
         )
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
         assert set(register_views(spark, sf)) >= {"lineitem", "orders"}
+
+
+class TestHdf5Export:
+    def _day_df(self, spark):
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.schema import MEASURES
+
+        rows = [
+            ("stA", 1000, *[float(i) for i in range(len(MEASURES))]),
+            ("stA", 700, *[None] * len(MEASURES)),
+            ("stB", 800, *[2.5] * len(MEASURES)),
+        ]
+        return spark.createDataFrame(
+            rows, ["station", "dateTime", *MEASURES]
+        ).select("station", F.col("dateTime").cast("long").alias("dateTime"), *MEASURES)
+
+    def test_layout_matches_reference_structure(self, spark):
+        import math
+
+        from aristoteles_spark.schema import MEASURE_TYPES, MEASURES, UNITS
+        from aristoteles_spark.sinks.hdf5_export import build_layout
+
+        lay = build_layout(self._day_df(spark), "wx", "20200601T000000Z_wx_weather")
+        assert lay["attrs"]["acquisition_type"] == "weather"
+        assert lay["attrs"]["instrument_name"] == "wx"
+        # time axis per station, time-ordered
+        assert lay["index_map"]["stA"] == [700.0, 1000.0]
+        assert lay["index_map"]["stB"] == [800.0]
+        g = lay["groups"]["stA"]
+        # one dataset per measure, NULL -> NaN, axis + units attrs
+        assert set(g["datasets"]) == set(MEASURES)
+        m0 = MEASURES[0]
+        assert math.isnan(g["datasets"][m0]["values"][0])  # the 700-ts NULL row
+        assert g["datasets"][m0]["values"][1] == 0.0
+        assert g["datasets"][m0]["axis"] == ["station_time_stA"]
+        assert g["datasets"][m0]["units"] == UNITS[MEASURE_TYPES[m0]]
+        # absent station conf -> NaN lon/lat, "" description (aristoteles.py:443-458)
+        assert math.isnan(g["attrs"]["longitude"])
+        assert g["attrs"]["description"] == ""
+
+    def test_export_is_cleanly_stubbed_without_h5py(self, spark):
+        import pytest
+
+        from aristoteles_spark.sinks import hdf5_export
+
+        if hdf5_export.h5py is not None:
+            pytest.skip("h5py present; stub path not reachable")
+        with pytest.raises(NotImplementedError) as ei:
+            hdf5_export.export_day_h5(
+                self._day_df(spark), "/tmp/never_written.h5", "wx",
+                "20200601T000000Z_wx_weather",
+            )
+        # layout still computed and carried on the exception
+        assert ei.value.args[1]["index_map"]["stB"] == [800.0]
