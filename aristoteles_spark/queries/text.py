@@ -177,6 +177,29 @@ def q_bigram_topk(spark, sf_dir):
     )
 
 
+def q_clean_normalize(spark, sf_dir):
+    """Text cleaning — the first stage of any training-data pipeline:
+    strip control characters, collapse whitespace runs, trim. All
+    codegen'd regexp_replace (no UDF); the character classes are written
+    with explicit hex/char ranges so Java regex (Spark) and RE2 (duckdb
+    oracle) agree. Reports per-doc cleaned length + changed flag."""
+    d = load_table(spark, sf_dir, "documents")
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    ws = "[ \\t\\r\\n]+"
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("text"), ctrl, ""), ws, " ")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.length(cleaned).alias("clean_len"),
+            F.lower(F.substring(cleaned, 1, 40)).alias("preview"),
+            (cleaned != F.col("text")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -187,6 +210,7 @@ QUERIES = {
     "tx7_bpe_token_count": q_bpe_token_count,
     "cp1_curation_pipeline": q_curation_pipeline,
     "tx8_bigram_topk": q_bigram_topk,
+    "tx9_clean_normalize": q_clean_normalize,
 }
 
 
@@ -284,6 +308,14 @@ WITH toks AS (
 )
 SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
 """,
+    "tx9_clean_normalize": (
+        "SELECT doc_id, length(c) AS clean_len, "
+        "lower(substring(c, 1, 40)) AS preview, c <> text AS changed FROM ("
+        "  SELECT doc_id, text, trim(regexp_replace(regexp_replace(text, "
+        "  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'), "
+        "  '[ \\t\\r\\n]+', ' ', 'g')) AS c FROM documents) "
+        "ORDER BY doc_id"
+    ),
     "tx8_bigram_topk": f"""
 WITH toks AS (
   SELECT {_TOKENS} AS t FROM documents
