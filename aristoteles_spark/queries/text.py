@@ -200,6 +200,114 @@ def q_clean_normalize(spark, sf_dir):
     )
 
 
+# Chunking geometry: 64-token windows every 48 tokens (16-token overlap).
+_CHUNK, _STRIDE = 64, 48
+# Packing budget: tokens per training sequence.
+_PACK_BUDGET = 2048
+
+
+def q_chunking(spark, sf_dir):
+    """Fixed-window document chunking with overlap (chunk=64, stride=48)
+    — the splitting step ahead of tokenization in an LLM data pipeline.
+    Chunk starts are generated in-row with `sequence` and materialized by
+    one posexplode; zero shuffle until the presentation sort. Each chunk
+    carries its token count and an md5 digest of its joined tokens (the
+    chunk-level dedup key downstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    withT = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("t"), s, _CHUNK))
+    return (
+        withT.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("c").alias("n_toks"),
+            F.md5(F.concat_ws(" ", "c").cast("binary")).alias("digest"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing: concatenate documents in shard order and cut at
+    fixed token budgets (2048) — how pretraining batches are formed. The
+    pack a document belongs to is where its FIRST token lands in the
+    concatenated stream: pack_id = floor(exclusive_running_tokens /
+    budget). One window shuffle partitioned by the shard key (`source`) —
+    each shard packs independently, so at scale parallelism = #shards —
+    then a small groupBy that reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    packed = base.withColumn(
+        "pack_id", F.floor(prev / F.lit(_PACK_BUDGET)).cast("int")
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_GRAM = 8  # decontamination n-gram width
+
+
+def _gram_hashes(t):
+    """Distinct md5 hashes of all 8-token shingles of token array `t` —
+    in-row `sequence`+`transform` (codegen, no UDF)."""
+    n = F.size(t)
+    return F.when(
+        n >= _GRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (_GRAM - 1)),
+                lambda s: F.md5(F.concat_ws(" ", F.slice(t, s, _GRAM)).cast("binary")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval decontamination: flag training documents sharing any
+    8-token shingle with a held-out eval slice (doc_id % 7 == 0) — the
+    benchmark-leakage check every LLM data pipeline runs before training.
+    Gram hashes are built in-row; the eval side is a fraction of the
+    corpus (in production it is the tiny benchmark set), so its exploded
+    gram set is broadcast — the big train side never shuffles. Reports
+    per contaminated train doc the count of distinct shared grams and of
+    eval docs hit."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
+    )
+    eval_g = grams.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    train_g = grams.filter(F.col("doc_id") % 7 != 0)
+    return (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -211,6 +319,9 @@ QUERIES = {
     "cp1_curation_pipeline": q_curation_pipeline,
     "tx8_bigram_topk": q_bigram_topk,
     "tx9_clean_normalize": q_clean_normalize,
+    "tx10_chunking": q_chunking,
+    "pk1_sequence_packing": q_sequence_packing,
+    "ct1_contamination": q_contamination,
 }
 
 
@@ -316,6 +427,48 @@ SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
         "  '[ \\t\\r\\n]+', ' ', 'g')) AS c FROM documents) "
         "ORDER BY doc_id"
     ),
+    "tx10_chunking": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, {_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+), ch AS (
+  SELECT doc_id, CAST((s - 1) // {_STRIDE} AS INT) AS chunk_id,
+         list_slice(t, s, least(s + {_CHUNK} - 1, len(t))) AS c
+  FROM starts
+)
+SELECT doc_id, chunk_id, len(c) AS n_toks, md5(array_to_string(c, ' ')) AS digest
+FROM ch ORDER BY doc_id, chunk_id
+""",
+    "pk1_sequence_packing": f"""
+WITH base AS (
+  SELECT doc_id, source, len({_TOKENS}) AS n_tok FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_PACK_BUDGET}.0) AS INT) AS pack_id
+  FROM base
+)
+SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+""",
+    "ct1_contamination": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - {_GRAM - 2}), s ->
+    md5(array_to_string(list_slice(t, s, s + {_GRAM - 1}), ' '))))) AS g
+  FROM toks WHERE len(t) >= {_GRAM}
+)
+SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams,
+       count(DISTINCT e.doc_id) AS n_eval_docs
+FROM grams t JOIN grams e ON t.g = e.g
+WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
     "tx8_bigram_topk": f"""
 WITH toks AS (
   SELECT {_TOKENS} AS t FROM documents
