@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aristoteles_spark.functions.time import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -101,8 +103,8 @@ def interval_join_binned(
     # at bin edges
     radius_us = radius_sec * 1_000_000
     bin_us = bin_sec * 1_000_000
-    p_us = F.unix_micros(F.col(probe_ts))
-    b_us = F.unix_micros(F.col(build_ts))
+    p_us = epoch_us(probe, probe_ts)
+    b_us = epoch_us(build, build_ts)
 
     p = probe.withColumn(
         "_bin",
@@ -115,9 +117,8 @@ def interval_join_binned(
     )
     b = build.select(
         *[F.col(c).alias(f"_b_{c}") for c in build.columns],
+        b_us.alias("_b_us"),
         F.floor(b_us / bin_us).cast("long").alias("_bin"),
     )
-    joined = p.join(b, "_bin").filter(
-        F.abs(F.unix_micros(F.col(f"_b_{build_ts}")) - p_us) <= radius_us
-    )
-    return joined.drop("_bin")
+    joined = p.join(b, "_bin").filter(F.abs(F.col("_b_us") - p_us) <= radius_us)
+    return joined.drop("_bin", "_b_us")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from aristoteles_spark.functions.time import instant_as_utc_ntz
 from aristoteles_spark.streaming.events import (
     dedup_counts,
     hourly_rollup,
@@ -28,7 +29,9 @@ from aristoteles_spark.streaming.events import (
 def q_stream_hourly(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     out = run_available_now(hourly_rollup(ev), "st1_hourly", "complete")
-    return out.orderBy("hour_start", "event_type")
+    return out.withColumn("hour_start", instant_as_utc_ntz("hour_start")).orderBy(
+        "hour_start", "event_type"
+    )
 
 
 def q_stream_user_totals(spark, sf_dir):
@@ -55,7 +58,9 @@ def q_stream_stream_join(spark, sf_dir):
 def q_stream_sessions(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     out = run_available_now(session_rollup(ev), "st5_sessions", "complete")
-    return out.orderBy("user_id", "session_start")
+    return out.withColumn(
+        "session_start", instant_as_utc_ntz("session_start")
+    ).orderBy("user_id", "session_start")
 
 
 def q_stream_sink_parquet(spark, sf_dir):
@@ -74,7 +79,12 @@ def q_stream_sink_parquet(spark, sf_dir):
     run_foreach_batch_parquet(agg, out_dir, "d")
     return (
         spark.read.parquet(out_dir)
-        .select("hour_start", "event_type", "n_events", "sum_value")
+        .select(
+            instant_as_utc_ntz("hour_start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
         .orderBy("hour_start", "event_type")
     )
 

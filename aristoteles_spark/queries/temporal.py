@@ -56,11 +56,13 @@ def q_time_weighted_avg(spark, sf_dir):
         .filter(F.col("value").isNotNull())
         .select("user_id", "event_id", "ts", "value")
     )
+    from aristoteles_spark.functions.time import epoch_us
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seg = e.select(
         "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("w_us"),
+        epoch_us(e, "ts").alias("t_us"),
+        (F.lead(epoch_us(e, "ts")).over(w) - epoch_us(e, "ts")).alias("w_us"),
         "value",
     )
     return (

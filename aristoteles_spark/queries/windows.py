@@ -73,10 +73,12 @@ def q_running_sum(spark, sf_dir):
 # rangeBetween, so the frame orders on epoch seconds. Decimal-cast sum /
 # count keeps the average order-insensitive and engine-exact.
 def q_time_range_avg(spark, sf_dir):
+    from aristoteles_spark.functions.time import epoch_us
+
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us(e, "ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (
