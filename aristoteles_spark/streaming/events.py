@@ -26,14 +26,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# physical schema: ts is TIMESTAMP(NANOS) in the driver parquet -> read as
-# long (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros
+# physical schema: ts is parquet timestamp[us] without a timezone ->
+# TIMESTAMP_NTZ (event-time windows/watermarks support NTZ since Spark 3.4)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -54,11 +55,14 @@ USER_AGG_SCHEMA = StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an incremental file-source stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file stream source wants a *directory* (it incrementally lists
-    # new files under it — the growing-directory ingest pattern); select
-    # the events table from the shared dir with a glob filter
+    """events.parquet as an incremental file-source stream.
+
+    The stored NTZ wall clock (UTC by convention) is converted to a zoned
+    TIMESTAMP instant because event-time watermarks require the zoned
+    type; outputs convert window bounds back via ``instant_as_utc_ntz``.
+    """
+    from aristoteles_spark.functions.time import ntz_as_utc_instant
+
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -66,7 +70,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "false")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", ntz_as_utc_instant("ts"))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
