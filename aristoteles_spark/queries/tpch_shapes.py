@@ -8,6 +8,9 @@ customer while keeping the *plan shape* that matters at 100 TB:
 - Q2  -> correlated MIN subquery, decorrelated to an aggregate join whose
          per-key side is broadcastable;
 - Q4  -> EXISTS decorrelated to a left-semi hash join (no fact dedup);
+- Q6  -> pure scan: sargable filters + ungrouped partial-agg sum;
+- Q10 -> aggregate-then-top-k-then-broadcast-back ranking join;
+- Q12 -> fact-fact join + CASE-conditional grouped counts;
 - Q7  -> double-dimension (supplier-nation x customer-nation) volume grid;
 - Q8  -> conditional-aggregate market share (one scan, no self-join);
 - Q9  -> LIKE-filtered multi-join profit rollup;
@@ -16,7 +19,11 @@ customer while keeping the *plan shape* that matters at 100 TB:
 - Q15 -> aggregate-equals-max scalar subquery over a derived view;
 - Q16 -> COUNT(DISTINCT) with a NOT-IN blacklist as a left-anti join;
 - Q19 -> disjunctive pushdown predicates (OR of conjunctions);
+- Q20 -> nested aggregate subquery driving a semi-join chain;
 - Q22 -> anti-join + deterministic scalar-average threshold.
+
+With relational.py's j-series (Q3/Q5/Q13/Q17/Q18/Q21) and the Q1-shape
+pricing summary, all 22 TPC-H query shapes are covered.
 
 Determinism: sums go through DECIMAL casts; averages/ratios are computed
 as CAST(decimal_sum AS DOUBLE) / count (single double division) on BOTH
@@ -363,6 +370,116 @@ def q_idle_customers(spark, sf_dir):
     )
 
 
+# --- TPC-H Q6 shape: the pure scan query — filter + ungrouped aggregate,
+# no join. Every predicate is sargable: l_shipdate/l_discount/l_quantity
+# bounds reach the parquet scan as PushedFilters and prune row groups via
+# column min/max stats; the aggregate is a map-side partial sum with a
+# single-row final merge. At 100 TB this is the I/O-bound shape that
+# measures raw scan throughput.
+def q_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue")
+    )
+
+
+# --- TPC-H Q10 shape: returned-item revenue ranking. Aggregate FIRST
+# (revenue per custkey over the fact-fact join), take the top 20 via
+# sort+limit (TakeOrdered — no global sort materialization), and only
+# then join the 20 winners back to the customer/nation dimensions as a
+# broadcast. The wide customer table is never shuffled.
+def q_returned_items(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
+    )
+    return (
+        c.join(F.broadcast(rev), c.c_custkey == rev.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+    )
+
+
+# --- TPC-H Q12 shape: fact-fact join + grouped conditional counts.
+# (The driver schema has no l_shipmode/l_commitdate; the group key is
+# l_linestatus and "late" is shipped >90 days after order date — same
+# plan: shuffle join on orderkey, CASE-conditional partial aggregation.)
+# Only the 3 needed orders columns are scanned; the priority CASE folds
+# into the aggregate so there is exactly one shuffle after the join.
+def q_late_shipments(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- TPC-H Q20 shape: nested aggregate subquery -> semi-join chain.
+# (No partsupp table; "excess availability" becomes supplier dominance —
+# a supplier shipping more than 2x its fair share of a filtered part's
+# quantity, a scale-invariant rule so the result is non-trivial at every
+# SF.) Per-pair quantities aggregate once on (partkey, suppkey); per-part
+# totals re-aggregate the already-tiny pair rows; the dominant-supplier
+# key set is small and drives a left-semi broadcast into supplier.
+def q_dominant_suppliers(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(0, 1, 2, 3))
+    pairs = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    tot = pairs.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dominant = (
+        pairs.join(F.broadcast(tot), pairs.l_partkey == tot.t_partkey)
+        .filter(
+            F.col("qty") * F.col("n_supp") > F.lit(2) * F.col("total_qty")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "h2_min_cost_supplier": q_min_cost_supplier,
     "h4_priority_exists": q_priority_exists,
@@ -375,9 +492,57 @@ QUERIES = {
     "h16_supplier_cnt": q_supplier_cnt,
     "h19_disjunctive": q_disjunctive,
     "h22_idle_customers": q_idle_customers,
+    "h6_forecast_revenue": q_forecast_revenue,
+    "h10_returned_items": q_returned_items,
+    "h12_late_shipments": q_late_shipments,
+    "h20_dominant_suppliers": q_dominant_suppliers,
 }
 
 ORACLE = {
+    "h6_forecast_revenue": (
+        "SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "h10_returned_items": (
+        "WITH rev AS ("
+        "SELECT o_custkey, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01' "
+        "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 20) "
+        "SELECT c_custkey, c_name, revenue, c_acctbal, n_name "
+        "FROM rev JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "ORDER BY revenue DESC, c_custkey"
+    ),
+    "h12_late_shipments": (
+        "SELECT l_linestatus, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "  THEN 1 ELSE 0 END) AS high_line_count, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "  THEN 0 ELSE 1 END) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "AND l_shipdate > o_orderdate + INTERVAL 90 DAY "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    ),
+    "h20_dominant_suppliers": (
+        "WITH pairs AS ("
+        "SELECT l_partkey, l_suppkey, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE '%bolt%' GROUP BY l_partkey, l_suppkey), "
+        "tot AS (SELECT l_partkey AS t_partkey, sum(qty) AS total_qty, "
+        "count(*) AS n_supp FROM pairs GROUP BY l_partkey) "
+        "SELECT s_suppkey, s_name FROM supplier "
+        "WHERE s_nationkey IN (0, 1, 2, 3) AND s_suppkey IN ("
+        "  SELECT l_suppkey FROM pairs JOIN tot ON l_partkey = t_partkey "
+        "  WHERE qty * n_supp > 2 * total_qty) "
+        "ORDER BY s_suppkey"
+    ),
     "h2_min_cost_supplier": (
         "SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price "
         "FROM part JOIN lineitem ON l_partkey = p_partkey "
