@@ -126,6 +126,25 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"LeftAnti", "NOT EXISTS recent-order check as a left-anti join"),
         (r"PushedFilters: \[.*In\(c_nationkey", "nation-set filter pushed to the customer scan"),
     ],
+    "h6_forecast_revenue": [
+        (r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", "date lower bound pushed to the parquet scan"),
+        (r"PushedFilters: \[.*LessThan\(l_quantity,24", "quantity bound pushed to the parquet scan"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "single-row sum is map-side partial first"),
+    ],
+    "h10_returned_items": [
+        (r"TakeOrderedAndProject", "top-20 via TakeOrdered over the aggregated revenues — no global sort"),
+        (r"BroadcastHashJoin", "the 20 winners broadcast back to customer/nation — dims never shuffle"),
+        (r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", "returnflag filter pushed into the lineitem scan"),
+    ],
+    "h12_late_shipments": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "conditional counts partial-aggregated before the tiny final shuffle"),
+        (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "orderkey equi-join planned as a hash/merge join, never nested-loop"),
+    ],
+    "h20_dominant_suppliers": [
+        (r"LeftSemi", "dominant-supplier key set applied to supplier as a semi join"),
+        (r"BroadcastHashJoin", "filtered part keys and per-part totals broadcast — lineitem never shuffles for the join"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "pair quantities partial-aggregated before the (partkey,suppkey) shuffle"),
+    ],
     "tk2_salted_join": [
         (r"ShuffledHashJoin", "salted join is a shuffle hash join — the scale stand-in for a dim too big to broadcast"),
         (r"hashpartitioning\(event_type#\d+, _salt", "hot join key spread over (key, salt) sub-keys"),
