@@ -38,8 +38,105 @@ def q_embedding_stats(spark, sf_dir):
     )
 
 
+# deterministic sparse sign-projection coefficients (Achlioptas-style
+# {-1,0,+1}); the same literal lists are inlined into the duckdb oracle,
+# so both engines multiply identical integers.
+_PROJ_K = 4
+_PROJ_DIM = 64
+_PROJ_COEFFS = [
+    [((i * 2654435761 + j * 40503 + 7) % 3) - 1 for i in range(_PROJ_DIM)]
+    for j in range(_PROJ_K)
+]
+
+
+def _quantized(emb):
+    """vec_id + symmetric int8 scalar quantization of the embedding:
+    q_i = floor(127*x_i/max|x| + 0.5). Exact: per-element double math on
+    identical float32 inputs, no accumulation anywhere, so every engine
+    produces bit-identical integers. max|x|==0 degenerates to all zeros."""
+    e = F.col("embedding")
+    d = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform(e, lambda x: F.abs(x.cast("double")))).alias(
+            "max_abs"
+        ),
+    )
+    zero = F.col("max_abs") == 0.0
+    qvec = F.when(
+        zero, F.transform("embedding", lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                F.lit(127.0) * x.cast("double") / F.col("max_abs") + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    scale = F.when(zero, F.lit(0.0)).otherwise(F.lit(127.0) / F.col("max_abs"))
+    return d.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+
+
+def q_vector_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (the storage/ANN-index
+    compression step of an embedding pipeline). Row-local transform
+    expressions only — zero shuffle at any scale; the 4x-smaller int8
+    column is what a 100 TB embedding store would persist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _quantized(emb).orderBy("vec_id")
+
+
+def q_random_projection(spark, sf_dir):
+    """Signed random projection (LSH sketch) over the quantized vectors:
+    k integer dot products with fixed {-1,0,+1} coefficient vectors plus
+    the derived sign-bucket id. Integer arithmetic end-to-end — exact and
+    order-independent — and row-local (zero shuffle); the bucket id is
+    what sim2-style ANN would shuffle on instead of the raw vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb)
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                "qvec",
+                F.array(*[F.lit(c) for c in _PROJ_COEFFS[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(_PROJ_K)
+    ]
+    p = q.select("vec_id", *projs)
+    bucket = sum(
+        F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(_PROJ_K)
+    )
+    return p.select(
+        "vec_id", *[f"p{j}" for j in range(_PROJ_K)], bucket.cast("int").alias("bucket")
+    ).orderBy("vec_id")
+
+
+def _sql_list(xs):
+    return "[" + ", ".join(str(x) for x in xs) + "]"
+
+
+_QUANT_CTE = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id, "
+    "CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale, "
+    "CASE WHEN max_abs = 0 THEN list_transform(embedding, x -> 0) "
+    "ELSE list_transform(embedding, x -> "
+    "CAST(floor(127.0 * CAST(x AS DOUBLE) / max_abs + 0.5) AS INT)) END AS qvec "
+    "FROM m) "
+)
+
+
 QUERIES = {
     "ar1_embedding_stats": q_embedding_stats,
+    "ar2_vector_quantize": q_vector_quantize,
+    "ar3_random_projection": q_random_projection,
 }
 
 ORACLE = {
@@ -49,5 +146,24 @@ ORACLE = {
         "CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_idx, "
         "list_max(embedding) AS max_val "
         "FROM embeddings ORDER BY vec_id"
+    ),
+    "ar2_vector_quantize": (
+        _QUANT_CTE + "SELECT vec_id, scale, qvec FROM q ORDER BY vec_id"
+    ),
+    "ar3_random_projection": (
+        _QUANT_CTE
+        + "SELECT vec_id, "
+        + ", ".join(
+            f"CAST(list_dot_product(qvec, {_sql_list(_PROJ_COEFFS[j])}) AS BIGINT)"
+            f" AS p{j}"
+            for j in range(_PROJ_K)
+        )
+        + ", CAST("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(qvec, {_sql_list(_PROJ_COEFFS[j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(_PROJ_K)
+        )
+        + " AS INT) AS bucket FROM q ORDER BY vec_id"
     ),
 }

@@ -246,3 +246,52 @@ class TestAdaptiveSimhash:
             for r in simhash_pairs(d, max_hamming=3, max_allpairs_sketches=0).collect()
         }
         assert blocked == allpairs and len(allpairs) > 0
+
+
+class TestVectorQuantization:
+    def test_quantize_matches_numpy_and_is_bounded(self, spark):
+        import numpy as np
+
+        from aristoteles_spark.queries.arrays import q_vector_quantize
+
+        out = q_vector_quantize(spark, "/root/testdata/sf0.001").collect()
+        raw = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ).collect()
+        }
+        assert len(out) == len(raw) > 0
+        for r in out:
+            x = raw[r.vec_id]
+            m = np.abs(x).max()
+            q = np.asarray(r.qvec)
+            assert q.min() >= -127 and q.max() <= 127
+            if m > 0:
+                expect = np.floor(127.0 * x / m + 0.5).astype(int)
+                assert (q == expect).all()
+                # the max-magnitude element saturates to exactly +-127
+                assert np.abs(q).max() == 127
+                assert abs(r.scale - 127.0 / m) < 1e-12
+
+    def test_projection_matches_numpy_dot(self, spark):
+        import numpy as np
+
+        from aristoteles_spark.queries.arrays import (
+            _PROJ_COEFFS,
+            _quantized,
+            q_random_projection,
+        )
+        from aristoteles_spark.sources.parquet_source import load_table
+
+        sf = "/root/testdata/sf0.001"
+        qvecs = {
+            r.vec_id: np.asarray(r.qvec, dtype=np.int64)
+            for r in _quantized(load_table(spark, sf, "embeddings")).collect()
+        }
+        C = np.asarray(_PROJ_COEFFS, dtype=np.int64)
+        for r in q_random_projection(spark, sf).collect():
+            p = C @ qvecs[r.vec_id]
+            assert [r.p0, r.p1, r.p2, r.p3] == p.tolist()
+            assert r.bucket == sum(1 << j for j in range(4) if p[j] > 0)
+            assert 0 <= r.bucket < 16
