@@ -109,6 +109,32 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(nodes, pairs).orderBy("node")
 
 
+def q_repetition_scrub(spark, sf_dir):
+    """Within-document repetition removal (the RefinedWeb/Gopher-style
+    scrub step, adapted to token runs): collapse consecutive repeated
+    tokens, emit the cleaned text plus before/after counts. Entirely
+    row-local higher-order array expressions — zero shuffle at any scale;
+    the only cost is the scan itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # keep token i when it differs from its predecessor (F.get is 0-based
+    # and null-safe on out-of-range, so i==0 never errors under ANSI)
+    kept = F.filter(
+        "toks",
+        lambda x, i: (i == F.lit(0))
+        | ~x.eqNullSafe(F.get(F.col("toks"), i - F.lit(1))),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_cluster_representatives(spark, sf_dir):
     """'Keep one per cluster', quality-aware: for each exact-dup group pick
     the member with the best quality score (ties -> lowest doc_id) and
@@ -146,6 +172,7 @@ QUERIES = {
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
     "dd7_dup_clusters": q_dup_clusters,
+    "dd8_repetition_scrub": q_repetition_scrub,
     "dd9_cluster_representatives": q_cluster_representatives,
 }
 
@@ -177,6 +204,16 @@ ORACLE = {
         "FROM documents GROUP BY digest ORDER BY digest"
     ),
     "dd9_cluster_representatives": None,  # filled below (_QUALITY import)
+    "dd8_repetition_scrub": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "k AS (SELECT doc_id, toks, "
+        "list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept "
+        "FROM t) "
+        "SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept, "
+        "array_to_string(kept, ' ') AS clean_text "
+        "FROM k ORDER BY doc_id"
+    ),
     "dd2_normalized_groups": (
         f"SELECT md5(array_to_string({_TOKENS}, ' ')) AS digest, "
         "count(*) AS n_docs, min(doc_id) AS keep_id "
