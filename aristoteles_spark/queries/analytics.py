@@ -185,6 +185,58 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_top_paths(spark, sf_dir):
+    """Top-10 session event paths: sessionize per user (30-minute gap),
+    concatenate the session's event types in time order, count paths
+    corpus-wide. Path assembly is collect_list of (ts,event_id,type)
+    structs + array_sort + in-row join — the sort happens inside each
+    (already-shuffled) session group row, never as a global sort; the
+    path census is a partial-agg groupBy and the top-10 is TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    from aristoteles_spark.functions.time import epoch_us
+
+    t_us = epoch_us(e, "ts")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            (t_us - F.lag(t_us).over(w)) > gap_us, 1
+        ).otherwise(F.when(F.lag(t_us).over(w).isNull(), 1).otherwise(0)).alias(
+            "new_session"
+        ),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform("evs", lambda s: s.event_type), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention: cohort = ISO week of the user's first
     event; cell (cohort_week, week_offset) counts distinct users from that
@@ -289,6 +341,7 @@ QUERIES = {
     "p6_stratified_sample": q_stratified_sample,
     "an1_funnel": q_funnel,
     "an2_retention_cohorts": q_retention_cohorts,
+    "an3_top_paths": q_top_paths,
     "g8_grouped_lists": q_grouped_lists,
     "g9_approx_stats": q_approx_stats,
 }
@@ -407,5 +460,25 @@ SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
        count(DISTINCT user_id) AS n_active
 FROM events JOIN first_seen USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "an3_top_paths": """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 10
 """,
 }

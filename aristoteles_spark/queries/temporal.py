@@ -78,10 +78,41 @@ def q_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_ohlc_downsample(spark, sf_dir):
+    """Timeseries downsampling to 15-minute OHLC bars per user (the
+    hypertable/continuous-aggregate staple): open/close via min_by/max_by
+    on the (ts, event_id) order key — one hash aggregate, no per-bucket
+    window or sort; high/low/count are plain aggregates. One shuffle on
+    (user_id, bucket), partial-aggregated map-side."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    okey = F.struct("ts", "event_id")
+    return (
+        e.groupBy("user_id", F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
 QUERIES = {
     "at1_asof_join": q_asof,
     "at2_interval_join": q_interval_counts,
     "at3_time_weighted_avg": q_time_weighted_avg,
+    "at4_ohlc_downsample": q_ohlc_downsample,
 }
 
 ORACLE = {
@@ -121,5 +152,15 @@ SELECT user_id,
        CAST(sum(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
             / CAST(sum(w_us) AS DOUBLE) AS twa
 FROM seg GROUP BY user_id ORDER BY user_id
+""",
+    "at4_ohlc_downsample": """
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high, min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id, bucket_start
+ORDER BY user_id, bucket_start
 """,
 }
