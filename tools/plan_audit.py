@@ -153,6 +153,28 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(?s)hashpartitioning\(user_id.*Window", "one user_id shuffle feeds the lead() window"),
         (r"(?s)Window.*HashAggregate", "final agg reuses the window's user_id partitioning"),
     ],
+    "at4_ohlc_downsample": [
+        # min_by/max_by carry a struct buffer -> SortAggregate; the partial
+        # (map-side) aggregate before the exchange is what matters
+        (r"(?s)(Hash|Sort)Aggregate.*Exchange.*(Hash|Sort)Aggregate", "OHLC bars partial-aggregated before the (user,bucket) shuffle"),
+        (r"!Window", "no per-bucket window/sort — open/close come from min_by/max_by aggregates"),
+    ],
+    "an3_top_paths": [
+        (r"TakeOrderedAndProject", "top-10 paths via TakeOrdered — no global sort"),
+        (r"(?s)Window.*HashAggregate", "session ids from the user_id window feed the path aggregate directly"),
+    ],
+    # the trailing orderBy (oracle determinism) is a rangepartitioning
+    # exchange; the zero-shuffle claim is the absence of HASH shuffles
+    "ar2_vector_quantize": [
+        (r"!hashpartitioning", "quantization is row-local — no hash shuffle anywhere in the plan"),
+        (r"!PythonUDF|ArrowEval", "pure codegen array expressions — no Python in the hot path"),
+    ],
+    "ar3_random_projection": [
+        (r"!hashpartitioning", "projection sketch is row-local — no hash shuffle anywhere in the plan"),
+    ],
+    "dd8_repetition_scrub": [
+        (r"!hashpartitioning", "repetition scrub is row-local — no hash shuffle anywhere in the plan"),
+    ],
 }
 
 
@@ -359,7 +381,12 @@ def main() -> int:
         plan = buf.getvalue()
         notes = []
         for pattern, why in checks:
-            ok = re.search(pattern, plan) is not None
+            # '!'-prefixed pattern = must NOT appear (e.g. zero-shuffle
+            # claims assert the absence of any Exchange)
+            if pattern.startswith("!"):
+                ok = re.search(pattern[1:], plan) is None
+            else:
+                ok = re.search(pattern, plan) is not None
             notes.append(f"- {'✅' if ok else '❌'} `{pattern}` — {why}")
             if not ok:
                 failures.append((name, pattern))
