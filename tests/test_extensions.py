@@ -295,3 +295,34 @@ class TestVectorQuantization:
             assert [r.p0, r.p1, r.p2, r.p3] == p.tolist()
             assert r.bucket == sum(1 << j for j in range(4) if p[j] > 0)
             assert 0 <= r.bucket < 16
+
+
+class TestClusterEdgeContraction:
+    def test_contracted_edges_same_components_as_full_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.operators.dedup import (
+            minhash_cluster_edges,
+            minhash_lsh_pairs,
+        )
+        from aristoteles_spark.operators.graph import connected_components
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        kw = dict(num_hashes=16, bands=4, threshold=0.5)
+        nodes = d.select(F.col("doc_id").alias("doc"))
+        full = {
+            (r.node, r.cluster)
+            for r in connected_components(
+                nodes, minhash_lsh_pairs(d, **kw)
+            ).collect()
+        }
+        contracted = {
+            (r.node, r.cluster)
+            for r in connected_components(
+                nodes, minhash_cluster_edges(d, **kw)
+            ).collect()
+        }
+        assert contracted == full and len(full) > 0
+        n_full = minhash_lsh_pairs(d, **kw).count()
+        n_contracted = minhash_cluster_edges(d, **kw).count()
+        assert n_contracted <= n_full
