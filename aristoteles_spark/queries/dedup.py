@@ -140,6 +140,35 @@ def q_repetition_scrub(spark, sf_dir):
     )
 
 
+def q_fuzzy_name_match(spark, sf_dir):
+    """Entity resolution / fuzzy matching: pairs of distinct part names
+    within edit distance 4, blocked on the trailing token so the
+    quadratic levenshtein only runs inside blocks (the standard
+    blocking+residual recipe — at scale the distinct-name table is the
+    product of a partial-agg dedup, orders smaller than the fact table,
+    and the block key join replaces the n^2 cross compare)."""
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = p.select(
+        F.col("p_name").alias("name_a"),
+        F.substring_index("p_name", " ", -1).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_name").alias("name_b"),
+        F.substring_index("p_name", " ", -1).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 4)
+        )
+        .select(
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
 def q_cluster_representatives(spark, sf_dir):
     """'Keep one per cluster', quality-aware: for each exact-dup group pick
     the member with the best quality score (ties -> lowest doc_id) and
@@ -179,6 +208,7 @@ QUERIES = {
     "dd7_dup_clusters": q_dup_clusters,
     "dd8_repetition_scrub": q_repetition_scrub,
     "dd9_cluster_representatives": q_cluster_representatives,
+    "fz1_fuzzy_name_match": q_fuzzy_name_match,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -209,6 +239,16 @@ ORACLE = {
         "FROM documents GROUP BY digest ORDER BY digest"
     ),
     "dd9_cluster_representatives": None,  # filled below (_QUALITY import)
+    "fz1_fuzzy_name_match": (
+        "WITH n AS (SELECT DISTINCT p_name FROM part) "
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+        "levenshtein(a.p_name, b.p_name) AS dist "
+        "FROM n a JOIN n b "
+        "ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2) "
+        "AND a.p_name < b.p_name "
+        "AND levenshtein(a.p_name, b.p_name) <= 4 "
+        "ORDER BY name_a, name_b"
+    ),
     "dd8_repetition_scrub": (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
         "FROM documents), "

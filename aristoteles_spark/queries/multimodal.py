@@ -34,10 +34,32 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_perceptual_buckets(spark, sf_dir):
+    """Multimodal near-dup BLOCKING: bucket decoded payloads on coarse
+    perceptual features (channel count x 1/16-quantized mean pixel) — the
+    candidate-generation step an image dedup pipeline runs so the
+    expensive pairwise compare only happens within buckets. The decode is
+    the Arrow-batched mapInPandas stage (real plumbing, fake kernel);
+    the bucketing is one partial-aggregated groupBy — at 100 TB the blob
+    bytes never shuffle, only (doc_id, tiny features)."""
+    from pyspark.sql import functions as F
+
+    feats = decode_features(_docs(spark, sf_dir))
+    return (
+        feats.groupBy(
+            "channels",
+            F.floor(F.col("mean_px") * 16).cast("int").alias("px_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("channels", "px_band")
+    )
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
+    "mm4_perceptual_buckets": q_perceptual_buckets,
 }
 
 
@@ -68,5 +90,14 @@ ORACLE = {
         # corpus is pure ASCII (verified octet_length == length for all rows)
         f"md5(substr(text, 1, {FRAME_BYTES})) AS frame0_digest "
         "FROM documents ORDER BY doc_id"
+    ),
+    "mm4_perceptual_buckets": (
+        f"WITH feats AS (SELECT doc_id, "
+        f"CAST(1 + {_hex_int(8, 1)} % 4 AS INTEGER) AS channels, "
+        f"{_hex_int(9, 4)} / 65535.0 AS mean_px "
+        "FROM documents) "
+        "SELECT channels, CAST(floor(mean_px * 16) AS INT) AS px_band, "
+        "count(*) AS n_docs, min(doc_id) AS keep_id "
+        "FROM feats GROUP BY channels, px_band ORDER BY channels, px_band"
     ),
 }
