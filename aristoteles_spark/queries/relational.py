@@ -433,7 +433,28 @@ def q_semi_anti_self(spark, sf_dir):
     )
 
 
+# one ANSI string, two engines: the literal SQL surface (plans/sql.py)
+# is exercised by running the SAME text through spark.sql and the duckdb
+# oracle — parser/analyzer/optimizer parity on shared dialect, the Spark
+# analogue of the reference's pushed-down SQL statements
+# (aristoteles/aristoteles.py:240,304,340-345).
+_SQ1_SQL = (
+    "SELECT o_orderpriority, count(*) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+    "FROM orders "
+    "WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01' "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_surface(spark, sf_dir):
+    from aristoteles_spark.plans.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQ1_SQL)
+
+
 QUERIES = {
+    "sq1_sql_surface": q_sql_surface,
     "s2_min_probe": q_min_probe,
     "p1_projection": q_projection,
     "p2_range_count": q_range_count,
@@ -464,6 +485,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sq1_sql_surface": _SQ1_SQL,
     "s2_min_probe": "SELECT min(l_orderkey) AS min_orderkey FROM lineitem",
     "p1_projection": (
         "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
