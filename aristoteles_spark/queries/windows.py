@@ -185,7 +185,49 @@ def q_percent_rank(spark, sf_dir):
     )
 
 
+# --- gap filling + LOCF interpolation: materialize the regular hourly
+# grid (the reference's data model is exactly such a grid — 288 5-minute
+# slots/day, aristoteles/aristoteles.py:296-316 — with the completeness
+# gate counting missing slots) and carry the last observed hourly average
+# forward across empty slots. The grid is sequence+explode from a
+# single-row bounds aggregate — built in-row, broadcast-joined to the
+# (tiny) per-slot aggregate; the LOCF is one keyed window. No UDF, no
+# driver loop, and the fact table shuffles once for the slot aggregate.
+def q_gapfill_locf(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    slots = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(slots))
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count("value")
+        ).alias("hourly_avg"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slot")
+    return (
+        grid.join(agg, ["event_type", "slot"], "left")
+        .select(
+            "event_type",
+            "slot",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("hourly_avg", ignorenulls=True).over(w).alias("locf_avg"),
+        )
+        .orderBy("event_type", "slot")
+    )
+
+
 QUERIES = {
+    "wb5_gapfill_locf": q_gapfill_locf,
     "wf1_row_number": q_row_number,
     "wf2_lag_delta": q_lag_delta,
     "wf3_running_sum": q_running_sum,
@@ -199,6 +241,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "wb5_gapfill_locf": """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events
+), slots AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS slot, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value)
+           AS hourly_avg
+  FROM events GROUP BY event_type, slot
+)
+SELECT t.event_type, s.slot, coalesce(a.n, 0) AS n_events,
+       last_value(a.hourly_avg IGNORE NULLS) OVER (
+         PARTITION BY t.event_type ORDER BY s.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg
+FROM types t CROSS JOIN slots s
+LEFT JOIN agg a ON a.event_type = t.event_type AND a.slot = s.slot
+ORDER BY t.event_type, s.slot
+""",
     "wf7_percent_rank": (
         "SELECT o_orderpriority, o_orderkey, o_totalprice, "
         "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank, "
