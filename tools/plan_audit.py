@@ -175,6 +175,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "dd8_repetition_scrub": [
         (r"!hashpartitioning", "repetition scrub is row-local — no hash shuffle anywhere in the plan"),
     ],
+    "wb5_gapfill_locf": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "hourly slot aggregate is partial-aggregated before its shuffle"),
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "the generated slot grid broadcasts — the fact table never joins by shuffle"),
+    ],
+    "fz1_fuzzy_name_match": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "distinct names via two-phase aggregate before any compare"),
+        (r"levenshtein", "edit distance runs as a codegen expression, not a UDF"),
+    ],
 }
 
 
