@@ -85,6 +85,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster) — cluster = min node id reachable via edges.
 
@@ -127,12 +128,54 @@ def connected_components(
         .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
         .distinct()
     )
-    cnodes = contracted.select(F.col("src").alias("node")).unionByName(
-        contracted.select(F.col("dst").alias("node"))
-    ).distinct()
-    roots = _iterate_min_label(cnodes, contracted, max_iter).withColumnsRenamed(
-        {"node": "r_node", "cluster": "r_cluster"}
-    )
+    contracted = contracted.localCheckpoint()
+
+    # the contracted graph is bounded by #partial-clusters, not #edges —
+    # orders of magnitude below the raw input. When it fits on the driver
+    # (default 2M edges ~ tens of MB), a single union-find with path
+    # compression replaces the whole iterative loop (one collect + one
+    # broadcast join instead of ~2 jobs/round x O(log diameter) rounds).
+    # Same min-root labels: union attaches the larger root under the
+    # smaller, so each component's root is its minimum id — exactly the
+    # fixpoint of min-label propagation. The distributed pointer-halving
+    # loop remains the fallback above the threshold.
+    if contracted.count() <= max_driver_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in contracted.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        if not mapping:
+            return level1
+        spark = level1.sparkSession
+        ntype = level1.schema["cluster"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        map_df = spark.createDataFrame(
+            mapping,
+            StructType(
+                [StructField("r_node", ntype), StructField("r_cluster", ntype)]
+            ),
+        )
+        roots = F.broadcast(map_df)
+    else:
+        cnodes = contracted.select(F.col("src").alias("node")).unionByName(
+            contracted.select(F.col("dst").alias("node"))
+        ).distinct()
+        roots = _iterate_min_label(cnodes, contracted, max_iter).withColumnsRenamed(
+            {"node": "r_node", "cluster": "r_cluster"}
+        )
 
     # map level-1 labels through the contracted-graph roots
     return level1.join(

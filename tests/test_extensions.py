@@ -326,3 +326,26 @@ class TestClusterEdgeContraction:
         n_full = minhash_lsh_pairs(d, **kw).count()
         n_contracted = minhash_cluster_edges(d, **kw).count()
         assert n_contracted <= n_full
+
+
+class TestUnionFindVsDistributed:
+    def test_driver_union_find_matches_distributed_loop(self, spark):
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.operators.dedup import minhash_cluster_edges
+        from aristoteles_spark.operators.graph import connected_components
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        edges = minhash_cluster_edges(d, num_hashes=16, bands=4, threshold=0.5)
+        nodes = d.select(F.col("doc_id").alias("doc"))
+        driver = {
+            (r.node, r.cluster)
+            for r in connected_components(nodes, edges).collect()
+        }
+        distributed = {
+            (r.node, r.cluster)
+            for r in connected_components(
+                nodes, edges, max_driver_edges=0
+            ).collect()
+        }
+        assert driver == distributed and len(driver) > 0
