@@ -108,7 +108,11 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}  [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(s_rows)} rows  [{time.time()-t0:.1f}s]")
+            # a 0-row match is vacuous — both engines agree on nothing.
+            # Flag it so testdata regeneration can't silently hollow out
+            # a query (its literals may no longer select anything).
+            empty = " (WARN: empty result — vacuous match)" if not s_rows else ""
+            print(f"PASS {name}: {len(s_rows)} rows{empty}  [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
     return 1 if n_fail else 0
