@@ -67,8 +67,15 @@ def run(
     stop: dt.date | None = None,
     force: bool = False,
     today: dt.date | None = None,
+    batch: bool = False,
 ) -> RunResult:
-    """One incremental run: catch up every unwritten complete day."""
+    """One incremental run: catch up every unwritten complete day.
+
+    ``batch=True`` takes the scale path: the same state read, target
+    selection, and completeness gate, but every pending day lands in ONE
+    partitioned write (batch_write_days) instead of the reference's
+    crash-safe day-at-a-time loop — the trade a 100 TB catch-up makes
+    (state advances once, after the whole span commits)."""
     prom = PromBuffer()
     result = RunResult(status=0)
     try:
@@ -101,6 +108,13 @@ def run(
         if incomplete and not force:
             result.incomplete_stations = incomplete
             return result  # status 0: defer the whole backlog
+
+        if batch:
+            result.rows_written = batch_write_days(spark, conf, first_day, target)
+            result.days_written = len(list(D.span_range(first_day, target)))
+            prom.add("days_written", result.days_written)
+            prom.add("rows_written", result.rows_written)
+            return result
 
         for day in D.span_range(first_day, target):
             lo, hi = D.day_bounds(day)
@@ -180,4 +194,10 @@ def batch_write_days(
     for day in {D.month_floor(d) for d in D.span_range(first, last)}:
         _write_sidecar(conf.archive, acq_name(day, conf.instrument), conf.instrument, conf.stations)
     S.write_state(conf.state_path, last)
-    return out.count()
+    # count by reading the written span back (partition-pruned) — verifies
+    # the sink instead of recomputing the whole source->convert plan
+    return (
+        spark.read.parquet(conf.archive)
+        .where(F.col("date").between(F.lit(first), F.lit(last)))
+        .count()
+    )
