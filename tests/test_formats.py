@@ -153,3 +153,59 @@ class TestHdf5Export:
             )
         # layout still computed and carried on the exception
         assert ei.value.args[1]["index_map"]["stB"] == [800.0]
+
+
+class TestCompaction:
+    def test_compacts_fragments_and_preserves_data(self, spark, tmp_path):
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.sinks.compact import compact_partitions
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        path = str(tmp_path / "frag")
+        # fragment: many tiny files per partition
+        e.repartition(16).write.partitionBy("event_type").parquet(path)
+        before_files = glob.glob(f"{path}/event_type=*/*.parquet")
+        before = spark.read.parquet(path).orderBy("event_id").collect()
+
+        n = compact_partitions(
+            spark, path, ["event_type"], cluster_cols=["ts"]
+        )
+        after_files = glob.glob(f"{path}/event_type=*/*.parquet")
+        after = spark.read.parquet(path).orderBy("event_id").collect()
+
+        assert n == len(before)
+        assert len(after_files) < len(before_files)
+        # one file per partition at this scale
+        assert len(after_files) == spark.read.parquet(path).select(
+            "event_type"
+        ).distinct().count()
+        assert after == before
+
+    def test_where_limits_rewrite_scope(self, spark, tmp_path):
+        import glob
+
+        from aristoteles_spark.sinks.compact import compact_partitions
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        path = str(tmp_path / "scoped")
+        e.repartition(8).write.partitionBy("event_type").parquet(path)
+        target = "event_type = 'click'"
+        others_before = sorted(
+            f for f in glob.glob(f"{path}/event_type=*/*.parquet")
+            if "event_type=click" not in f
+        )
+        compact_partitions(spark, path, ["event_type"], where=target)
+        others_after = sorted(
+            f for f in glob.glob(f"{path}/event_type=*/*.parquet")
+            if "event_type=click" not in f
+        )
+        # untouched partitions keep their exact files
+        assert others_after == others_before
+        assert len(glob.glob(f"{path}/event_type=click/*.parquet")) == 1
