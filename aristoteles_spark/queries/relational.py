@@ -147,8 +147,11 @@ def q_pricing_summary(spark, sf_dir):
 
 # --- breadth: semi/anti joins (customers with no orders)
 def q_anti_join(spark, sf_dir):
+    # customers with no URGENT order — the filtered build side keeps the
+    # anti join non-vacuous on the driver corpus (every customer has at
+    # least one order, so an unfiltered NOT IN would select nothing)
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -525,7 +528,8 @@ ORACLE = {
     ),
     "j2_anti_join": (
         "SELECT c_custkey, c_name FROM customer "
-        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey"
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey"
     ),
     "g2_distinct": (
         "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
