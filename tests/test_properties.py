@@ -190,3 +190,56 @@ def test_kmv_exact_when_distinct_below_k(spark, vals):
     df = spark.createDataFrame([(v,) for v in vals], "x long")
     row = kmv_distinct_estimate(df, "x", k=256).collect()[0]
     assert row.est_distinct == float(len(set(vals)))
+
+
+# ------------------------------------------------------ interval join (at2)
+@PROP
+@given(
+    probe=st.lists(st.integers(0, 3000), min_size=1, max_size=20),
+    build=st.lists(st.integers(0, 3000), min_size=0, max_size=20),
+    radius=st.integers(1, 600),
+)
+def test_interval_join_binned_matches_bruteforce(spark, probe, build, radius):
+    import datetime as dt
+
+    from aristoteles_spark.operators.temporal import interval_join_binned
+
+    base = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(probe)],
+        "pid long, ts timestamp",
+    )
+    b = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=s)) for j, s in enumerate(build)],
+        "bid long, ts timestamp",
+    )
+    got = {
+        (r.pid, r._b_bid)
+        for r in interval_join_binned(p, b, "ts", "ts", radius).collect()
+    }
+    want = {
+        (i, j)
+        for i, sp in enumerate(probe)
+        for j, sb in enumerate(build)
+        if abs(sb - sp) <= radius
+    }
+    assert got == want
+
+
+# --------------------------------------------------- run collapse (dd8 core)
+@PROP
+@given(toks=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30))
+def test_repetition_scrub_matches_python_model(spark, toks):
+    from aristoteles_spark.queries.dedup import q_repetition_scrub  # noqa: F401 (shape ref)
+
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    kept = F.filter(
+        F.split("text", " "),
+        lambda x, i: (i == F.lit(0))
+        | ~x.eqNullSafe(F.get(F.split(F.col("text"), " "), i - F.lit(1))),
+    )
+    got = df.select(F.array_join(kept, " ").alias("c")).collect()[0].c
+    want = " ".join(
+        x for i, x in enumerate(toks) if i == 0 or x != toks[i - 1]
+    )
+    assert got == want
