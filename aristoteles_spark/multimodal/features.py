@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -80,6 +81,56 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("resized_digest", StringType()),
+    ]
+)
+
+RESIZE_TARGET = 256
+
+
+def resize_features(
+    df: DataFrame, id_col: str = "doc_id", target: int = RESIZE_TARGET
+) -> DataFrame:
+    """Arrow-batched resize stage: decode -> aspect-fit into a target box
+    -> digest of the (fake) resized payload. Dimension math is pure
+    integer arithmetic (out_w = max(1, w*target // max(w,h))) so the SQL
+    oracle reproduces it exactly; the real kernel would call
+    PIL.Image.thumbnail in the same mapInPandas seam with the same
+    schema and batching."""
+    import hashlib
+
+    from aristoteles_spark.multimodal.codecs import fake_decode_meta
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p)
+                w, h, _, _ = fake_decode_meta(payload)
+                m = max(w, h)
+                ow = max(1, w * target // m)
+                oh = max(1, h * target // m)
+                d = hashlib.md5(
+                    (hashlib.md5(payload).hexdigest() + f":{ow}x{oh}").encode()
+                ).hexdigest()
+                rows.append((did, w, h, ow, oh, d))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h", "resized_digest"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize_batches, RESIZE_SCHEMA)
 
 
 def frame_sample(

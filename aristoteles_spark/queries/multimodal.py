@@ -10,9 +10,11 @@ from __future__ import annotations
 from aristoteles_spark.multimodal.features import (
     FRAME_BYTES,
     FRAME_STRIDE,
+    RESIZE_TARGET,
     binary_stats,
     decode_features,
     frame_sample,
+    resize_features,
     with_payload,
 )
 from aristoteles_spark.sources.parquet_source import load_table
@@ -55,11 +57,18 @@ def q_perceptual_buckets(spark, sf_dir):
     )
 
 
+def q_resize(spark, sf_dir):
+    """Batch resize stage (decode -> aspect-fit -> re-encode digest)
+    through the same Arrow-batched mapInPandas seam as mm2."""
+    return resize_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
+    "mm5_resize": q_resize,
 }
 
 
@@ -90,6 +99,20 @@ ORACLE = {
         # corpus is pure ASCII (verified octet_length == length for all rows)
         f"md5(substr(text, 1, {FRAME_BYTES})) AS frame0_digest "
         "FROM documents ORDER BY doc_id"
+    ),
+    "mm5_resize": (
+        f"WITH d AS (SELECT doc_id, text, "
+        f"CAST(1 + {_hex_int(0, 4)} % 1024 AS INTEGER) AS width, "
+        f"CAST(1 + {_hex_int(4, 4)} % 1024 AS INTEGER) AS height "
+        "FROM documents), "
+        "r AS (SELECT doc_id, text, width, height, "
+        f"CAST(greatest(1, (width * {RESIZE_TARGET}) // greatest(width, height)) AS INTEGER) AS out_w, "
+        f"CAST(greatest(1, (height * {RESIZE_TARGET}) // greatest(width, height)) AS INTEGER) AS out_h "
+        "FROM d) "
+        "SELECT doc_id, width, height, out_w, out_h, "
+        "md5(md5(text) || ':' || CAST(out_w AS VARCHAR) || 'x' || "
+        "CAST(out_h AS VARCHAR)) AS resized_digest "
+        "FROM r ORDER BY doc_id"
     ),
     "mm4_perceptual_buckets": (
         f"WITH feats AS (SELECT doc_id, "
