@@ -185,6 +185,41 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_quality_report(spark, sf_dir):
+    """Data-quality audit (Deequ-style constraint suite) as one query:
+    primary-key duplicate count, null counts, referential orphans
+    (lineitem rows whose order is missing — left-anti), and domain-range
+    violations. Null/range checks ride the same scan as one conditional
+    aggregate (no extra pass); the PK check is a partial-agg groupBy; the
+    orphan check is the only join. Returns a single-row report — the gate
+    a pipeline evaluates before publishing a table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    dup_pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_pk"))
+    )
+    scan_checks = li.agg(
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "null_qty"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("bad_discount"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+    )
+    orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("orphan_lines")
+    )
+    return dup_pk.crossJoin(scan_checks).crossJoin(orphans)
+
+
 def q_top_paths(spark, sf_dir):
     """Top-10 session event paths: sessionize per user (30-minute gap),
     concatenate the session's event types in time order, count paths
@@ -342,6 +377,7 @@ QUERIES = {
     "an1_funnel": q_funnel,
     "an2_retention_cohorts": q_retention_cohorts,
     "an3_top_paths": q_top_paths,
+    "dq1_quality_report": q_quality_report,
     "g8_grouped_lists": q_grouped_lists,
     "g9_approx_stats": q_approx_stats,
 }
@@ -460,6 +496,19 @@ SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
        count(DISTINCT user_id) AS n_active
 FROM events JOIN first_seen USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "dq1_quality_report": """
+SELECT
+  (SELECT count(*) FROM (
+     SELECT l_orderkey, l_linenumber FROM lineitem
+     GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS dup_pk,
+  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS null_qty,
+  (SELECT count(*) FROM lineitem
+     WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+  (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0) AS bad_price,
+  (SELECT count(*) FROM lineitem l
+     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+     WHERE o.o_orderkey IS NULL) AS orphan_lines
 """,
     "an3_top_paths": """
 WITH marked AS (
