@@ -56,6 +56,23 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_variant_agg(spark, sf_dir):
+    """Semi-structured aggregation over the VARIANT type (Spark 4):
+    props parses once into the binary variant encoding, typed extraction
+    happens per-field (try_variant_get — no full-document re-parse per
+    access, unlike repeated get_json_object), and the result feeds a
+    normal partial-agg groupBy. At 100 TB variant shredding keeps wide
+    semi-structured columns scannable without a fixed schema."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_decile")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 5% sample by content hash — the reproducible sampling
     a training-data pipeline needs (same rows selected on every engine and
@@ -378,6 +395,7 @@ QUERIES = {
     "an2_retention_cohorts": q_retention_cohorts,
     "an3_top_paths": q_top_paths,
     "dq1_quality_report": q_quality_report,
+    "jx2_variant_agg": q_variant_agg,
     "g8_grouped_lists": q_grouped_lists,
     "g9_approx_stats": q_approx_stats,
 }
@@ -417,6 +435,12 @@ FROM topk
     "jx1_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
         "FROM events ORDER BY event_id"
+    ),
+    "jx2_variant_agg": (
+        "WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events) "
+        "SELECT CAST(floor(k / 10) AS INT) AS k_decile, count(*) AS n, "
+        "sum(k) AS sum_k FROM x GROUP BY k_decile ORDER BY k_decile"
     ),
     "p5_hash_sample": (
         "SELECT l_returnflag, count(*) AS n_sampled, "
