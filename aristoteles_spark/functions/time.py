@@ -19,6 +19,52 @@ def _epoch_ntz() -> Column:
     return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
 
+def ntz_epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ expression (UTC wall clock).
+    Session-timezone independent; expression-level counterpart of
+    :func:`epoch_us` for when no DataFrame schema is at hand."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MICROSECOND", _epoch_ntz(), c)
+
+
+def ntz_from_epoch_us(col: Column | str) -> Column:
+    """TIMESTAMP_NTZ (UTC wall clock) from epoch microseconds —
+    session-timezone-independent inverse of :func:`ntz_epoch_us`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add("MICROSECOND", c, _epoch_ntz())
+
+
+_US_HOUR = 3_600_000_000
+_US_DAY = 24 * _US_HOUR
+
+
+def ntz_trunc(unit: str, col: Column | str) -> Column:
+    """Session-timezone-independent truncation of a TIMESTAMP_NTZ column.
+
+    ``F.date_trunc`` silently coerces NTZ input to the zoned type via the
+    session timezone (and collect() then renders it in the *process*
+    timezone), so NTZ truncation must stay in wall-clock arithmetic:
+    hour/day/week floor in epoch-microsecond space (weeks Monday-aligned,
+    matching date_trunc), month via field extraction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if unit == "month":
+        one = F.lit(1)
+        zero = F.lit(0)
+        return F.make_timestamp_ntz(F.year(c), F.month(c), one, zero, zero, zero)
+    us = ntz_epoch_us(c)
+    if unit == "hour":
+        return ntz_from_epoch_us(us - F.pmod(us, F.lit(_US_HOUR)))
+    if unit == "day":
+        return ntz_from_epoch_us(us - F.pmod(us, F.lit(_US_DAY)))
+    if unit == "week":
+        days = F.floor(us / F.lit(_US_DAY))
+        # epoch day 0 = Thursday; (days + 3) % 7 == 0 on Mondays
+        monday = days - F.pmod(days + F.lit(3), F.lit(7))
+        return ntz_from_epoch_us(monday * F.lit(_US_DAY))
+    raise ValueError(f"unsupported ntz_trunc unit: {unit}")
+
+
 def epoch_us(df: DataFrame, col: str) -> Column:
     """Microseconds since the Unix epoch for ``df[col]``.
 

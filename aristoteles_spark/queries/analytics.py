@@ -100,17 +100,23 @@ def q_multires_rollup(spark, sf_dir):
     from aristoteles_spark.sources.parquet_source import register_views
 
     register_views(spark, sf_dir)
+    # NTZ-safe truncation in SQL: date_trunc would coerce the NTZ column
+    # through the session timezone (functions/time.py:ntz_trunc notes)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    trunc_h = f"timestampadd(MICROSECOND, -CAST({us} % 3600000000 AS BIGINT), ts)"
+    trunc_d = f"timestampadd(MICROSECOND, -CAST({us} % 86400000000 AS BIGINT), ts)"
+    trunc_m = "make_timestamp_ntz(year(ts), month(ts), 1, 0, 0, 0)"
     return spark.sql(
-        """
-        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
-               date_trunc('month', ts) AS m,
+        f"""
+        SELECT {trunc_h} AS h, {trunc_d} AS d,
+               {trunc_m} AS m,
                count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY GROUPING SETS (
-          (date_trunc('hour', ts)),
-          (date_trunc('day', ts)),
-          (date_trunc('month', ts))
+          ({trunc_h}),
+          ({trunc_d}),
+          ({trunc_m})
         )
         ORDER BY h, d, m
         """
@@ -295,9 +301,11 @@ def q_retention_cohorts(spark, sf_dir):
     cohort active that week. The first-seen table is one row per user —
     broadcast back onto the event scan; one countDistinct shuffle on the
     (small) cohort x offset grid."""
+    from aristoteles_spark.functions.time import ntz_trunc
+
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     first_seen = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        ntz_trunc("week", F.min("ts")).alias("cohort_week")
     )
     return (
         e.join(first_seen, "user_id")
@@ -305,7 +313,7 @@ def q_retention_cohorts(spark, sf_dir):
             "user_id",
             "cohort_week",
             (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                F.datediff(ntz_trunc("week", F.col("ts")), F.col("cohort_week"))
                 / 7
             )
             .cast("int")

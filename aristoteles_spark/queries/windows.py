@@ -194,14 +194,23 @@ def q_percent_rank(spark, sf_dir):
 # (tiny) per-slot aggregate; the LOCF is one keyed window. No UDF, no
 # driver loop, and the fact table shuffles once for the slot aggregate.
 def q_gapfill_locf(spark, sf_dir):
+    from aristoteles_spark.functions.time import ntz_epoch_us, ntz_from_epoch_us
+
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.date_trunc("hour", F.max("ts")).alias("t1"),
     )
+    # slots generated in epoch-microsecond space: F.sequence over NTZ
+    # timestamps coerces through the session timezone (caught under a
+    # non-UTC session), integer arithmetic cannot
     slots = bounds.select(
-        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot")
-    )
+        F.explode(
+            F.sequence(
+                ntz_epoch_us("t0"), ntz_epoch_us("t1"), F.lit(3_600_000_000)
+            )
+        ).alias("us")
+    ).select(ntz_from_epoch_us("us").alias("slot"))
     types = e.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(slots))
     agg = e.groupBy(
