@@ -1,0 +1,115 @@
+"""Structured Streaming multi-microbatch semantics.
+
+The declared st* queries run AvailableNow over ONE input file — a single
+microbatch — so they validate plumbing but not state carried ACROSS
+batches. These tests split the events table into several files and force
+one file per trigger (maxFilesPerTrigger=1): windowed aggregation state
+and applyInPandasWithState per-key state must accumulate across batches
+to the same result a single batch (or a batch groupBy) produces.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aristoteles_spark.functions.time import ntz_as_utc_instant
+from aristoteles_spark.streaming.events import (
+    EVENTS_RAW_SCHEMA,
+    hourly_rollup,
+    run_available_now,
+    user_totals_stateful,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark):
+    """events.parquet rewritten as 4 separate files in one directory."""
+    d = tempfile.mkdtemp(prefix="split_events_")
+    (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def _stream(spark, d):
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+    return raw.withColumn("ts", ntz_as_utc_instant("ts"))
+
+
+class TestMultiBatchState:
+    def test_windowed_agg_state_accumulates_across_batches(
+        self, spark, split_events_dir
+    ):
+        ev = _stream(spark, split_events_dir)
+        # watermark far larger than the data span: late-data dropping is
+        # not under test here, cross-batch accumulation is
+        out = run_available_now(
+            hourly_rollup(ev, watermark="100 days"), "mb_hourly", "complete"
+        )
+        got = {
+            (r.hour_start, r.event_type, r.n_events, round(r.sum_value, 6))
+            for r in out.collect()
+        }
+        batch = (
+            spark.read.parquet(split_events_dir)
+            .groupBy(
+                F.window(ntz_as_utc_instant("ts"), "1 hour").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,10)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+        )
+        want = {
+            (r.hour_start, r.event_type, r.n_events, round(r.sum_value, 6))
+            for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_keyed_python_state_carries_across_batches(
+        self, spark, split_events_dir
+    ):
+        ev = _stream(spark, split_events_dir)
+        out = run_available_now(
+            user_totals_stateful(ev), "mb_user_totals", "append"
+        ).collect()
+        # append mode emits a row per (user, batch-with-activity); the row
+        # with the highest n_events is the final accumulated state
+        final = {}
+        for r in out:
+            cur = final.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                final[r.user_id] = (r.n_events, r.sum_value)
+        batch = (
+            spark.read.parquet(split_events_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
+        want = {r.user_id: (r.n, r.s) for r in batch.collect()}
+        assert set(final) == set(want)
+        for uid, (n, s) in final.items():
+            assert n == want[uid][0]
+            assert abs(s - want[uid][1]) < 1e-6
+        # at least one user must have been emitted in >1 batch, proving
+        # state actually carried across microbatches
+        emitted_counts: dict = {}
+        for r in out:
+            emitted_counts[r.user_id] = emitted_counts.get(r.user_id, 0) + 1
+        assert max(emitted_counts.values()) > 1
