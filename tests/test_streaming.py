@@ -113,3 +113,70 @@ class TestMultiBatchState:
         for r in out:
             emitted_counts[r.user_id] = emitted_counts.get(r.user_id, 0) + 1
         assert max(emitted_counts.values()) > 1
+
+
+class TestCheckpointRecovery:
+    def test_resume_from_checkpoint_processes_only_new_files(self, spark):
+        """The incremental-ingest contract: run to completion, add more
+        input files, resume with the SAME checkpoint — the second run
+        starts from the recorded file index (no reprocessing) and the
+        combined result equals a batch query over everything."""
+        import os
+        import shutil
+
+        src = tempfile.mkdtemp(prefix="ckpt_src_")
+        ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+        full = spark.read.parquet(f"{SF}/events.parquet").repartition(4)
+        parts = tempfile.mkdtemp(prefix="ckpt_parts_")
+        full.write.mode("overwrite").parquet(parts)
+        files = sorted(
+            f for f in os.listdir(parts) if f.endswith(".parquet")
+        )
+        assert len(files) == 4
+
+        def run_once():
+            ev = _stream(spark, src)
+            q = (
+                hourly_rollup(ev, watermark="100 days")
+                .writeStream.format("memory")
+                .queryName("ckpt_hourly")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = len(q.recentProgress)
+            q.stop()
+            return n_batches
+
+        # phase 1: two files
+        for f in files[:2]:
+            shutil.copy(os.path.join(parts, f), os.path.join(src, f))
+        run_once()
+        partial = {
+            (r.hour_start, r.event_type): r.n_events
+            for r in spark.table("ckpt_hourly").collect()
+        }
+        # phase 2: add the remaining files, resume from the same checkpoint
+        for f in files[2:]:
+            shutil.copy(os.path.join(parts, f), os.path.join(src, f))
+        run_once()
+        resumed = {
+            (r.hour_start, r.event_type): r.n_events
+            for r in spark.table("ckpt_hourly").collect()
+        }
+
+        batch = (
+            spark.read.parquet(parts)
+            .groupBy(
+                F.window(ntz_as_utc_instant("ts"), "1 hour").alias("w"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("h"), "event_type", "n")
+        )
+        want = {(r.h, r.event_type): r.n for r in batch.collect()}
+        assert resumed == want
+        # phase 1 must have been a strict subset (less data processed)
+        assert sum(partial.values()) < sum(resumed.values())
