@@ -85,7 +85,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
-    max_driver_edges: int = 2_000_000,
+    max_driver_edges: int = 250_000,
 ) -> DataFrame:
     """(node, cluster) — cluster = min node id reachable via edges.
 
@@ -132,7 +132,8 @@ def connected_components(
 
     # the contracted graph is bounded by #partial-clusters, not #edges —
     # orders of magnitude below the raw input. When it fits on the driver
-    # (default 2M edges ~ tens of MB), a single union-find with path
+    # (default 250k edges — collected Rows are ~150-200 B each, so the
+    # collect stays under ~50 MB of driver heap), a union-find with path
     # compression replaces the whole iterative loop (one collect + one
     # broadcast join instead of ~2 jobs/round x O(log diameter) rounds).
     # Same min-root labels: union attaches the larger root under the

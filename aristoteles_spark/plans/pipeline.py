@@ -111,7 +111,18 @@ def run(
 
         if batch:
             result.rows_written = batch_write_days(spark, conf, first_day, target)
-            result.days_written = len(list(D.span_range(first_day, target)))
+            if result.rows_written:
+                # count the days that actually produced output (read back
+                # from the partition listing, pruned to the span)
+                import pyspark.sql.functions as F
+
+                result.days_written = (
+                    spark.read.parquet(conf.archive)
+                    .where(F.col("date").between(F.lit(first_day), F.lit(target)))
+                    .select("date")
+                    .distinct()
+                    .count()
+                )
             prom.add("days_written", result.days_written)
             prom.add("rows_written", result.rows_written)
             return result
@@ -170,6 +181,10 @@ def batch_write_days(
     _, hi = D.day_bounds(last)
     df = read_stations(spark, db_paths, lo, hi)
     if df.isEmpty():
+        # nothing to write for the whole span — still advance the
+        # watermark (the loop path advances per skipped day; without this
+        # an all-empty span would be re-scanned on every subsequent run)
+        S.write_state(conf.state_path, last)
         return 0
     converted = convert_dataframe(df, strict=conf.strict_units)
     ts = F.to_timestamp(F.col("dateTime"))

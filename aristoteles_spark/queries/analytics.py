@@ -64,7 +64,10 @@ def q_variant_agg(spark, sf_dir):
     normal partial-agg groupBy. At 100 TB variant shredding keeps wide
     semi-structured columns scannable without a fixed schema."""
     e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json: a malformed row degrades to NULL (grouped under the
+    # NULL decile) instead of failing the query — matching the oracle's
+    # json_extract_string NULL propagation
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         e.select(k.alias("k"))
         .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))

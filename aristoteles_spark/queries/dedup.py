@@ -147,14 +147,17 @@ def q_fuzzy_name_match(spark, sf_dir):
     blocking+residual recipe — at scale the distinct-name table is the
     product of a partial-agg dedup, orders smaller than the fact table,
     and the block key join replaces the n^2 cross compare)."""
+    # block on the FIRST token: substring_index(…, 1) and duckdb's
+    # split_part(…, 1) agree on every input shape (including names with
+    # no or many delimiters), so the oracle stays a literal transliteration
     p = load_table(spark, sf_dir, "part").select("p_name").distinct()
     a = p.select(
         F.col("p_name").alias("name_a"),
-        F.substring_index("p_name", " ", -1).alias("blk"),
+        F.substring_index("p_name", " ", 1).alias("blk"),
     )
     b = p.select(
         F.col("p_name").alias("name_b"),
-        F.substring_index("p_name", " ", -1).alias("blk"),
+        F.substring_index("p_name", " ", 1).alias("blk"),
     )
     return (
         a.join(b, "blk")
@@ -244,7 +247,7 @@ ORACLE = {
         "SELECT a.p_name AS name_a, b.p_name AS name_b, "
         "levenshtein(a.p_name, b.p_name) AS dist "
         "FROM n a JOIN n b "
-        "ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2) "
+        "ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1) "
         "AND a.p_name < b.p_name "
         "AND levenshtein(a.p_name, b.p_name) <= 4 "
         "ORDER BY name_a, name_b"

@@ -194,12 +194,16 @@ def q_percent_rank(spark, sf_dir):
 # (tiny) per-slot aggregate; the LOCF is one keyed window. No UDF, no
 # driver loop, and the fact table shuffles once for the slot aggregate.
 def q_gapfill_locf(spark, sf_dir):
-    from aristoteles_spark.functions.time import ntz_epoch_us, ntz_from_epoch_us
+    from aristoteles_spark.functions.time import (
+        ntz_epoch_us,
+        ntz_from_epoch_us,
+        ntz_trunc,
+    )
 
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
+        ntz_trunc("hour", F.min("ts")).alias("t0"),
+        ntz_trunc("hour", F.max("ts")).alias("t1"),
     )
     # slots generated in epoch-microsecond space: F.sequence over NTZ
     # timestamps coerces through the session timezone (caught under a
@@ -214,7 +218,7 @@ def q_gapfill_locf(spark, sf_dir):
     types = e.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(slots))
     agg = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("slot")
+        "event_type", ntz_trunc("hour", "ts").alias("slot")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         (

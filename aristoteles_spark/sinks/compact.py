@@ -36,6 +36,24 @@ def compact_partitions(
     """
     df = spark.read.parquet(path)
     if where:
+        # the predicate must touch only partition columns: a data-column
+        # predicate would silently DROP the non-matching rows of every
+        # rewritten partition (overwrite writes back just the selection)
+        try:
+            # analyze against a local relation holding ONLY the partition
+            # columns (a projection of the real table would still resolve
+            # data columns through the child via ResolveMissingReferences)
+            from pyspark.sql.types import StructType
+
+            part_schema = StructType(
+                [f for f in df.schema.fields if f.name in partition_cols]
+            )
+            spark.createDataFrame([], part_schema).where(where).schema
+        except Exception as e:
+            raise ValueError(
+                f"compaction `where` must reference only partition columns "
+                f"{partition_cols}: {e}"
+            ) from e
         df = df.where(where)
     # break lineage to the source files: Spark refuses to overwrite a path
     # its plan still reads. localCheckpoint materializes the selected rows

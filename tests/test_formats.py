@@ -209,3 +209,16 @@ class TestCompaction:
         # untouched partitions keep their exact files
         assert others_after == others_before
         assert len(glob.glob(f"{path}/event_type=click/*.parquet")) == 1
+
+    def test_rejects_data_column_predicate(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from aristoteles_spark.sinks.compact import compact_partitions
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        path = str(tmp_path / "guard")
+        e.write.partitionBy("event_type").parquet(path)
+        with _pytest.raises(ValueError, match="partition columns"):
+            compact_partitions(spark, path, ["event_type"], where="value > 0")

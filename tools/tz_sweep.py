@@ -48,10 +48,17 @@ def canon(v):
 
 
 def main():
+    import time as _time
+
     import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+
+    # shift the PROCESS timezone too: collect() renders zoned timestamps
+    # via the driver process zone, not the session zone
+    os.environ["TZ"] = TZ
+    _time.tzset()
 
     spark = (
         SparkSession.builder.master("local[16]")
