@@ -308,7 +308,32 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_negative_samples(spark, sf_dir):
+    """Contrastive-training negative sampling: k=3 pseudo-random negative
+    partner documents per document via a deterministic affine hash over
+    the corpus size, self-matches re-rolled to the next id. Row-local
+    arithmetic (one explode, zero shuffle besides the presentation sort) —
+    the pair-generation step of contrastive/embedding training. The
+    modular products stay within int64 here; a corpus where n*multiplier
+    approaches 2^63 would split the multiply with repeated pmod."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    base = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j")
+    )
+    raw = F.pmod(
+        F.pmod("doc_id", F.lit(n)) * F.lit(2654435761 % n)
+        + F.col("j") * F.lit(40503),
+        F.lit(n),
+    )
+    neg = F.when(raw == F.col("doc_id"), F.pmod(raw + 1, F.lit(n))).otherwise(raw)
+    return base.select(
+        "doc_id", "j", neg.cast("long").alias("neg_id")
+    ).orderBy("doc_id", "j")
+
+
 QUERIES = {
+    "ns1_negative_samples": q_negative_samples,
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
     "tx3_langid": q_langid,
@@ -454,6 +479,16 @@ WITH base AS (
 SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+""",
+    "ns1_negative_samples": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+js AS (SELECT unnest(range(1, 4)) AS j),
+b AS (SELECT doc_id, j, n,
+      ((doc_id % n) * (2654435761 % n) + j * 40503) % n AS r
+      FROM documents CROSS JOIN js CROSS JOIN nn)
+SELECT doc_id, CAST(j AS INT) AS j,
+       CAST(CASE WHEN r = doc_id THEN (r + 1) % n ELSE r END AS BIGINT) AS neg_id
+FROM b ORDER BY doc_id, j
 """,
     "ct1_contamination": f"""
 WITH toks AS (
