@@ -56,6 +56,29 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_three_way_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash of the doc id — the reproducible split every training pipeline
+    needs (stable across runs, engines, and re-partitioning; rand()-based
+    splits are none of those). Row-local hash + one partial-agg groupBy."""
+    from aristoteles_spark.functions.text import h32
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = h32(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"), "doc_id", "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 def q_variant_agg(spark, sf_dir):
     """Semi-structured aggregation over the VARIANT type (Spark 4):
     props parses once into the binary variant encoding, typed extraction
@@ -407,6 +430,7 @@ QUERIES = {
     "an3_top_paths": q_top_paths,
     "dq1_quality_report": q_quality_report,
     "jx2_variant_agg": q_variant_agg,
+    "p7_three_way_split": q_three_way_split,
     "g8_grouped_lists": q_grouped_lists,
     "g9_approx_stats": q_approx_stats,
 }
@@ -446,6 +470,15 @@ FROM topk
     "jx1_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
         "FROM events ORDER BY event_id"
+    ),
+    "p7_three_way_split": (
+        "WITH s AS (SELECT source, n_chars, "
+        "CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) "
+        "AS BIGINT) % 10 AS b FROM documents) "
+        "SELECT source, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' "
+        "ELSE 'test' END AS split, count(*) AS n_docs, "
+        "sum(n_chars) AS total_chars "
+        "FROM s GROUP BY source, split ORDER BY source, split"
     ),
     "jx2_variant_agg": (
         "WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
