@@ -110,19 +110,9 @@ def run(
             return result  # status 0: defer the whole backlog
 
         if batch:
-            result.rows_written = batch_write_days(spark, conf, first_day, target)
-            if result.rows_written:
-                # count the days that actually produced output (read back
-                # from the partition listing, pruned to the span)
-                import pyspark.sql.functions as F
-
-                result.days_written = (
-                    spark.read.parquet(conf.archive)
-                    .where(F.col("date").between(F.lit(first_day), F.lit(target)))
-                    .select("date")
-                    .distinct()
-                    .count()
-                )
+            result.rows_written, result.days_written = batch_write_days(
+                spark, conf, first_day, target
+            )
             prom.add("days_written", result.days_written)
             prom.add("rows_written", result.rows_written)
             return result
@@ -163,13 +153,20 @@ def batch_write_days(
     conf: PipelineConfig,
     first: dt.date,
     last: dt.date,
-) -> int:
+) -> tuple[int, int]:
     """Scale path: ALL pending days in one partitioned write (single job).
 
     One ranged read per station covering the whole span, conversion, then a
     single write partitioned by (acq, date) — Spark writes every day in
     parallel instead of the reference's serial day loop. Trades per-day
     watermark granularity for throughput; state advances once at the end.
+
+    Returns ``(rows_written, days_written)`` counted from THIS job's
+    output frame — not from a readback of the whole [first, last] span,
+    which would also count rows that pre-existed in the archive (a forced
+    re-run, or a day whose source went empty so dynamic overwrite left
+    the old partition) and overstate the run's metrics relative to the
+    per-day loop.
     """
     import pyspark.sql.functions as F
 
@@ -185,7 +182,7 @@ def batch_write_days(
         # watermark (the loop path advances per skipped day; without this
         # an all-empty span would be re-scanned on every subsequent run)
         S.write_state(conf.state_path, last)
-        return 0
+        return 0, 0
     converted = convert_dataframe(df, strict=conf.strict_units)
     ts = F.to_timestamp(F.col("dateTime"))
     out = (
@@ -209,10 +206,10 @@ def batch_write_days(
     for day in {D.month_floor(d) for d in D.span_range(first, last)}:
         _write_sidecar(conf.archive, acq_name(day, conf.instrument), conf.instrument, conf.stations)
     S.write_state(conf.state_path, last)
-    # count by reading the written span back (partition-pruned) — verifies
-    # the sink instead of recomputing the whole source->convert plan
-    return (
-        spark.read.parquet(conf.archive)
-        .where(F.col("date").between(F.lit(first), F.lit(last)))
-        .count()
-    )
+    # metrics from this job's own output frame (one extra agg job over the
+    # tiny per-day source; a span readback would double-count pre-existing
+    # partitions the dynamic overwrite didn't touch)
+    rows, days = out.agg(
+        F.count(F.lit(1)), F.count_distinct("date")
+    ).first()
+    return int(rows), int(days)

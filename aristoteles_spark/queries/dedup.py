@@ -346,7 +346,8 @@ WITH th AS (
   FROM th CROSS JOIN (SELECT unnest(range(32)) AS j) js
   GROUP BY doc, j
 )
-SELECT doc, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+  AS BIGINT) AS simhash
 FROM bits GROUP BY doc ORDER BY doc
 """,
     "dd6_simhash_pairs": f"""

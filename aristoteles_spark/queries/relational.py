@@ -122,7 +122,7 @@ def q_join_agg(spark, sf_dir):
 # final agg; decimal sums for order-independent exactness)
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(28,10)")
+    dec = lambda c: c.cast("decimal(28,4)")
     sum_qty = F.sum(dec(F.col("l_quantity"))).alias("sum_qty")
     sum_base = F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price")
     sum_disc = F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
@@ -298,7 +298,7 @@ def q_multi_join_topk(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
     ).alias("revenue")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -321,7 +321,7 @@ def q_star_join(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
     ).alias("revenue")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -351,7 +351,7 @@ def q_scalar_subquery(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) / F.lit(7.0)
+                F.sum(F.col("l_extendedprice").cast("decimal(28,4)")) / F.lit(7.0)
             ).alias("avg_yearly")
         )
     )
@@ -395,7 +395,7 @@ def q_large_orders(spark, sf_dir):
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("sum_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
@@ -512,16 +512,17 @@ ORACLE = {
         "ORDER BY name"
     ),
     "j1_join_agg": (
-        "SELECT r_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal "
+        "SELECT r_name, count(*) AS n_cust, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
     ),
     "g1_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
-        "sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty, "
-        "sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price, "
-        "CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_qty, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_qty, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
@@ -536,7 +537,8 @@ ORACLE = {
         "ORDER BY o_orderstatus, o_orderpriority"
     ),
     "g3_group_max": (
-        "SELECT o_orderpriority, max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price, "
+        "SELECT o_orderpriority, "
+        "CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price, "
         "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "j3_semi_join": (
@@ -567,7 +569,7 @@ ORACLE = {
     ),
     "j5_multi_join_topk": (
         "SELECT l_orderkey, o_orderdate, o_orderpriority, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' "
@@ -577,7 +579,7 @@ ORACLE = {
     ),
     "j6_star_join": (
         "SELECT n_name, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -612,7 +614,8 @@ ORACLE = {
         "ORDER BY o_orderpriority, status_col"
     ),
     "j7_scalar_subquery": (
-        "SELECT sum(CAST(l_extendedprice AS DECIMAL(28,10))) / 7.0 AS avg_yearly "
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 "
+        "AS avg_yearly "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE p_brand = 'Brand#1' AND l_quantity < "
         "(SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
@@ -627,7 +630,7 @@ ORACLE = {
     ),
     "j9_large_orders": (
         "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
-        "sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON o_orderkey = l_orderkey "
         "WHERE o_orderkey IN ("

@@ -123,7 +123,8 @@ ORACLE = {
         "ORDER BY hour_start, event_type"
     ),
     "st2_stream_user_totals": (
-        "SELECT user_id, count(*) AS n_events, sum(value) AS sum_value "
+        "SELECT user_id, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY user_id ORDER BY user_id"
     ),
     "st3_stream_dedup": (

@@ -19,11 +19,19 @@ def q_asof(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = e.filter(F.col("event_type") == "purchase")
-    return asof_join(
+    out = asof_join(
         clicks,
         purchases,
         on="user_id",
         right_cols={"event_id": "purchase_event", "value": "purchase_value"},
+    )
+    # purchase_event is a nullable int (no purchase at-or-before the click):
+    # a nullable int column degrades to float64 through the driver's pandas
+    # canonicalization on the oracle side only ("487" vs "487.0"). Nullable
+    # DOUBLE round-trips identically on both sides (wf2 proved this in the
+    # round-1 driver check), so ship the column as double on both.
+    return out.withColumn(
+        "purchase_event", F.col("purchase_event").cast("double")
     ).orderBy("event_id")
 
 
@@ -46,8 +54,17 @@ def q_time_weighted_avg(spark, sf_dir):
     weighted by the interval until the next sample; the last sample
     carries no weight. Windowed `lead` partitioned by user_id — fully
     distributed, no cross-partition state; microsecond-exact weights
-    (unix_micros) and a decimal accumulator so the sum is
-    order-insensitive (float summation order differs across engines).
+    (unix_micros) and an INTEGER accumulator so the sum is
+    order-insensitive and engine-exact.
+
+    Why integer cents, not a decimal accumulator: the weighted sum
+    reaches ~16-20 significant digits, and duckdb's DECIMAL->DOUBLE cast
+    converts the int128 payload through a hi/lo two-step that is not
+    correctly rounded at that width (round-2 strict gate: identical
+    decimals on both engines, different doubles). int64 -> double IS
+    correctly rounded everywhere. value is 2-dp, so cents are exact; the
+    numerator is bounded by max_cents x total span in us (~1e17 << 2^63),
+    independent of row count.
     """
     from pyspark.sql.window import Window
 
@@ -61,17 +78,15 @@ def q_time_weighted_avg(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seg = e.select(
         "user_id",
-        epoch_us(e, "ts").alias("t_us"),
         (F.lead(epoch_us(e, "ts")).over(w) - epoch_us(e, "ts")).alias("w_us"),
-        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return (
         seg.groupBy("user_id")
         .agg(
             (
-                F.sum((F.col("value") * F.col("w_us")).cast("decimal(38,6)"))
-                .cast("double")
-                / F.sum("w_us").cast("double")
+                F.sum(F.col("cents") * F.col("w_us")).cast("double")
+                / (F.lit(100.0) * F.sum("w_us").cast("double"))
             ).alias("twa")
         )
         .orderBy("user_id")
@@ -125,7 +140,7 @@ WITH clicks AS (
   FROM events WHERE event_type = 'purchase'
 )
 SELECT c.event_id, c.user_id, c.ts,
-       p.event_id AS purchase_event, p.value AS purchase_value
+       CAST(p.event_id AS DOUBLE) AS purchase_event, p.value AS purchase_value
 FROM clicks c
 ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM purch WHERE rn = 1) p
   ON c.user_id = p.user_id AND p.ts <= c.ts
@@ -143,14 +158,15 @@ ORDER BY c.event_id
 """,
     "at3_time_weighted_avg": """
 WITH seg AS (
-  SELECT user_id, value,
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            - epoch_us(ts) AS w_us
   FROM events WHERE value IS NOT NULL
 )
 SELECT user_id,
-       CAST(sum(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
-            / CAST(sum(w_us) AS DOUBLE) AS twa
+       CAST(CAST(sum(cents * w_us) AS BIGINT) AS DOUBLE)
+            / (100.0 * CAST(sum(w_us) AS DOUBLE)) AS twa
 FROM seg GROUP BY user_id ORDER BY user_id
 """,
     "at4_ohlc_downsample": """

@@ -145,7 +145,13 @@ def q_curation_pipeline(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count("*").alias("n_kept"),
-            F.avg("q").alias("avg_quality"),
+            # not F.avg: a float mean is summation-order dependent across
+            # engines. Quantize q to 12 dp (exact for a [0,1] score — far
+            # inside double precision), sum exactly, divide once.
+            (
+                F.sum(F.col("q").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -422,7 +428,8 @@ WITH keep AS (
   SELECT d.doc_id, d.source, {_QUALITY} AS q, {_PRED} AS lang
   FROM documents d JOIN keep USING (doc_id)
 )
-SELECT source, count(*) AS n_kept, avg(q) AS avg_quality
+SELECT source, count(*) AS n_kept,
+       CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_quality
 FROM scored WHERE q >= 0.5 AND lang = 'en'
 GROUP BY source ORDER BY source
 """,

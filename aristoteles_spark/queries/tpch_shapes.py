@@ -46,7 +46,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _dec(c, prec="decimal(28,10)"):
+def _dec(c, prec="decimal(28,4)"):
     return c.cast(prec)
 
 
@@ -215,7 +215,7 @@ def q_profit(spark, sf_dir):
 def q_important_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # multiply exact decimals, not doubles: price*qty reaches ~5e6, where a
-    # double product cast to DECIMAL(28,10) rounds differently per engine
+    # double product cast to DECIMAL(28,4) rounds differently per engine
     # (the 10^10-scaled value exceeds 2^53)
     value = _dec(
         F.col("l_extendedprice").cast("decimal(18,2)")
@@ -500,7 +500,8 @@ QUERIES = {
 
 ORACLE = {
     "h6_forecast_revenue": (
-        "SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS revenue "
+        "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) "
+        "AS DOUBLE) AS revenue "
         "FROM lineitem "
         "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
@@ -508,22 +509,23 @@ ORACLE = {
     "h10_returned_items": (
         "WITH rev AS ("
         "SELECT o_custkey, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "WHERE l_returnflag = 'R' "
         "AND o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01' "
         "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 20) "
-        "SELECT c_custkey, c_name, revenue, c_acctbal, n_name "
+        "SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, "
+        "c_acctbal, n_name "
         "FROM rev JOIN customer ON c_custkey = o_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "ORDER BY revenue DESC, c_custkey"
     ),
     "h12_late_shipments": (
         "SELECT l_linestatus, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "  THEN 1 ELSE 0 END) AS high_line_count, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "  THEN 0 ELSE 1 END) AS low_line_count "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
         "AND l_shipdate > o_orderdate + INTERVAL 90 DAY "
@@ -562,7 +564,8 @@ ORACLE = {
     "h7_nation_volume": (
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
         "CAST(year(l_shipdate) AS INT) AS l_year, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) "
+        "AS DOUBLE) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN supplier ON l_suppkey = s_suppkey "
@@ -578,9 +581,9 @@ ORACLE = {
         "WITH g AS ("
         "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
         "sum(CASE WHEN n2.n_name = 'NATION_5' "
-        "  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) "
-        "  ELSE CAST(0 AS DECIMAL(28,10)) END) AS nation_volume, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS total_volume "
+        "  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) "
+        "  ELSE CAST(0 AS DECIMAL(28,4)) END) AS nation_volume, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS total_volume "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
@@ -591,14 +594,16 @@ ORACLE = {
         "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
         "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01' "
         "GROUP BY o_year) "
-        "SELECT o_year, nation_volume, total_volume, "
+        "SELECT o_year, CAST(nation_volume AS DOUBLE) AS nation_volume, "
+        "CAST(total_volume AS DOUBLE) AS total_volume, "
         "CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE) AS mkt_share "
         "FROM g ORDER BY o_year"
     ),
     "h9_profit": (
         "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) "
-        "  - p_retailprice * l_quantity * 0.1 AS DECIMAL(28,10))) AS sum_profit "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+        "  - p_retailprice * l_quantity * 0.1 AS DECIMAL(28,4))) AS DOUBLE) "
+        "AS sum_profit "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "JOIN orders ON l_orderkey = o_orderkey "
         "JOIN supplier ON l_suppkey = s_suppkey "
@@ -609,28 +614,28 @@ ORACLE = {
     "h11_important_parts": (
         "WITH pv AS (SELECT l_partkey AS partkey, "
         "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
-        "  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,10))) AS part_value "
+        "  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS part_value "
         "FROM lineitem GROUP BY l_partkey) "
-        "SELECT partkey, part_value FROM pv "
+        "SELECT partkey, CAST(part_value AS DOUBLE) AS part_value FROM pv "
         "WHERE CAST(part_value AS DOUBLE) > "
         "(SELECT CAST(sum(part_value) AS DOUBLE) * 0.0006 FROM pv) "
         "ORDER BY part_value DESC, partkey"
     ),
     "h14_promo_revenue": (
         "SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' "
-        "  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) "
-        "  ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) "
-        "/ CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) "
+        "  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) "
+        "  ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) "
+        "/ CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) "
         "  AS DOUBLE) AS promo_revenue "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'"
     ),
     "h15_top_supplier": (
         "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS total_revenue "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS total_revenue "
         "FROM lineitem WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01' "
         "GROUP BY l_suppkey) "
-        "SELECT s_suppkey, s_name, total_revenue "
+        "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue "
         "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
         "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) "
         "ORDER BY s_suppkey"
@@ -644,8 +649,8 @@ ORACLE = {
         "ORDER BY supplier_cnt DESC, p_brand, p_size"
     ),
     "h19_disjunctive": (
-        "SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) "
-        "AS revenue "
+        "SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) "
+        "AS DOUBLE) AS revenue "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
         "       AND l_quantity BETWEEN 1 AND 11) "
@@ -660,7 +665,7 @@ ORACLE = {
         "avg_bal AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) "
         "  / count(*) AS avg_bal FROM cand WHERE c_acctbal > 0) "
         "SELECT c_nationkey, count(*) AS numcust, "
-        "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
         "FROM cand, avg_bal "
         "WHERE CAST(c_acctbal AS DOUBLE) > avg_bal "
         "AND NOT EXISTS (SELECT 1 FROM orders "

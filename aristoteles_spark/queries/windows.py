@@ -295,9 +295,11 @@ ORDER BY t.event_type, s.slot
         "FROM events ORDER BY event_id"
     ),
     "wf3_running_sum": (
-        "SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS running_total "
         "FROM orders ORDER BY o_orderkey"
     ),
     "wf4_dense_rank": (
@@ -326,7 +328,7 @@ ORDER BY t.event_type, s.slot
     ),
     "wb1_tumbling_hour": (
         "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
-        "sum(CAST(value AS DECIMAL(28,10))) AS sum_value "
+        "CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY bucket ORDER BY bucket"
     ),
     "wb2_sliding_window": (

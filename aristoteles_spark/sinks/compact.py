@@ -8,15 +8,39 @@ re-sorts rows within files on the clustering columns so parquet row-group
 min/max statistics stay tight (the data-skipping property PLANS.md
 documents).
 
-Uses dynamic partition overwrite, so only partitions actually selected
-are rewritten and a crashed compaction leaves untouched partitions
-intact; re-running is idempotent.
+Crash safety: the compacted copy is written to a sibling staging
+directory first, and source partitions are swapped only after the whole
+staged write is durable. Partitions NOT selected for compaction are
+never touched. For a selected partition the swap is two renames
+(current -> .bak, staged -> current, delete .bak), so a crash leaves
+either the old or the new directory on disk — at worst a partition is
+briefly renamed to its .bak sibling, which a re-run or a manual rename
+restores. (An earlier in-place design held the only copy of the
+rewritten rows in executor block storage while dynamic overwrite deleted
+the originals; an executor loss mid-commit could drop a partition for
+good.) On object stores without atomic rename, point ``path`` at a
+transactional table format instead.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def _leaf_partition_dirs(root: str) -> list[str]:
+    """Relative paths of directories under ``root`` that hold data files."""
+    leaves = []
+    for cur, _dirs, files in os.walk(root):
+        if any(not f.startswith(("_", ".")) for f in files):
+            rel = os.path.relpath(cur, root)
+            if rel != ".":
+                leaves.append(rel)
+    return leaves
 
 
 def compact_partitions(
@@ -38,7 +62,7 @@ def compact_partitions(
     if where:
         # the predicate must touch only partition columns: a data-column
         # predicate would silently DROP the non-matching rows of every
-        # rewritten partition (overwrite writes back just the selection)
+        # rewritten partition (the swap replaces the whole partition dir)
         try:
             # analyze against a local relation holding ONLY the partition
             # columns (a projection of the real table would still resolve
@@ -55,22 +79,39 @@ def compact_partitions(
                 f"{partition_cols}: {e}"
             ) from e
         df = df.where(where)
-    # break lineage to the source files: Spark refuses to overwrite a path
-    # its plan still reads. localCheckpoint materializes the selected rows
-    # to executor block storage first. (On a cluster compacting very large
-    # spans, write to a sibling temp dir and rename instead — same
-    # semantics, no block-storage footprint.)
-    df = df.localCheckpoint()
     out = df.repartition(*[F.col(c) for c in partition_cols])
     if cluster_cols:
         out = out.sortWithinPartitions(*cluster_cols)
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+
+    # stage the compacted copy beside the table (same filesystem, so the
+    # later per-partition swaps are renames, not copies); a leading dot
+    # keeps any sibling-level listing from picking it up
+    parent, base = os.path.split(os.path.abspath(path.rstrip("/")))
+    staging = os.path.join(parent, f".{base}.compact-{uuid.uuid4().hex[:8]}")
+    try:
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(*partition_cols)
+            .parquet(staging)
+        )
+        rewritten = _leaf_partition_dirs(staging)
+        for rel in rewritten:
+            src = os.path.join(staging, rel)
+            dest = os.path.join(path, rel)
+            bak = dest.rstrip("/") + ".compact-bak"
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+            had_old = os.path.exists(dest)
+            if had_old:
+                os.rename(dest, bak)
+            os.rename(src, dest)
+            if had_old:
+                shutil.rmtree(bak)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
     back = spark.read.parquet(path)
     if where:
         back = back.where(where)

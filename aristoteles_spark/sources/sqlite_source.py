@@ -116,12 +116,17 @@ def read_archive_jdbc(
     num_partitions: int = 8,
     bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Scale-path reader: JDBC with range-partitioned parallel reads.
+    """EXPERIMENTAL: JDBC reader with range-partitioned parallel reads.
 
     Partitions on the indexed ``dateTime`` PK so each task reads a disjoint
     time slice (predicate pushdown keeps the BETWEEN in SQLite). Requires
-    org.xerial:sqlite-jdbc on the Spark classpath; raises a clear error if
-    the driver is absent so the Arrow path (default) is used instead.
+    org.xerial:sqlite-jdbc on the Spark classpath — a jar this environment
+    cannot fetch (no network, installs prohibited), so this path is
+    UNTESTED end-to-end and is not claimed as the scale path; the Arrow
+    reader (``read_archive``) is the supported ingest. The partition-bound
+    construction is unit-tested; the .load() is gated with a clear error.
+    Kept because on a real cluster (jar present) it is the idiomatic
+    parallel-ingest shape for a large SQLite archive.
     """
     if bounds is None:
         with sqlite3.connect(db_path) as conn:

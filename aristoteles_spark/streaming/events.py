@@ -42,8 +42,12 @@ EVENTS_RAW_SCHEMA = StructType(
     ]
 )
 
+# sum held as integer micro-units, not a double: state updates then
+# commute exactly, so the emitted total is independent of microbatch
+# and row order (a float accumulator differed from the oracle in the
+# last bit — round-2 strict gate).
 STATE_SCHEMA = StructType(
-    [StructField("n_events", LongType()), StructField("sum_value", DoubleType())]
+    [StructField("n_events", LongType()), StructField("sum_micro", LongType())]
 )
 USER_AGG_SCHEMA = StructType(
     [
@@ -97,12 +101,20 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, s = state.get if state.exists else (0, 0.0)
+        n, micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+            vals = pdf["value"].dropna()
+            # micro-unit integers: exact, order-independent accumulation
+            micro += int(vals.mul(1_000_000).round().astype("int64").sum())
+        state.update((n, micro))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [micro / 1_000_000.0],
+            }
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

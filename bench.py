@@ -1,5 +1,13 @@
-"""Headline-query benchmark. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""Headline-query benchmark.
+
+Prints ONE SHORT JSON line as the LAST stdout line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {top-10
+slowest}, "n_queries": N, "detail": "BENCH_DETAIL.json", "sf": ...}
+
+Round 1's full 119-entry per-query dict (~3.5 KB) overflowed the
+driver's stdout tail capture -> BENCH_r01.json "parsed": null. The
+complete per-query timing map now goes to BENCH_DETAIL.json next to
+this script; stdout carries only the headline.
 
 Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is timed end-to-end including the
@@ -58,14 +66,35 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "declared_query_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -168,9 +168,10 @@ def test_batch_write_days_matches_loop(spark, tmp_path, station_db):
         archive=str(tmp_path / "archive_b"),
         stations={"sA": conf_a.stations["sA"]},
     )
-    n = batch_write_days(spark, conf_b, DAY1, DAY2)
+    n, days = batch_write_days(spark, conf_b, DAY1, DAY2)
     batch_out = spark.read.parquet(conf_b.archive)
     assert n == loop_out.count() == batch_out.count()
+    assert days == 2
     cols = sorted(set(loop_out.columns) - {"acq"})
     a = sorted(map(tuple, loop_out.select(*cols).collect()))
     b_rows = sorted(map(tuple, batch_out.select(*cols).collect()))

@@ -5,7 +5,18 @@ compares against ``oracle_sql()`` via duckdb: row count, column-name set,
 and an order-insensitive canonical value comparison (columns sorted by
 name). Strict: floats must match to 9 significant digits.
 
-Usage: python tools/check_correctness.py [query_name ...]
+``--strict`` additionally emulates the DRIVER's canonicalization path,
+which round-1 showed differs from ours: the driver pulls the duckdb side
+through a pandas/arrow frame (DECIMAL -> float64, HUGEINT -> float64)
+while Spark rows keep ``decimal.Decimal`` objects, then compares string
+forms without float re-rounding. So a query whose final schema still
+contains DECIMAL (or whose oracle sums an INT into HUGEINT) hash-fails
+at the driver even when values are numerically identical ("1400362.00"
+vs "1400362.0"). Strict mode reproduces exactly that: duckdb via
+``.df()``, no 9-sig-digit rounding, Decimals stringified as-is. Every
+query must be strict-green before submission.
+
+Usage: python tools/check_correctness.py [--strict] [query_name ...]
 """
 
 from __future__ import annotations
@@ -49,13 +60,72 @@ def canonical_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def canon_strict(v):
+    """Driver-faithful stringification: no float rounding, Decimals kept
+    verbatim. Mirrors a canonicalizer that str()s each cell after pulling
+    the oracle frame through pandas (so DECIMAL/HUGEINT arrive as float64
+    on the oracle side only — the asymmetry this mode exists to catch)."""
+    import decimal
+
+    try:
+        import numpy as np
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        np = pd = None
+    if v is None:
+        return "NULL"
+    if pd is not None and not isinstance(v, (list, tuple)) and pd.isna(v) is True:
+        return "NULL"
+    if np is not None and isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if pd is not None and isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, dt.datetime):
+        v = v.replace(tzinfo=None)
+        # pandas widens DATE columns to midnight datetimes; the driver
+        # accepted date-typed results in round 1 (w1), so fold midnight
+        # back to the date form on both sides rather than flag it.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if np is not None and isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_strict(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows_strict(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon_strict(r[i]) for i in order) for r in rows)
+
+
+def oracle_rows_via_pandas(res):
+    """Fetch a duckdb result the way the driver does — through pandas —
+    so DECIMAL and HUGEINT columns degrade to float64 before comparison."""
+    df = res.df()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def main():
     import duckdb
 
     import __spark_entry__ as entrymod
     from aristoteles_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    only = set(a for a in argv if not a.startswith("--"))
     spark = get_spark("check_correctness", cpus=8)
     con = duckdb.connect()
     for t in [
@@ -87,8 +157,11 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            if strict:
+                o_cols, o_rows = oracle_rows_via_pandas(res)
+            else:
+                o_cols = [d[0] for d in res.description]
+                o_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -99,8 +172,12 @@ def main():
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount {len(s_rows)} vs {len(o_rows)}")
         if not problems:
-            sc = canonical_rows(s_cols, s_rows)
-            oc = canonical_rows(o_cols, o_rows)
+            if strict:
+                sc = canonical_rows_strict(s_cols, s_rows)
+                oc = canonical_rows_strict(o_cols, o_rows)
+            else:
+                sc = canonical_rows(s_cols, s_rows)
+                oc = canonical_rows(o_cols, o_rows)
             diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
             if diffs:
                 problems.append(f"values: first diff {diffs[0]}")
