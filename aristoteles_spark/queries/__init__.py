@@ -28,6 +28,7 @@ _MODULES = [
     "windows",
     "relational",
     "tpch_shapes",
+    "io_formats",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the

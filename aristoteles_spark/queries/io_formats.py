@@ -1,0 +1,165 @@
+"""IO-surface queries: source/sink format roundtrips + bucketed layout,
+each driver-checkable against a duckdb oracle that reads the original
+parquet directly — so a format that drops precision, mangles quoting, or
+breaks bucketing turns a CORRECTNESS row red.
+
+The reference ingests only SQLite (aristoteles/aristoteles.py:318-343);
+these cover the landing-zone formats and the co-located-join layout a
+complete engine needs (SURVEY.md §7.4). The roundtrip pattern: read the
+canonical events parquet, write it through the format under test
+(sources/files.py readers, sinks/bucketed.py layout), read it back, and
+aggregate — identical output to aggregating the parquet proves lossless
+transport of longs, doubles (shortest-repr text roundtrip for CSV/JSON),
+NTZ microsecond timestamps, and quotable JSON-bearing strings.
+
+Scale notes: CSV/JSON are INGEST formats (no row-group skipping — the
+module docstring of sources/files.py); the aggregates here follow the
+same decimal-exact rules as every other query. The bucketed-join query
+writes both sides bucketed+sorted by the join key so the join itself
+plans exchange-free (PLANS.md carries the no-Exchange evidence).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aristoteles_spark.sources.parquet_source import load_table
+
+# per-format scratch roots; fixed (not mkdtemp) so repeated invocations
+# overwrite instead of accumulating copies across bench warmup+passes
+_IO_ROOT = "/tmp/aristoteles_spark_io"
+
+_EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _scratch(fmt: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_IO_ROOT, f"{fmt}_{tag}")
+
+
+def _daily_agg(df):
+    """The roundtrip discriminator: touches every column type — a lossy
+    transport of ts (max_ts catches sub-second truncation), value, props,
+    or user_id changes some output cell."""
+    return (
+        df.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.length("props")).alias("props_chars"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("d")
+    )
+
+
+_DAILY_AGG_SQL = (
+    "SELECT CAST(ts AS DATE) AS d, count(*) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+    "count(DISTINCT user_id) AS n_users, "
+    "CAST(sum(length(props)) AS BIGINT) AS props_chars, "
+    "max(ts) AS max_ts "
+    "FROM events GROUP BY d ORDER BY d"
+)
+
+# text formats default to millisecond NTZ rendering — micros are data
+# (the max_ts discriminator fails without this)
+_NTZ_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    path = _scratch("orc", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").orc(path)
+    return _daily_agg(spark.read.schema(_EVENTS_DDL).orc(path))
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    from aristoteles_spark.sources.files import load_csv
+
+    path = _scratch("csv", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", _NTZ_US)
+        .csv(path)
+    )
+    return _daily_agg(
+        load_csv(spark, path, _EVENTS_DDL, timestampNTZFormat=_NTZ_US)
+    )
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    from aristoteles_spark.sources.files import load_jsonl
+
+    path = _scratch("jsonl", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").option("timestampNTZFormat", _NTZ_US).json(path)
+    return _daily_agg(
+        load_jsonl(spark, path, _EVENTS_DDL, timestampNTZFormat=_NTZ_US)
+    )
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Fact-fact join through the bucketed layout: both sides written
+    bucketed+sorted by the order key once, then joined WITHOUT an
+    exchange (write-time shuffle amortized across every later join).
+    Result must equal the plain join the oracle runs."""
+    from aristoteles_spark.sinks.bucketed import colocated_join, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    lt, ot = f"io_li_{tag}", f"io_o_{tag}"
+    write_bucketed(li, lt, "orderkey", 8, _scratch(f"bkt_li", sf_dir))
+    write_bucketed(o, ot, "orderkey", 8, _scratch(f"bkt_o", sf_dir))
+    return (
+        colocated_join(spark, lt, ot, "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "io1_orc_roundtrip": q_orc_roundtrip,
+    "io2_csv_roundtrip": q_csv_roundtrip,
+    "io3_jsonl_roundtrip": q_jsonl_roundtrip,
+    "io4_bucketed_join": q_bucketed_join,
+}
+
+ORACLE = {
+    "io1_orc_roundtrip": _DAILY_AGG_SQL,
+    "io2_csv_roundtrip": _DAILY_AGG_SQL,
+    "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
+    "io4_bucketed_join": (
+        "SELECT o_orderpriority, "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) "
+        "AS DOUBLE) AS revenue, "
+        "count(*) AS n_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+}

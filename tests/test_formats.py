@@ -222,3 +222,44 @@ class TestCompaction:
         e.write.partitionBy("event_type").parquet(path)
         with _pytest.raises(ValueError, match="partition columns"):
             compact_partitions(spark, path, ["event_type"], where="value > 0")
+
+
+class TestIOFormatQueries:
+    """The io* driver queries: format roundtrips + bucketed layout
+    (queries/io_formats.py); value-level parity is covered by the
+    check_correctness gate — these assert the physical properties."""
+
+    def test_bucketed_join_has_no_exchange_before_join(self, spark):
+        from aristoteles_spark.queries.io_formats import q_bucketed_join
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = q_bucketed_join(spark, "/root/testdata/sf0.001")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        join_pos = plan.find("SortMergeJoin")
+        assert join_pos != -1, plan
+        # the bucketed scans feed the join directly: every Exchange in the
+        # plan (groupBy / final sort) sits ABOVE the join, none below it
+        assert "Exchange" not in plan[join_pos:], plan[join_pos:]
+
+    def test_csv_jsonl_roundtrip_preserve_microseconds(self, spark):
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.queries.io_formats import (
+            q_csv_roundtrip,
+            q_jsonl_roundtrip,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        want = ev.agg(F.max("ts")).first()[0]
+        for fn in (q_csv_roundtrip, q_jsonl_roundtrip):
+            got = (
+                fn(spark, "/root/testdata/sf0.001")
+                .agg(F.max("max_ts"))
+                .first()[0]
+            )
+            assert got == want, (fn.__name__, got, want)
+            assert got.microsecond != 0  # fixture really has sub-ms data
