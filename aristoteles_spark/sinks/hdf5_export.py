@@ -23,9 +23,12 @@ reference — the distributed work (scan, convert, order) happens in Spark
 before this step.
 
 ``build_layout`` is pure (no h5py) and fully testable in this container;
-``export_day_h5`` needs h5py, which is NOT installed here — it raises
-NotImplementedError with the layout already computed, so the plumbing is
-real and tested while the C-library write is cleanly stubbed.
+``export_day_h5`` writes a real ``.h5`` file either via h5py (when
+installed) or via the self-contained pure-Python writer in
+``formats/minihdf5.py`` (implements the public HDF5 file format spec:
+superblock v2, v2 object headers, compact links, contiguous float64
+datasets — exactly this layout's needs). The pure path is round-trip
+verified in-container by ``formats.minihdf5.read_hdf5``.
 """
 
 from __future__ import annotations
@@ -108,16 +111,27 @@ def export_day_h5(
     stations_conf: dict[str, dict] | None = None,
 ) -> dict[str, Any]:
     """Write ``path`` in the reference's daily HDF5 layout. Returns the
-    layout written. Raises NotImplementedError when h5py is unavailable
-    (this container) — the layout is still computed and returned via the
-    exception's ``args[1]`` for callers that want the structure."""
+    layout written. Uses h5py when installed, else the pure-Python
+    minihdf5 writer (same structure, HDF5 1.8 'latest' on-disk format)."""
     layout = build_layout(day_df, instrument, acq, stations_conf)
     if h5py is None:
-        raise NotImplementedError(
-            "h5py is not installed in this environment; layout computed but "
-            "not written",
-            layout,
-        )
+        from aristoteles_spark.formats.minihdf5 import MiniHDF5Writer
+
+        w = MiniHDF5Writer()
+        w.root.attrs.update(layout["attrs"])
+        imap = w.root.create_group("index_map")
+        for station, times in layout["index_map"].items():
+            imap.create_dataset(f"station_time_{station}", times, dtype="f8")
+        for station, g in layout["groups"].items():
+            grp = w.root.create_group(station)
+            grp.attrs.update(g["attrs"])
+            for m, d in g["datasets"].items():
+                grp.create_dataset(
+                    m, d["values"], dtype="f8",
+                    attrs={"axis": d["axis"], "units": d["units"]},
+                )
+        w.write(path)
+        return layout
     with h5py.File(path, "w") as f:  # pragma: no cover (no h5py here)
         for k, v in layout["attrs"].items():
             f.attrs[k] = v
