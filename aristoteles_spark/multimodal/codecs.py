@@ -6,10 +6,10 @@ from the payload's md5, so Spark and the SQL oracle can agree
 bit-for-bit without any codec library.
 
 ``decode_image`` is the real-codec seam: it dispatches to PIL when
-available and raises ``NotImplementedError`` otherwise. Swapping the
-fake for the real kernel changes ONE function passed to
-``mapInPandas`` — the Spark plumbing (schema, Arrow batching,
-partitioning) is identical either way.
+available, else to the pure-Python PNG/BMP/PPM decoders in
+``formats/imaging.py`` — a REAL decode either way. Swapping kernels
+changes ONE function passed to ``mapInPandas`` — the Spark plumbing
+(schema, Arrow batching, partitioning) is identical.
 """
 
 from __future__ import annotations
@@ -30,17 +30,27 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, float]:
 
 
 def decode_image(payload: bytes):
-    """Real image decode (PIL). Stub in this container: PIL is absent,
-    so this raises — the pipeline uses :func:`fake_decode_meta`."""
+    """Real image decode -> numpy uint8 array (H,W) or (H,W,C).
+
+    Dispatches to Pillow when installed (JPEG/WebP/anything); otherwise
+    falls back to the self-contained pure-Python codecs in
+    ``formats/imaging.py`` (PNG / BMP / PPM — real decoders, no C
+    library). Raises NotImplementedError only for formats neither path
+    can handle (e.g. JPEG without Pillow)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except ImportError:
+        pass
+    from aristoteles_spark.formats.imaging import decode, sniff
+
+    if sniff(payload) is None:
         raise NotImplementedError(
-            "real image decoding requires Pillow, which is not installed; "
-            "use fake_decode_meta for the deterministic test kernel"
-        ) from e
-    import io
-
-    from PIL import Image
-
-    return Image.open(io.BytesIO(payload))
+            "payload is not PNG/BMP/PPM and Pillow is not installed; "
+            "compressed formats like JPEG need Pillow"
+        )
+    return decode(payload)

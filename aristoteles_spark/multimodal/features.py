@@ -133,6 +133,98 @@ def resize_features(
     return df.select(id_col, "payload").mapInPandas(resize_batches, RESIZE_SCHEMA)
 
 
+def real_codec_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image-codec decode stage (no fake kernel, no Pillow).
+
+    Each row's md5 digest becomes a 4x4 grayscale image, PNG-encoded
+    with row filter ``doc_id % 5`` (so every one of the five PNG filter
+    types is exercised), then decoded back through the pure-Python PNG
+    decoder (``formats/imaging.py``: zlib inflate + per-filter
+    reconstruction) and reduced to (width, height, channels, mean_px).
+    Because PNG is lossless, mean_px == mean(digest bytes)/255, which
+    the SQL oracle states directly — any decoder bug (filter math, CRC,
+    stride) breaks the match. Runs in the same Arrow-batched
+    mapInPandas seam as the fake kernel; blobs never shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.imaging import decode_png, encode_png
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                px = np.frombuffer(bytes.fromhex(hexd), dtype=np.uint8)
+                img = px.reshape(4, 4)
+                payload = encode_png(img, filter_type=int(did) % 5)
+                back = decode_png(payload)
+                assert np.array_equal(back, img)
+                rows.append(
+                    (did, back.shape[1], back.shape[0], 1,
+                     float(back.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+REAL_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("crop_mean", DoubleType()),
+    ]
+)
+
+
+def real_resize_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL resize stage: digest -> 4x4 gray PNG -> decode -> nearest-
+    neighbor upscale to 8x8 -> BMP encode/decode round-trip -> mean of
+    the top-left 4x4 crop. With NN upscaling out[y,x] = in[y//2,x//2],
+    the crop covers in[0:2,0:2] exactly, so crop_mean == mean(digest
+    bytes 0,1,4,5)/255 — stated verbatim by the SQL oracle. Exercises
+    the PNG decoder, the NN index math, and the BMP codec end-to-end."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.imaging import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+            encode_png,
+            resize_nearest,
+        )
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                img = np.frombuffer(
+                    bytes.fromhex(hexd), dtype=np.uint8
+                ).reshape(4, 4)
+                up = resize_nearest(decode_png(encode_png(img)), 8, 8)
+                rgb = decode_bmp(encode_bmp(up))
+                crop = rgb[:4, :4]
+                rows.append(
+                    (did, rgb.shape[1], rgb.shape[0],
+                     float(crop.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "crop_mean"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, REAL_RESIZE_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -63,13 +63,49 @@ def q_resize(spark, sf_dir):
     return resize_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_codec(spark, sf_dir):
+    """REAL PNG codec in the decode stage (formats/imaging.py, not a
+    fake kernel): digest -> 4x4 image -> PNG encode (filter doc_id%5)
+    -> pure-Python PNG decode -> features. Lossless round-trip makes
+    the mean SQL-stateable, so the driver's oracle genuinely checks
+    the decoder (all five PNG row filters included)."""
+    from aristoteles_spark.multimodal.features import real_codec_features
+
+    return real_codec_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_real_resize(spark, sf_dir):
+    """REAL resize pipeline: PNG decode -> nearest-neighbor 8x8 upscale
+    -> BMP round-trip -> top-left-crop mean (== mean of digest bytes
+    0,1,4,5 by the NN index map — oracle-stated)."""
+    from aristoteles_spark.multimodal.features import real_resize_features
+
+    return real_resize_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
     "mm5_resize": q_resize,
+    "mm6_real_codec": q_real_codec,
+    "mm7_real_resize": q_real_resize,
 }
+
+
+def _byte_val(i: int) -> str:
+    """Value of md5-digest byte ``i`` (0-based) from the hex string, as
+    plain SQL both engines accept: 16*pos(hi) + pos(lo) via strpos over
+    the hex alphabet (md5() emits lowercase hex in both engines)."""
+    hi = f"(strpos('0123456789abcdef', substr(md5(text), {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(md5(text), {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _byte_mean(idx: list[int]) -> str:
+    total = " + ".join(_byte_val(i) for i in idx)
+    return f"(({total}) / {len(idx)}.0 / 255.0)"
 
 
 def _hex_int(start: int, n: int) -> str:
@@ -113,6 +149,16 @@ ORACLE = {
         "md5(md5(text) || ':' || CAST(out_w AS VARCHAR) || 'x' || "
         "CAST(out_h AS VARCHAR)) AS resized_digest "
         "FROM r ORDER BY doc_id"
+    ),
+    "mm6_real_codec": (
+        "SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, "
+        f"{_byte_mean(list(range(16)))} AS mean_px "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "mm7_real_resize": (
+        "SELECT doc_id, 8 AS out_w, 8 AS out_h, "
+        f"{_byte_mean([0, 1, 4, 5])} AS crop_mean "
+        "FROM documents ORDER BY doc_id"
     ),
     "mm4_perceptual_buckets": (
         f"WITH feats AS (SELECT doc_id, "
