@@ -225,6 +225,61 @@ def real_resize_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).mapInPandas(batches, REAL_RESIZE_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+AUDIO_RATE = 8000
+AUDIO_TILE = 4  # 16 digest bytes tiled 4x -> 64 samples
+
+
+def real_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WAV codec feature stage: each row's md5 digest becomes 16
+    int16 samples ((byte-128)*256), tiled to 64, PCM16-WAV-encoded and
+    decoded back through the pure-Python RIFF parser
+    (``formats/audio.py``), then reduced to rate/duration/RMS/peak.
+    The synthesis is exact-integer, so the SQL oracle states RMS/peak
+    directly from the digest bytes — a decoder bug (chunk walk,
+    interleave, sample width) breaks the driver match. Same
+    Arrow-batched mapInPandas seam as the image kernels."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.audio import audio_features, encode_wav
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                b = np.frombuffer(bytes.fromhex(hexd), dtype=np.uint8)
+                samples = np.tile(
+                    (b.astype(np.int32) - 128) * 256, AUDIO_TILE
+                ).astype(np.int16)
+                rate, n, dur, rms, peak = audio_features(
+                    encode_wav(samples, AUDIO_RATE)
+                )
+                rows.append((did, rate, n, dur, rms, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -17,7 +17,7 @@ from aristoteles_spark.operators.dedup import (
     simhash_pairs,
     simhash_sketches,
 )
-from aristoteles_spark.sources.parquet_source import load_table
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 # ------------------------------------------------------ shared SQL fragments
 
@@ -38,12 +38,12 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 def q_exact(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return exact_dedup_groups(d).orderBy("digest")
 
 
 def q_normalized(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return normalized_dedup_groups(d).orderBy("digest")
 
 
@@ -56,7 +56,7 @@ def q_normalized(spark, sf_dir):
 
 
 def q_jaccard(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(d, threshold=0.8)
     return (
         pairs.groupBy("doc_a")
@@ -66,7 +66,7 @@ def q_jaccard(spark, sf_dir):
 
 
 def q_minhash(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
     return (
         pairs.groupBy("doc_a")
@@ -76,7 +76,7 @@ def q_minhash(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return simhash_sketches(d).orderBy("doc")
 
 
@@ -88,7 +88,7 @@ _BWIDTH = 32 // _NBLOCKS + (1 if 32 % _NBLOCKS else 0)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = simhash_pairs(d, max_hamming=MAX_HAMMING)
     return (
         pairs.groupBy("doc_a")
@@ -108,7 +108,7 @@ def q_dup_clusters(spark, sf_dir):
     from aristoteles_spark.operators.dedup import minhash_cluster_edges
     from aristoteles_spark.operators.graph import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     edges = minhash_cluster_edges(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
     nodes = d.select(F.col("doc_id").alias("doc"))
     return connected_components(nodes, edges).orderBy("node")
@@ -120,7 +120,7 @@ def q_repetition_scrub(spark, sf_dir):
     tokens, emit the cleaned text plus before/after counts. Entirely
     row-local higher-order array expressions — zero shuffle at any scale;
     the only cost is the scan itself."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     # keep token i when it differs from its predecessor (F.get is 0-based
     # and null-safe on out-of-range, so i==0 never errors under ANSI)
@@ -179,7 +179,7 @@ def q_cluster_representatives(spark, sf_dir):
     the argmax is a struct-max aggregate, no per-group window/sort."""
     from aristoteles_spark.functions.text import quality_score
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     best = F.max(
         F.struct(
             F.col("q").alias("q"),

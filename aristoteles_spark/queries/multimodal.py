@@ -17,11 +17,13 @@ from aristoteles_spark.multimodal.features import (
     resize_features,
     with_payload,
 )
-from aristoteles_spark.sources.parquet_source import load_table
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 
 def _docs(spark, sf_dir):
-    return with_payload(load_table(spark, sf_dir, "documents"))
+    # fan_out: codec kernels are compute-bound; single-row-group scans
+    # would otherwise decode on one core (see parquet_source.fan_out)
+    return with_payload(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 def q_binary_stats(spark, sf_dir):
@@ -83,6 +85,15 @@ def q_real_resize(spark, sf_dir):
     return real_resize_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_audio(spark, sf_dir):
+    """REAL WAV codec: digest -> 64 int16 samples -> PCM16 RIFF encode
+    -> pure-Python decode -> rate/duration/RMS/peak, oracle-stated from
+    the digest bytes (exact integer synthesis)."""
+    from aristoteles_spark.multimodal.features import real_audio_features
+
+    return real_audio_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm2_decode_features": q_decode_features,
@@ -91,6 +102,7 @@ QUERIES = {
     "mm5_resize": q_resize,
     "mm6_real_codec": q_real_codec,
     "mm7_real_resize": q_real_resize,
+    "mm8_real_audio": q_real_audio,
 }
 
 
@@ -158,6 +170,20 @@ ORACLE = {
     "mm7_real_resize": (
         "SELECT doc_id, 8 AS out_w, 8 AS out_h, "
         f"{_byte_mean([0, 1, 4, 5])} AS crop_mean "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "mm8_real_audio": (
+        "SELECT doc_id, 8000 AS sample_rate, 64 AS n_samples, "
+        "64 / 8000.0 AS duration_s, "
+        "sqrt(("
+        + " + ".join(
+            f"({_byte_val(i)} - 128) * 256.0 * ({_byte_val(i)} - 128) * 256.0"
+            for i in range(16)
+        )
+        + ") / 16.0) AS rms, "
+        "CAST(greatest("
+        + ", ".join(f"abs(({_byte_val(i)} - 128) * 256)" for i in range(16))
+        + ") AS BIGINT) AS peak "
         "FROM documents ORDER BY doc_id"
     ),
     "mm4_perceptual_buckets": (

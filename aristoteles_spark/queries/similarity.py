@@ -15,7 +15,7 @@ from aristoteles_spark.operators.similarity import (
     knn_lsh,
     neardup_pairs,
 )
-from aristoteles_spark.sources.parquet_source import load_table
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 DIM = 64
 N_PLANES = 6
@@ -27,7 +27,9 @@ PLANES = hyperplanes(DIM, N_PLANES)
 
 
 def _load(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    # fan_out: distance math is compute-bound; single-row-group scans
+    # would otherwise run it on one core (see parquet_source.fan_out)
+    return fan_out(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_knn_brute(spark, sf_dir):

@@ -20,13 +20,13 @@ from aristoteles_spark.functions.text import (
     stopword_ratio,
     tokens,
 )
-from aristoteles_spark.sources.parquet_source import load_table
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 _TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 def q_token_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     return d.select(
         "doc_id",
@@ -38,7 +38,7 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         punct_ratio("text").alias("punct_ratio"),
@@ -48,17 +48,17 @@ def q_quality(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", langid_predict(tokens("text")).alias("pred_lang")).orderBy("doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
 def q_regex_features(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     upper_stripped = F.regexp_replace("text", "[^A-Z]", "")
     return d.select(
         "doc_id",
@@ -79,7 +79,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     partial top-k, no full sort)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
@@ -112,7 +112,7 @@ _BPE_PAT = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish token counting — the pretokenizer pass of an LLM data
     pipeline (whitespace token count alongside for the ratio)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.regexp_count("text", F.lit(_BPE_PAT)).alias("n_bpe"),
@@ -126,7 +126,7 @@ def q_curation_pipeline(spark, sf_dir):
     language in the same scan, keep good English docs, report the surviving
     mix per source. One digest shuffle + one tiny group-by — the shape of a
     real pretraining-mix job."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     digest = F.md5(F.col("text").cast("binary"))
     keep = (
         d.select(digest.alias("digest"), "doc_id")
@@ -173,7 +173,7 @@ def q_bigram_topk(spark, sf_dir):
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -189,7 +189,7 @@ def q_clean_normalize(spark, sf_dir):
     codegen'd regexp_replace (no UDF); the character classes are written
     with explicit hex/char ranges so Java regex (Spark) and RE2 (duckdb
     oracle) agree. Reports per-doc cleaned length + changed flag."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
     ws = "[ \\t\\r\\n]+"
     cleaned = F.trim(
@@ -219,7 +219,7 @@ def q_chunking(spark, sf_dir):
     one posexplode; zero shuffle until the presentation sort. Each chunk
     carries its token count and an md5 digest of its joined tokens (the
     chunk-level dedup key downstream)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     withT = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
     starts = F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))
     chunks = F.transform(starts, lambda s: F.slice(F.col("t"), s, _CHUNK))
@@ -245,7 +245,7 @@ def q_sequence_packing(spark, sf_dir):
     then a small groupBy that reuses the same partitioning."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     base = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
     w = (
         Window.partitionBy("source")
@@ -295,7 +295,7 @@ def q_contamination(spark, sf_dir):
     gram set is broadcast — the big train side never shuffles. Reports
     per contaminated train doc the count of distinct shared grams and of
     eval docs hit."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
     )
@@ -322,7 +322,7 @@ def q_negative_samples(spark, sf_dir):
     the pair-generation step of contrastive/embedding training. The
     modular products stay within int64 here; a corpus where n*multiplier
     approaches 2^63 would split the multiply with repeated pmod."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n = d.count()
     base = d.select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j")

@@ -47,6 +47,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition before a COMPUTE-BOUND stage.
+
+    Parquet scan parallelism is bounded by row-group count; the test
+    tables are single-row-group files, so an expensive per-row stage
+    (shingle hashing, codec decode, minhash) directly over the scan runs
+    on one core. When per-row compute cost >> shuffle cost per byte —
+    true for these stages at any scale — an explicit repartition of the
+    compact input to full parallelism is the right plan: one small
+    exchange buys a fully parallel expensive stage. Do NOT use ahead of
+    plain filters/aggregations (Catalyst handles those; the exchange
+    would be pure overhead).
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
