@@ -8,12 +8,14 @@ statements (reference: aristoteles/aristoteles.py:229-241,303-306,339-346):
   #3  SELECT <18 cols> FROM archive WHERE dateTime BETWEEN ? AND ?
       ORDER BY dateTime                                         (extract)
 
-Design decision (SURVEY.md §4): default ingestion is driver-side
-``sqlite3`` -> Arrow -> ``spark.createDataFrame``. Station archives are tiny
-(288 rows/day); a JVM JDBC driver dependency buys nothing and SQLite's own
-index on ``dateTime`` already gives us pushdown for the scalar probes. For
-the scale path, ``read_archive_jdbc`` builds the equivalent JDBC reader with
-partitioned reads (requires the sqlite-jdbc jar on the classpath; gated).
+Design decision (SURVEY.md §4): default ingestion for the incremental
+CLI pipeline is driver-side ``sqlite3`` -> Arrow -> ``createDataFrame``.
+Station archives are tiny per day (288 rows); SQLite's own index on
+``dateTime`` already gives us pushdown for the scalar probes. The SCALE
+path — bulk backfills over many stations/years — is the ``wview``
+Python Data Source (``sources/wview_datasource.py``): day-partitioned
+parallel executor-side reads with dateTime/station filter pushdown, no
+JVM driver dependency.
 
 Pushdown policy: the scalar probes (#1, #2) are answered by SQLite directly
 — shipping whole tables to Spark to compute a MIN or COUNT would invert the
@@ -108,48 +110,6 @@ def read_stations(
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out.select("station", *ARCHIVE_COLUMNS)
-
-
-def read_archive_jdbc(
-    spark: SparkSession,
-    db_path: str,
-    num_partitions: int = 8,
-    bounds: tuple[int, int] | None = None,
-) -> DataFrame:
-    """EXPERIMENTAL: JDBC reader with range-partitioned parallel reads.
-
-    Partitions on the indexed ``dateTime`` PK so each task reads a disjoint
-    time slice (predicate pushdown keeps the BETWEEN in SQLite). Requires
-    org.xerial:sqlite-jdbc on the Spark classpath — a jar this environment
-    cannot fetch (no network, installs prohibited), so this path is
-    UNTESTED end-to-end and is not claimed as the scale path; the Arrow
-    reader (``read_archive``) is the supported ingest. The partition-bound
-    construction is unit-tested; the .load() is gated with a clear error.
-    Kept because on a real cluster (jar present) it is the idiomatic
-    parallel-ingest shape for a large SQLite archive.
-    """
-    if bounds is None:
-        with sqlite3.connect(db_path) as conn:
-            row = conn.execute("SELECT MIN(dateTime), MAX(dateTime) FROM archive").fetchone()
-        if row is None or row[0] is None:
-            raise ValueError(f"empty archive: {db_path}")
-        bounds = (int(row[0]), int(row[1]))
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", f"jdbc:sqlite:{db_path}")
-        .option("dbtable", "archive")
-        .option("driver", "org.sqlite.JDBC")
-        .option("partitionColumn", "dateTime")
-        .option("lowerBound", str(bounds[0]))
-        .option("upperBound", str(bounds[1] + 1))
-        .option("numPartitions", str(num_partitions))
-    )
-    try:
-        return reader.load()
-    except Exception as e:  # pragma: no cover - depends on classpath
-        raise RuntimeError(
-            "sqlite-jdbc driver not on classpath; use read_archive() (Arrow path)"
-        ) from e
 
 
 def write_archive_sqlite(db_path: str, rows: Iterable[tuple]) -> None:

@@ -1,0 +1,251 @@
+"""Spark Python Data Source for wview SQLite archives: ``format("wview")``.
+
+The idiomatic Spark-4 answer to "read the reference's SQLite archive at
+scale" (reference: aristoteles/aristoteles.py:229-241,339-346): a custom
+V2 source with
+
+- **partitioned parallel reads** — one input partition per (station,
+  UTC-day slice); each executor task opens its SQLite file locally and
+  reads only its ``BETWEEN`` slice off the indexed ``dateTime`` PK, so a
+  year of archives across hundreds of stations scans as hundreds of
+  independent tasks, no driver bottleneck (unlike the driver-side Arrow
+  reader in sqlite_source.py, which remains the right tool for the tiny
+  single-day incremental reads the CLI pipeline does);
+- **filter pushdown** — dateTime range and station equality/IN predicates
+  narrow the partition list at planning time AND the SQL sent to SQLite,
+  so ``.where("dateTime BETWEEN a AND b")`` prunes both tasks and rows;
+- **Arrow-batched transfer** — ``read()`` yields pyarrow RecordBatches.
+
+A streaming counterpart (``format("wview")`` under ``readStream``) tails
+the archives incrementally: the offset is the last ``dateTime`` seen per
+station — exactly the reference's watermark protocol (state file,
+aristoteles.py:65-79) expressed as a Structured Streaming source.
+
+Usage::
+
+    spark.dataSource.register(WviewDataSource)
+    df = (spark.read.format("wview")
+          .option("stations", "alpha=/data/a.sqlite;beta=/data/b.sqlite")
+          .load())
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+from aristoteles_spark.schema import ARCHIVE_COLUMNS, ARCHIVE_SCHEMA, MEASURES
+
+DAY_SECONDS = 86_400
+_SELECT_LIST = ", ".join(ARCHIVE_COLUMNS)
+
+WVIEW_SCHEMA = StructType(
+    [StructField("station", StringType(), False)] + list(ARCHIVE_SCHEMA.fields)
+)
+
+
+def _parse_stations(options) -> dict[str, str]:
+    """Options: ``stations`` = ``name=path;name=path`` or a single
+    ``path`` (+ optional ``station`` name, default "st")."""
+    if options.get("stations"):
+        out = {}
+        for part in options["stations"].split(";"):
+            if not part.strip():
+                continue
+            name, _, path = part.partition("=")
+            if not path:
+                raise ValueError(f"bad stations entry: {part!r}")
+            out[name.strip()] = path.strip()
+        return out
+    if options.get("path"):
+        return {options.get("station", "st"): options["path"]}
+    raise ValueError("wview source needs option 'stations' or 'path'")
+
+
+@dataclass
+class _Slice(InputPartition):
+    station: str
+    db_path: str
+    lo: int  # inclusive epoch seconds
+    hi: int  # inclusive
+
+
+def _arrow_batch(station: str, rows: list[tuple]):
+    import pyarrow as pa
+
+    cols = list(zip(*rows)) if rows else [[] for _ in ARCHIVE_COLUMNS]
+    arrays = [
+        pa.array([station] * len(rows), type=pa.string()),
+        pa.array(cols[0], type=pa.int64()),
+        pa.array(cols[1], type=pa.int32()),
+    ] + [pa.array(cols[i + 2], type=pa.float64()) for i in range(len(MEASURES))]
+    return pa.record_batch(arrays, names=["station", *ARCHIVE_COLUMNS])
+
+
+class WviewReader(DataSourceReader):
+    def __init__(self, options):
+        self.stations = _parse_stations(options)
+        self.slice_seconds = int(options.get("sliceseconds", DAY_SECONDS))
+        self.lo: int | None = None  # from pushed filters, inclusive
+        self.hi: int | None = None
+        self.station_set: set[str] | None = None
+
+    # ---- planning-time pushdown --------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume dateTime range and station membership predicates;
+        everything else (and anything we only narrowed) goes back to
+        Spark for re-evaluation."""
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            if col == "dateTime":
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value)) if self.lo is not None else int(f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    v = int(f.value) + 1
+                    self.lo = max(self.lo, v) if self.lo is not None else v
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value)) if self.hi is not None else int(f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    v = int(f.value) - 1
+                    self.hi = min(self.hi, v) if self.hi is not None else v
+                    continue
+                if isinstance(f, EqualTo):
+                    v = int(f.value)
+                    self.lo = v if self.lo is None else max(self.lo, v)
+                    self.hi = v if self.hi is None else min(self.hi, v)
+                    continue
+            if col == "station":
+                if isinstance(f, EqualTo):
+                    s = {str(f.value)}
+                    self.station_set = s if self.station_set is None else (self.station_set & s)
+                    continue
+                if isinstance(f, In):
+                    s = {str(v) for v in f.values}
+                    self.station_set = s if self.station_set is None else (self.station_set & s)
+                    continue
+            yield f
+
+    def partitions(self) -> list[_Slice]:
+        """One slice per (station, day). Bounds come from a planning-time
+        MIN/MAX probe against each archive's indexed PK (two index-only
+        lookups per station), intersected with pushed dateTime bounds."""
+        out: list[_Slice] = []
+        for name, path in self.stations.items():
+            if self.station_set is not None and name not in self.station_set:
+                continue
+            with sqlite3.connect(path) as conn:
+                row = conn.execute(
+                    "SELECT MIN(dateTime), MAX(dateTime) FROM archive"
+                ).fetchone()
+            if row is None or row[0] is None:
+                continue
+            lo, hi = int(row[0]), int(row[1])
+            if self.lo is not None:
+                lo = max(lo, self.lo)
+            if self.hi is not None:
+                hi = min(hi, self.hi)
+            if lo > hi:
+                continue
+            start = (lo // self.slice_seconds) * self.slice_seconds
+            while start <= hi:
+                end = start + self.slice_seconds - 1
+                out.append(_Slice(name, path, max(lo, start), min(hi, end)))
+                start += self.slice_seconds
+        return out
+
+    # ---- executor-side read ------------------------------------------
+    def read(self, part: _Slice):
+        with sqlite3.connect(part.db_path) as conn:
+            rows = conn.execute(
+                f"SELECT {_SELECT_LIST} FROM archive "
+                "WHERE dateTime BETWEEN ? AND ? ORDER BY dateTime",
+                (part.lo, part.hi),
+            ).fetchall()
+        if rows:
+            yield _arrow_batch(part.station, rows)
+
+
+class WviewStreamReader(SimpleDataSourceStreamReader):
+    """Tails the archives: offset = {station: last dateTime ingested}.
+    Mirrors the reference's watermark protocol (state file advanced after
+    each successful day, aristoteles.py:65-79,476) as a streaming source;
+    the engine's completeness gate stays downstream, exactly like the
+    reference separates 'data arrived' from 'day complete'."""
+
+    def __init__(self, options):
+        self.stations = _parse_stations(options)
+        self.batch_limit = int(options.get("maxrowsperbatch", 100_000))
+
+    def initialOffset(self) -> dict:
+        return {"last": {name: -1 for name in self.stations}}
+
+    def read(self, start: dict):
+        rows_out: list[tuple] = []
+        last = dict(start["last"])
+        for name, path in self.stations.items():
+            since = int(last.get(name, -1))
+            with sqlite3.connect(path) as conn:
+                rows = conn.execute(
+                    f"SELECT {_SELECT_LIST} FROM archive WHERE dateTime > ? "
+                    "ORDER BY dateTime LIMIT ?",
+                    (since, self.batch_limit),
+                ).fetchall()
+            if rows:
+                last[name] = int(rows[-1][0])
+                rows_out.extend((name, *r) for r in rows)
+        return iter(rows_out), {"last": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay for recovery: re-read (start, end]."""
+        rows_out: list[tuple] = []
+        for name, path in self.stations.items():
+            lo = int(start["last"].get(name, -1))
+            hi = int(end["last"].get(name, -1))
+            if hi <= lo:
+                continue
+            with sqlite3.connect(path) as conn:
+                rows = conn.execute(
+                    f"SELECT {_SELECT_LIST} FROM archive "
+                    "WHERE dateTime > ? AND dateTime <= ? ORDER BY dateTime",
+                    (lo, hi),
+                ).fetchall()
+            rows_out.extend((name, *r) for r in rows)
+        return iter(rows_out)
+
+
+class WviewDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wview"
+
+    def schema(self) -> StructType:
+        return WVIEW_SCHEMA
+
+    def reader(self, schema: StructType) -> WviewReader:
+        return WviewReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> WviewStreamReader:
+        return WviewStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(WviewDataSource)

@@ -1,0 +1,175 @@
+"""Tests for the wview Python Data Source (batch + streaming).
+
+Covers: schema, day-sliced partition planning, dateTime/station filter
+pushdown (both partition pruning and row narrowing), Arrow batch reads,
+and the streaming reader's offset protocol (incremental read + replay).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from aristoteles_spark.schema import MEASURES
+from aristoteles_spark.sources.sqlite_source import write_archive_sqlite
+from aristoteles_spark.sources.wview_datasource import (
+    WviewDataSource,
+    WviewReader,
+    WviewStreamReader,
+)
+
+
+def _day_rows(day: dt.date, n: int = 288, us: int = 1):
+    t0 = int(
+        dt.datetime(day.year, day.month, day.day, tzinfo=dt.timezone.utc).timestamp()
+    )
+    return [
+        (t0 + i * 300, us, *[50.0 + i * 0.01 + j for j in range(len(MEASURES))])
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def archives(tmp_path_factory):
+    w = tmp_path_factory.mktemp("wview")
+    a, b = str(w / "a.sqlite"), str(w / "b.sqlite")
+    write_archive_sqlite(a, _day_rows(dt.date(2020, 6, 1)) + _day_rows(dt.date(2020, 6, 2)))
+    write_archive_sqlite(b, _day_rows(dt.date(2020, 6, 2), n=100, us=0))
+    return {"alpha": a, "beta": b}
+
+
+def _opts(archives) -> dict:
+    return {"stations": ";".join(f"{k}={v}" for k, v in archives.items())}
+
+
+DAY2 = int(dt.datetime(2020, 6, 2, tzinfo=dt.timezone.utc).timestamp())
+
+
+class TestPartitionPlanning:
+    def test_one_slice_per_station_day(self, archives):
+        parts = WviewReader(_opts(archives)).partitions()
+        assert len(parts) == 3  # alpha x 2 days, beta x 1
+        assert {(p.station, p.lo // 86400) for p in parts} == {
+            ("alpha", DAY2 // 86400 - 1),
+            ("alpha", DAY2 // 86400),
+            ("beta", DAY2 // 86400),
+        }
+
+    def test_datetime_pushdown_prunes_slices(self, archives):
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+        r = WviewReader(_opts(archives))
+        rest = list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("dateTime",), DAY2),
+                    LessThan(("dateTime",), DAY2 + 86400),
+                ]
+            )
+        )
+        assert rest == []  # both fully consumed
+        parts = r.partitions()
+        assert {p.station for p in parts} == {"alpha", "beta"}
+        assert len(parts) == 2
+        assert all(p.lo >= DAY2 and p.hi < DAY2 + 86400 for p in parts)
+
+    def test_station_pushdown_prunes_stations(self, archives):
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+
+        r = WviewReader(_opts(archives))
+        rest = list(
+            r.pushFilters(
+                [EqualTo(("station",), "beta"), GreaterThan(("outTemp",), 0.0)]
+            )
+        )
+        # the measure predicate is NOT handled and must be returned
+        assert len(rest) == 1 and rest[0].attribute == ("outTemp",)
+        parts = r.partitions()
+        assert [p.station for p in parts] == ["beta"]
+
+    def test_custom_slice_granularity(self, archives):
+        r = WviewReader({**_opts(archives), "sliceseconds": "43200"})
+        # alpha: 2 days -> 4 half-day slices; beta: 100 rows cover <12h -> 1
+        assert len(r.partitions()) == 5
+
+    def test_read_returns_arrow_batch(self, archives):
+        import pyarrow as pa
+
+        r = WviewReader(_opts(archives))
+        part = [p for p in r.partitions() if p.station == "beta"][0]
+        batches = list(r.read(part))
+        assert len(batches) == 1 and isinstance(batches[0], pa.RecordBatch)
+        assert batches[0].num_rows == 100
+        assert batches[0].schema.names[:3] == ["station", "dateTime", "usUnits"]
+
+
+class TestBatchEndToEnd:
+    def test_read_counts_and_filters(self, spark, archives):
+        spark.dataSource.register(WviewDataSource)
+        df = (
+            spark.read.format("wview")
+            .option("stations", _opts(archives)["stations"])
+            .load()
+        )
+        assert df.count() == 676
+        assert df.rdd.getNumPartitions() == 3
+        day2 = df.where(
+            (df.dateTime >= DAY2) & (df.dateTime < DAY2 + 86400)
+        )
+        assert day2.count() == 388
+        assert df.where(df.station == "beta").count() == 100
+        # row values survive the Arrow path
+        row = (
+            df.where((df.station == "alpha") & (df.dateTime == DAY2))
+            .select("usUnits", "outTemp")
+            .head()
+        )
+        assert row["usUnits"] == 1 and row["outTemp"] == 54.0
+
+    def test_single_path_option(self, spark, archives):
+        spark.dataSource.register(WviewDataSource)
+        df = (
+            spark.read.format("wview")
+            .option("path", archives["beta"])
+            .option("station", "b1")
+            .load()
+        )
+        assert df.groupBy("station").count().collect()[0]["station"] == "b1"
+
+
+class TestStreaming:
+    def test_offset_protocol(self, tmp_path):
+        db = str(tmp_path / "s.sqlite")
+        write_archive_sqlite(db, _day_rows(dt.date(2020, 6, 1), 10))
+        r = WviewStreamReader({"path": db})
+        it, off1 = r.read(r.initialOffset())
+        assert sum(1 for _ in it) == 10
+        # new data arrives; next read picks up only the delta
+        write_archive_sqlite(db, _day_rows(dt.date(2020, 6, 2), 4))
+        it2, off2 = r.read(off1)
+        rows2 = list(it2)
+        assert len(rows2) == 4
+        assert rows2[0][0] == "st"  # station column prepended
+        # deterministic replay of the committed range
+        assert sum(1 for _ in r.readBetweenOffsets(off1, off2)) == 4
+        # nothing new -> empty batch, offset unchanged
+        it3, off3 = r.read(off2)
+        assert sum(1 for _ in it3) == 0 and off3 == off2
+
+    def test_available_now_end_to_end(self, spark, tmp_path):
+        db = str(tmp_path / "e.sqlite")
+        write_archive_sqlite(db, _day_rows(dt.date(2020, 6, 1), 30))
+        spark.dataSource.register(WviewDataSource)
+        q = (
+            spark.readStream.format("wview")
+            .option("path", db)
+            .load()
+            .writeStream.format("memory")
+            .queryName("wview_stream_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.sql("SELECT count(*) AS n FROM wview_stream_t").head()["n"]
+        assert n == 30
