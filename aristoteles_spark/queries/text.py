@@ -314,6 +314,46 @@ def q_contamination(spark, sf_dir):
     )
 
 
+# PII patterns: written in the common Java-regex / RE2 subset (character
+# classes + bounded repeats, no lookaround) so Spark and the duckdb
+# oracle execute the IDENTICAL pattern text.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing — the redaction stage every training-data pipeline
+    runs before release: emails / IPv4s / phone numbers replaced with
+    typed placeholders, with per-doc match counts for audit. Pure
+    codegen regexp_replace/regexp_count, zero shuffle. The test corpus
+    is synthetic words, so deterministic PII is appended per row (both
+    engines build the identical augmented text) — the oracle check is
+    non-vacuous: every row has >=3 real redactions."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.right(red, F.lit(60)).alias("tail_preview"),
+    ).orderBy("doc_id")
+
+
 def q_negative_samples(spark, sf_dir):
     """Contrastive-training negative sampling: k=3 pseudo-random negative
     partner documents per document via a deterministic affine hash over
@@ -353,6 +393,7 @@ QUERIES = {
     "tx10_chunking": q_chunking,
     "pk1_sequence_packing": q_sequence_packing,
     "ct1_contamination": q_contamination,
+    "tx12_pii_redaction": q_pii_redaction,
 }
 
 
@@ -510,6 +551,23 @@ SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams,
 FROM grams t JOIN grams e ON t.g = e.g
 WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    "tx12_pii_redaction": f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or 10.0.'
+         || (doc_id % 256) || '.7 tel 555-867-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(a, '{_PII_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(a, '{_PII_IP}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(a, '{_PII_PHONE}')) AS INT) AS n_phones,
+  right(regexp_replace(regexp_replace(regexp_replace(a,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g'), 60) AS tail_preview
+FROM aug ORDER BY doc_id
 """,
     "tx8_bigram_topk": f"""
 WITH toks AS (
