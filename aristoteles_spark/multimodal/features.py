@@ -280,6 +280,59 @@ def real_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).mapInPandas(batches, AUDIO_SCHEMA)
 
 
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("sampled_mean", DoubleType()),
+    ]
+)
+
+VIDEO_STRIDE = 2  # keep every 2nd frame
+
+
+def real_video_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video-container frame sampling: each row's md5 digest becomes
+    four 2x2 luma frames, Y4M-encoded (YUV4MPEG2, formats/video.py) and
+    parsed back — header fields, FRAME markers, plane sizes — then
+    sampled at stride 2. sampled_mean == mean(digest bytes 0-3,8-11)/255
+    by construction (frames 0 and 2), which the SQL oracle states
+    directly; a container-parse bug (frame offset, plane size) breaks
+    the driver match. Same Arrow-batched mapInPandas seam."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.video import encode_y4m, sample_frames
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                b = np.frombuffer(bytes.fromhex(hexd), dtype=np.uint8)
+                frames = b.reshape(4, 2, 2)
+                w, h, nf, ns, sampled = sample_frames(
+                    encode_y4m(frames), VIDEO_STRIDE
+                )
+                rows.append(
+                    (did, w, h, nf, ns, float(sampled.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "n_sampled",
+                    "sampled_mean",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, VIDEO_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

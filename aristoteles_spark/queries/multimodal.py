@@ -94,6 +94,15 @@ def q_real_audio(spark, sf_dir):
     return real_audio_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_video(spark, sf_dir):
+    """REAL video container (Y4M) frame-sampling: digest -> four 2x2
+    luma frames -> YUV4MPEG2 encode -> container parse -> stride-2
+    sample -> mean luma, oracle-stated from the digest bytes."""
+    from aristoteles_spark.multimodal.features import real_video_features
+
+    return real_video_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm2_decode_features": q_decode_features,
@@ -103,6 +112,7 @@ QUERIES = {
     "mm6_real_codec": q_real_codec,
     "mm7_real_resize": q_real_resize,
     "mm8_real_audio": q_real_audio,
+    "mm9_real_video": q_real_video,
 }
 
 
@@ -184,6 +194,12 @@ ORACLE = {
         "CAST(greatest("
         + ", ".join(f"abs(({_byte_val(i)} - 128) * 256)" for i in range(16))
         + ") AS BIGINT) AS peak "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "mm9_real_video": (
+        "SELECT doc_id, 2 AS width, 2 AS height, 4 AS n_frames, "
+        "2 AS n_sampled, "
+        f"{_byte_mean([0, 1, 2, 3, 8, 9, 10, 11])} AS sampled_mean "
         "FROM documents ORDER BY doc_id"
     ),
     "mm4_perceptual_buckets": (
