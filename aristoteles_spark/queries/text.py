@@ -354,6 +354,82 @@ def q_pii_redaction(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_perplexity_filter(spark, sf_dir):
+    """Perplexity-proxy quality filtering (the CCNet-style stage that
+    scores documents under a corpus n-gram LM and drops the tails): an
+    add-one-smoothed bigram model is fit on the corpus itself — bigram
+    counts c2, unigram counts c1, vocab size V, all plain
+    partial-aggregated groupBys — and each document is scored by its
+    smoothed transition probabilities p = (c2+1)/(c1+V).
+
+    Two scores, both chosen for bit-exact engine portability (JVM
+    Math.log and libm ln disagree by 1 ulp on some inputs — measured —
+    so transcendental outputs can't be value-hash-compared):
+    - avg_prob: mean p. Each p is a single IEEE division (correctly
+      rounded, identical in both engines); a distributed double SUM is
+      order-dependent, so the per-doc reduction collects (pos, p),
+      sorts in-row, and LEFT-FOLDS sequentially with F.aggregate — the
+      same fold the oracle states via list_reduce(list(.. ORDER BY
+      pos)).
+    - surprisal_bits: sum of floor(log2(c1+V)) - floor(log2(c2+1)),
+      an integer log-likelihood proxy computed EXACTLY via binary
+      digit counts (length(bin(n)) in both engines) — no float at all.
+    Shuffles: two model aggs + one doc agg, all map-side partial; the
+    count joins stream the exploded bigrams once."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = tokens("text")
+    toks = d.select("doc_id", t.alias("t"))
+    n = F.size("t")
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ).alias("bg"),
+        ),
+    )
+    bgs = (
+        toks.filter(n >= 2)
+        .select("doc_id", F.posexplode(bg_arr).alias("pos", "b"))
+        .select("doc_id", "pos", "b.w1", "b.bg")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.count()  # scalar model constant (vocab size)
+    c2 = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    num = F.col("c2") + 1
+    den = F.col("c1") + F.lit(vocab)
+    scored = (
+        bgs.join(c2, "bg")
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            "pos",
+            (num / den).alias("p"),
+            (F.length(F.bin(den)) - F.length(F.bin(num))).alias("bits"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("sum_p"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_p") / F.col("n_bigrams")).alias("avg_prob"),
+        "surprisal_bits",
+    ).orderBy("doc_id")
+
+
 def q_negative_samples(spark, sf_dir):
     """Contrastive-training negative sampling: k=3 pseudo-random negative
     partner documents per document via a deterministic affine hash over
@@ -394,6 +470,7 @@ QUERIES = {
     "pk1_sequence_packing": q_sequence_packing,
     "ct1_contamination": q_contamination,
     "tx12_pii_redaction": q_pii_redaction,
+    "px1_perplexity_filter": q_perplexity_filter,
 }
 
 
@@ -551,6 +628,32 @@ SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams,
 FROM grams t JOIN grams e ON t.g = e.g
 WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    "px1_perplexity_filter": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), uni AS (
+  SELECT w1, count(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+), v AS (
+  SELECT count(*) AS vocab FROM uni
+), bgs AS (
+  SELECT doc_id, i AS pos, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2
+), c2 AS (
+  SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg
+), scored AS (
+  SELECT doc_id, pos,
+         (c2.c2 + 1) / CAST(uni.c1 + v.vocab AS DOUBLE) AS p,
+         length(bin(uni.c1 + v.vocab)) - length(bin(c2.c2 + 1)) AS bits
+  FROM bgs JOIN c2 USING (bg) JOIN uni USING (w1) CROSS JOIN v
+), folded AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         0.0 + list_reduce(list(p ORDER BY pos), (a, b) -> a + b) AS sum_p,
+         CAST(sum(bits) AS BIGINT) AS surprisal_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_p / n_bigrams AS avg_prob, surprisal_bits
+FROM folded ORDER BY doc_id
 """,
     "tx12_pii_redaction": f"""
 WITH aug AS (
