@@ -441,7 +441,82 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 2, 5  # token budget = 2/5 of the corpus
+
+
+def q_source_mixture(spark, sf_dir):
+    """Training-mixture construction (the Dolma/Pile-style mixing stage):
+    given per-source weights and a total token budget, deterministically
+    sample each source at the rate that hits its share of the budget.
+
+    Weights w_s = 1 + (source_number % 3); budget B = 2/5 of total
+    corpus tokens. Per-source keep threshold (parts-per-million) is
+    min(1e6, w_s*B*1e6 // (sum_w * T_s)) — ALL integer arithmetic, so
+    both engines agree exactly — and a doc is kept iff
+    h32(doc_id) % 1e6 < threshold (content-hash sampling: stable across
+    runs, engines, partitioning; p5/p6's scheme). Plan: one partial-agg
+    pass for per-source token totals T_s, the tiny totals aggregated to
+    model constants and broadcast back; the corpus streams once more
+    for selection — no wide shuffle of document rows at any point."""
+    from aristoteles_spark.functions.text import h32, tokens
+    from aristoteles_spark.sources.parquet_source import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+    )
+    totals = (
+        d.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("t_s"),
+            (1 + F.min("src_num") % 3).cast("long").alias("w_s"),
+        )
+    )
+    consts = totals.agg(
+        F.sum(F.col("t_s")).alias("total_tok"), F.sum("w_s").alias("sum_w")
+    )
+    # budget + thresholds via floor(double division): numerators stay
+    # below 2^52 (exact), and a true quotient is never within an ulp of
+    # an integer unless it IS one, so floor is engine-exact. (Plain
+    # casts are NOT: Spark cast(double as long) truncates, duckdb
+    # rounds — floor() sidesteps that divergence.)
+    budget = F.floor(
+        F.col("total_tok") * MIX_BUDGET_NUM / F.lit(MIX_BUDGET_DEN)
+    ).cast("long")
+    model = totals.crossJoin(F.broadcast(consts)).select(
+        "source",
+        "t_s",
+        "w_s",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                F.col("w_s") * budget * 1_000_000
+                / (F.col("sum_w") * F.col("t_s"))
+            ).cast("long"),
+        ).alias("thresh_ppm"),
+    )
+    keep = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    return (
+        d.join(F.broadcast(model), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep < F.col("thresh_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.sum(F.when(keep < F.col("thresh_ppm"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_selected"),
+            F.min("thresh_ppm").alias("thresh_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "mx1_source_mixture": q_source_mixture,
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
@@ -466,6 +541,40 @@ _H32_KEY = (
 )
 
 ORACLE = {
+    "mx1_source_mixture": """
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n_tok,
+         CAST(substr(source, 4) AS INT) AS src_num
+  FROM documents
+), totals AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s,
+         CAST(1 + min(src_num) % 3 AS BIGINT) AS w_s
+  FROM d GROUP BY source
+), consts AS (
+  SELECT CAST(sum(t_s) AS BIGINT) AS total_tok,
+         CAST(sum(w_s) AS BIGINT) AS sum_w FROM totals
+), model AS (
+  SELECT source, t_s, w_s,
+    least(1000000, CAST(floor(
+      w_s * CAST(floor(total_tok * 2 / 5) AS BIGINT) * 1000000
+      / (sum_w * t_s)) AS BIGINT)) AS thresh_ppm
+  FROM totals CROSS JOIN consts
+), hashed AS (
+  SELECT d.*, thresh_ppm,
+    CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))),
+         1, 8)) AS BIGINT) % 1000000 AS h
+  FROM d JOIN model USING (source)
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN h < thresh_ppm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_selected,
+  CAST(sum(CASE WHEN h < thresh_ppm THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_selected,
+  min(thresh_ppm) AS thresh_ppm
+FROM hashed GROUP BY source ORDER BY source
+""",
     "g4_rollup": (
         "SELECT o_orderpriority, o_orderstatus, "
         "GROUPING(o_orderpriority, o_orderstatus) AS g_level, "
