@@ -38,6 +38,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -47,6 +48,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -232,6 +234,115 @@ class WviewStreamReader(SimpleDataSourceStreamReader):
         return iter(rows_out)
 
 
+@dataclass
+class _StagedDb(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class WviewWriter(DataSourceWriter):
+    """``df.write.format("wview").option("dir", ...)`` — write rows
+    (station, dateTime, usUnits, <measures>) back into one SQLite
+    archive per station under ``dir``.
+
+    Commit protocol: each task writes its rows to a private staging
+    SQLite file and returns its path; only the driver-side ``commit``
+    merges staged files into the final per-station ``<station>.sqlite``
+    archives (INSERT OR REPLACE on the dateTime PK — idempotent on
+    retry), then removes the staging files; ``abort`` removes them
+    without merging, so a failed job never touches the archives. SQLite
+    permits a single writer per file, so the serial merge is inherent
+    to the target format — the parallel work (compute, partitioning)
+    happens upstream in Spark. Staging and target must share a
+    filesystem (local mode here; a shared mount on a cluster)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("dir") or options.get("path")
+        if not self.dir:
+            raise ValueError("wview writer needs option 'dir'")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedDb:
+        import os
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        staged = os.path.join(self.dir, f".stage-{uuid.uuid4().hex}.sqlite")
+        n = 0
+        with sqlite3.connect(staged) as conn:
+            conn.execute(
+                "CREATE TABLE staged (station TEXT NOT NULL, "
+                "dateTime INTEGER NOT NULL, usUnits INTEGER NOT NULL, "
+                + ", ".join(f"{m} REAL" for m in MEASURES)
+                + ", PRIMARY KEY (station, dateTime))"
+            )
+            ph = ", ".join("?" * (len(ARCHIVE_COLUMNS) + 1))
+            for row in iterator:
+                conn.execute(
+                    f"INSERT OR REPLACE INTO staged VALUES ({ph})",
+                    tuple(row),
+                )
+                n += 1
+            conn.commit()
+        return _StagedDb(path=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        per_station: dict[str, str] = {}
+        try:
+            for msg in messages:
+                with sqlite3.connect(msg.path) as src:
+                    stations = [
+                        r[0]
+                        for r in src.execute(
+                            "SELECT DISTINCT station FROM staged"
+                        )
+                    ]
+                    for st in stations:
+                        dest = per_station.setdefault(
+                            st, os.path.join(self.dir, f"{st}.sqlite")
+                        )
+                        with sqlite3.connect(dest) as dst:
+                            if self.overwrite and st not in getattr(
+                                self, "_cleared", set()
+                            ):
+                                dst.execute("DROP TABLE IF EXISTS archive")
+                                self._cleared = getattr(
+                                    self, "_cleared", set()
+                                ) | {st}
+                            dst.execute(
+                                "CREATE TABLE IF NOT EXISTS archive ("
+                                "dateTime INTEGER NOT NULL PRIMARY KEY, "
+                                "usUnits INTEGER NOT NULL, "
+                                + ", ".join(f"{m} REAL" for m in MEASURES)
+                                + ")"
+                            )
+                            cols = ", ".join(ARCHIVE_COLUMNS)
+                            rows = src.execute(
+                                f"SELECT {cols} FROM staged WHERE station = ?"
+                                " ORDER BY dateTime",
+                                (st,),
+                            ).fetchall()
+                            dst.executemany(
+                                f"INSERT OR REPLACE INTO archive ({cols}) "
+                                f"VALUES ({', '.join('?' * len(ARCHIVE_COLUMNS))})",
+                                rows,
+                            )
+                            dst.commit()
+        finally:
+            for msg in messages:
+                if os.path.exists(msg.path):
+                    os.unlink(msg.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.path):
+                os.unlink(msg.path)
+
+
 class WviewDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -245,6 +356,15 @@ class WviewDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> WviewStreamReader:
         return WviewStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WviewWriter:
+        expected = [f.name for f in WVIEW_SCHEMA.fields]
+        got = [f.name for f in schema.fields]
+        if got != expected:
+            raise ValueError(
+                f"wview writer needs columns {expected}, got {got}"
+            )
+        return WviewWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -138,6 +138,81 @@ class TestBatchEndToEnd:
         assert df.groupBy("station").count().collect()[0]["station"] == "b1"
 
 
+class TestWriter:
+    def test_write_read_round_trip(self, spark, tmp_path):
+        from aristoteles_spark.sources.wview_datasource import WVIEW_SCHEMA
+
+        spark.dataSource.register(WviewDataSource)
+        w = str(tmp_path / "arch")
+        rows = [
+            ("a", 1000 + i, 1, *[float(i + j) for j in range(len(MEASURES))])
+            for i in range(50)
+        ] + [
+            ("b", 2000 + i, 0, *[0.5 * i + j for j in range(len(MEASURES))])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, WVIEW_SCHEMA).repartition(4)
+        df.write.format("wview").option("dir", w).mode("append").save()
+        back = (
+            spark.read.format("wview")
+            .option("stations", f"a={w}/a.sqlite;b={w}/b.sqlite")
+            .load()
+        )
+        assert back.count() == 80
+        assert sorted(
+            tuple(r) for r in back.collect()
+        ) == sorted(rows)
+        # no staging leftovers after commit
+        leftovers = [p for p in (tmp_path / "arch").iterdir() if p.name.startswith(".stage")]
+        assert leftovers == []
+
+    def test_append_is_upsert_on_datetime(self, spark, tmp_path):
+        from aristoteles_spark.sources.wview_datasource import WVIEW_SCHEMA
+
+        spark.dataSource.register(WviewDataSource)
+        w = str(tmp_path / "arch2")
+        mk = lambda v: [("a", 100, 1, *[v] * len(MEASURES))]
+        spark.createDataFrame(mk(1.0), WVIEW_SCHEMA).write.format(
+            "wview"
+        ).option("dir", w).mode("append").save()
+        spark.createDataFrame(mk(9.0), WVIEW_SCHEMA).write.format(
+            "wview"
+        ).option("dir", w).mode("append").save()
+        back = spark.read.format("wview").option("path", f"{w}/a.sqlite").load()
+        assert back.count() == 1
+        assert back.head()["barometer"] == 9.0
+
+    def test_overwrite_replaces_written_stations_only(self, spark, tmp_path):
+        from aristoteles_spark.sources.wview_datasource import WVIEW_SCHEMA
+
+        spark.dataSource.register(WviewDataSource)
+        w = str(tmp_path / "arch3")
+        rows = [
+            (st, t, 1, *[1.0] * len(MEASURES))
+            for st in ("a", "b")
+            for t in (100, 200)
+        ]
+        spark.createDataFrame(rows, WVIEW_SCHEMA).write.format(
+            "wview"
+        ).option("dir", w).mode("append").save()
+        only_a = [("a", 300, 1, *[2.0] * len(MEASURES))]
+        spark.createDataFrame(only_a, WVIEW_SCHEMA).write.format(
+            "wview"
+        ).option("dir", w).mode("overwrite").save()
+        a = spark.read.format("wview").option("path", f"{w}/a.sqlite").load()
+        b = spark.read.format("wview").option("path", f"{w}/b.sqlite").load()
+        assert a.count() == 1 and a.head()["dateTime"] == 300
+        assert b.count() == 2  # untouched station survives
+
+    def test_writer_rejects_wrong_schema(self, spark, tmp_path):
+        spark.dataSource.register(WviewDataSource)
+        df = spark.range(3)
+        with pytest.raises(Exception, match="wview writer needs columns"):
+            df.write.format("wview").option(
+                "dir", str(tmp_path / "x")
+            ).mode("append").save()
+
+
 class TestStreaming:
     def test_offset_protocol(self, tmp_path):
         db = str(tmp_path / "s.sqlite")
