@@ -183,6 +183,22 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "distinct names via two-phase aggregate before any compare"),
         (r"levenshtein", "edit distance runs as a codegen expression, not a UDF"),
     ],
+    "mm6_real_codec": [
+        (r"MapInPandas|ArrowEvalPython", "real PNG codec runs Arrow-batched (mapInPandas), never row-at-a-time"),
+        (r"!hashpartitioning", "decode is a pure map stage — no hash shuffle; only the fan-out round-robin and the presentation sort"),
+    ],
+    "tx12_pii_redaction": [
+        (r"!hashpartitioning", "redaction is row-local regexp codegen — no hash shuffle anywhere"),
+        (r"!PythonUDF", "no Python in the hot path"),
+    ],
+    "px1_perplexity_filter": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "LM count tables partial-aggregated before their shuffles"),
+        (r"!PythonUDF", "scoring is pure codegen (divisions + in-row fold), no Python"),
+    ],
+    "mx1_source_mixture": [
+        (r"BroadcastHashJoin", "the tiny per-source model broadcasts back — document rows never shuffle for the join"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "token totals and selection stats partial-aggregated before their shuffles"),
+    ],
 }
 
 
