@@ -104,8 +104,21 @@ def q_stream_static_join(spark, sf_dir):
     return out.orderBy("c_mktsegment")
 
 
+def q_stream_dedup_watermarked(spark, sf_dir):
+    """st3's production variant: dedup state BOUNDED by the event-time
+    watermark (dropDuplicatesWithinWatermark)."""
+    from aristoteles_spark.streaming.events import dedup_within_watermark_counts
+
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(
+        dedup_within_watermark_counts(ev), "st8_dedup_wm", "complete"
+    )
+    return out.orderBy("event_type")
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
+    "st8_stream_dedup_watermarked": q_stream_dedup_watermarked,
     "st2_stream_user_totals": q_stream_user_totals,
     "st3_stream_dedup": q_stream_dedup,
     "st4_stream_stream_join": q_stream_stream_join,
@@ -129,6 +142,10 @@ ORACLE = {
     ),
     "st3_stream_dedup": (
         "SELECT event_type, count(DISTINCT event_id) AS n_events "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "st8_stream_dedup_watermarked": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_first_seen "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "st6_stream_sink_parquet": (

@@ -150,6 +150,24 @@ def dedup_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark_counts(
+    events: DataFrame, delay: str = "30 days"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keys state by (user_id, event_type) and evicts entries once the
+    event-time watermark passes them + delay — the production answer to
+    st3's unbounded dropDuplicates state. On the bounded AvailableNow
+    input everything lands in one microbatch before the watermark first
+    advances, so the result is exact global first-seen counts — which is
+    what makes the oracle compare deterministic."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+
+
 def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the same
     user's clicks in the preceding 10 minutes. Both sides carry
