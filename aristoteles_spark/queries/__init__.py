@@ -32,16 +32,14 @@ _MODULES = [
 ]
 
 # Declaration order matters: the driver's correctness gate checks the
-# FIRST ~50 entries of queries() each round. Round 1 burned the whole
-# window on the (now-proven) relational/TPC-H block, leaving the
-# LLM-pipeline inventory driver-unverified, and 16 decimal-output
-# queries hash-failed on canonicalization (fixed this round by terminal
-# DOUBLE casts — they need a driver RE-check to flip green). The window
-# budget is therefore split: the 16 re-typed queries first, then 34
-# never-driver-checked LLM-pipeline queries (dedup / similarity / text /
-# streaming / temporal — the north-star families). Everything else
-# (already driver-green in round 1, or queued for the round-3 window)
-# follows in module order.
+# FIRST ~50 entries of queries() each round. The order is computed from
+# the driver's own CORRECTNESS_r*.json history (_history_order below):
+# queries whose LAST driver check failed come first (re-checks flip
+# reds), then never-driver-checked queries (new coverage), then green
+# ones stalest-first (rotating re-verification). Ties keep the
+# _PRIORITY/declaration order. _PRIORITY is the round-2 hand seeding
+# (16 re-typed round-1 reds, then the never-checked LLM-pipeline
+# families) and the fallback when no history file exists.
 _PRIORITY = [
     # round-1 red rows, re-typed — must re-enter the check window
     "j1_join_agg", "g1_pricing_summary", "j5_multi_join_topk",
@@ -101,10 +99,62 @@ def _stable_output_types(fn):
     return wrapped
 
 
+def _history_order(names: list[str]) -> list[str]:
+    """Order by driver-verification history (CORRECTNESS_r*.json at the
+    repo root): last-check-failed first, never-checked second, green
+    last (stalest round first). Deterministic; falls back to the seeded
+    _PRIORITY order when no history is readable."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+            )
+            prev = last.get(name)
+            if prev is None or rnd >= prev[0]:
+                last[name] = (rnd, green)
+
+    seed = {n: i for i, n in enumerate(_PRIORITY)}
+
+    def key(n: str):
+        rec = last.get(n)
+        if rec is not None and not rec[1]:
+            cls, rnd = 0, rec[0]  # failed last check: re-verify first
+        elif rec is None:
+            cls, rnd = 1, 0      # never driver-checked
+        else:
+            cls, rnd = 2, rec[0]  # green: stalest first
+        # final tie-break on the NAME (not dict position) so queries()
+        # and oracle_sql() order identically even though the module
+        # QUERIES/ORACLE dicts declare entries in different orders
+        return (cls, rnd, seed.get(n, len(seed)), n)
+
+    return sorted(names, key=key)
+
+
 def _ordered(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY if n in d}
-    out.update((n, v) for n, v in d.items() if n not in out)
-    return out
+    return {n: d[n] for n in _history_order(list(d))}
 
 
 def all_queries() -> dict:
