@@ -279,3 +279,37 @@ class TestIOFormatQueries:
             )
             assert got == want, (fn.__name__, got, want)
             assert got.microsecond != 0  # fixture really has sub-ms data
+
+
+class TestHdf5RoundTrip:
+    def test_export_then_read_back(self, spark, tmp_path):
+        """Full parity loop: Spark day -> reference-layout .h5 (pure
+        writer) -> read_day_h5 -> identical values, NaN-for-NULL."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.schema import MEASURES
+        from aristoteles_spark.sinks.hdf5_export import export_day_h5
+        from aristoteles_spark.sources.hdf5_source import read_day_h5
+
+        rows = [
+            ("stA", 1000, *[float(i) for i in range(len(MEASURES))]),
+            ("stA", 700, *[None] * len(MEASURES)),
+            ("stB", 800, *[2.5] * len(MEASURES)),
+        ]
+        df = spark.createDataFrame(
+            rows, ["station", "dateTime", *MEASURES]
+        ).select(
+            "station", F.col("dateTime").cast("long").alias("dateTime"), *MEASURES
+        )
+        path = str(tmp_path / "20200601.h5")
+        export_day_h5(df, path, "wx", "20200601T000000Z_wx_weather")
+        back, attrs = read_day_h5(spark, path)
+        assert attrs["instrument_name"] == "wx"
+        got = {(r["station"], r["dateTime"]): r for r in back.collect()}
+        assert set(got) == {("stA", 700), ("stA", 1000), ("stB", 800)}
+        m0 = MEASURES[0]
+        assert math.isnan(got[("stA", 700)][m0])  # NULL -> NaN policy
+        assert got[("stA", 1000)][m0] == 0.0
+        assert got[("stB", 800)][m0] == 2.5
