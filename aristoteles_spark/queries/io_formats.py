@@ -28,8 +28,15 @@ from pyspark.sql import functions as F
 from aristoteles_spark.sources.parquet_source import load_table
 
 # per-format scratch roots; fixed (not mkdtemp) so repeated invocations
-# overwrite instead of accumulating copies across bench warmup+passes
-_IO_ROOT = "/tmp/aristoteles_spark_io"
+# overwrite instead of accumulating copies across bench warmup+passes.
+# tmpfs when present: these queries verify format ROUND-TRIP correctness
+# (encode->decode fidelity), not disk throughput, so removing fsync
+# noise from the measurement is strictly better.
+_IO_ROOT = (
+    "/dev/shm/aristoteles_spark_io"
+    if os.access("/dev/shm", os.W_OK)
+    else "/tmp/aristoteles_spark_io"
+)
 
 _EVENTS_DDL = (
     "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
