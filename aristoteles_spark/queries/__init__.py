@@ -25,6 +25,7 @@ _MODULES = [
     "temporal",
     "analytics",
     "arrays",
+    "versioning",
     "windows",
     "relational",
     "tpch_shapes",
