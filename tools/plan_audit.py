@@ -195,6 +195,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "LM count tables partial-aggregated before their shuffles"),
         (r"!PythonUDF", "scoring is pure codegen (divisions + in-row fold), no Python"),
     ],
+    "cd1_snapshot_diff": [
+        (r"(SortMergeJoin|ShuffledHashJoin) FullOuter", "snapshot diff is a keyed full-outer join — only (key, digest) shuffles, never text"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "status counts partial-aggregated before the (source,status) shuffle"),
+    ],
+    "cd2_content_manifest": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "commutative hash-sum manifest partial-aggregated before its shuffle"),
+        (r"!PythonUDF", "row hashing is codegen md5/conv — no Python"),
+    ],
     "mx1_source_mixture": [
         (r"BroadcastHashJoin", "the tiny per-source model broadcasts back — document rows never shuffle for the join"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "token totals and selection stats partial-aggregated before their shuffles"),
