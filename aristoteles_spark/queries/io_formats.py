@@ -150,17 +150,58 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet batches: an early batch written
+    WITHOUT the props column, a later batch WITH it, read back through
+    mergeSchema — the widened schema must surface the old batch's
+    missing column as NULL (the append-only dataset lifecycle every
+    long-lived table goes through). The discriminator aggregates the
+    nullable column so a wrong merge (dropped column, wrong nulling)
+    changes cells. Deterministic batch split: event_id % 2."""
+    path = _scratch("evolve", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0).drop("props")
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    old.write.mode("overwrite").parquet(os.path.join(path, "b=0"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "b=1"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return (
+        merged.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("props").alias("n_with_props"),
+            F.sum(F.length("props")).cast("long").alias("props_chars"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("d")
+    )
+
+
 QUERIES = {
     "io1_orc_roundtrip": q_orc_roundtrip,
     "io2_csv_roundtrip": q_csv_roundtrip,
     "io3_jsonl_roundtrip": q_jsonl_roundtrip,
     "io4_bucketed_join": q_bucketed_join,
+    "io5_schema_evolution": q_schema_evolution,
 }
 
 ORACLE = {
     "io1_orc_roundtrip": _DAILY_AGG_SQL,
     "io2_csv_roundtrip": _DAILY_AGG_SQL,
     "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
+    "io5_schema_evolution": (
+        "SELECT CAST(ts AS DATE) AS d, count(*) AS n, "
+        "CAST(count(CASE WHEN event_id % 2 = 1 THEN props END) AS BIGINT) "
+        "AS n_with_props, "
+        "CAST(sum(CASE WHEN event_id % 2 = 1 THEN length(props) END) "
+        "AS BIGINT) AS props_chars, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY d ORDER BY d"
+    ),
     "io4_bucketed_join": (
         "SELECT o_orderpriority, "
         "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) "
