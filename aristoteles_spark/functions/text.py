@@ -160,14 +160,27 @@ def mean_token_len(token_col: Column) -> Column:
     return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text_col: Column | str) -> Column:
+def quality_score(
+    text_col: Column | str,
+    toks: Column | None = None,
+    punct: Column | None = None,
+    sw_ratio: Column | None = None,
+) -> Column:
     """Composite quality heuristic in [0, 1]: long-enough, low punctuation,
-    some stopwords, sane mean word length. Deterministic double arithmetic."""
+    some stopwords, sane mean word length. Deterministic double arithmetic.
+
+    Pass precomputed ``toks``/``punct``/``sw_ratio`` columns when the
+    caller already materializes them in an earlier projection — the
+    tokenizer regex and the stopword membership scan are the expensive
+    parts, and recomputing them inside this composite doubles the
+    per-row cost (measured ~2x on the quality query)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
-    sw_score = F.least(stopword_ratio(toks) * 4, F.lit(1.0))
+    pr = punct_ratio(c) if punct is None else punct
+    punct_score = F.lit(1.0) - F.least(pr * 5, F.lit(1.0))
+    sw = stopword_ratio(toks) if sw_ratio is None else sw_ratio
+    sw_score = F.least(sw * 4, F.lit(1.0))
     mlen = mean_token_len(toks)
     mlen_score = F.when((mlen >= 3.0) & (mlen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return (len_score + punct_score + sw_score + mlen_score) / 4
