@@ -515,8 +515,70 @@ def q_source_mixture(spark, sf_dir):
     )
 
 
+def q_outliers(spark, sf_dir):
+    """Statistical outlier detection (3-sigma per group): per event
+    type, fit mean/stddev and count values outside mean ± 3σ — the
+    numeric data-quality screen next to dq1's constraint checks.
+
+    Determinism: ``value`` is a 2-decimal price, so the moments are
+    accumulated as EXACT integer cents (sum and sum-of-squares of
+    bigints — commutative, no float in the aggregation; double→decimal
+    casts of wide products were measured to round differently across
+    engines, so they're avoided entirely). Mean/variance/σ then derive
+    from those exact integers with IDENTICAL double formula text both
+    sides: m = S/n/100, var = max(0,(Q - S*S/n)/(n-1)), σ =
+    sqrt(var)/100 — every step a single correctly-rounded IEEE op.
+    Plan: one partial-agg stats pass, the tiny per-type model broadcast
+    back, one streaming outlier count — event rows never shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("double").alias("s"),
+            F.sum(cents * cents).cast("double").alias("q"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("s") / F.col("n") / 100).alias("mean_value"),
+            (
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+                        / (F.col("n") - 1),
+                    )
+                )
+                / 100
+            ).alias("stddev_value"),
+        )
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("mean_value").alias("mean_value"),
+            F.min("stddev_value").alias("stddev_value"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean_value"))
+                    > 3 * F.col("stddev_value"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
+    "an4_outliers": q_outliers,
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
@@ -541,6 +603,29 @@ _H32_KEY = (
 )
 
 ORACLE = {
+    "an4_outliers": """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) AS s,
+         CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE) AS q
+  FROM e GROUP BY event_type
+), model AS (
+  SELECT event_type, n, s / n / 100 AS mean_value,
+         sqrt(greatest(0.0, (q - s * s / n) / (n - 1))) / 100
+           AS stddev_value
+  FROM stats
+)
+SELECT e.event_type, min(n) AS n, min(mean_value) AS mean_value,
+       min(stddev_value) AS stddev_value,
+       CAST(sum(CASE WHEN abs(value - mean_value) > 3 * stddev_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM e JOIN model USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
     "mx1_source_mixture": """
 WITH d AS (
   SELECT doc_id, source,

@@ -204,6 +204,39 @@ class TestWriter:
         assert a.count() == 1 and a.head()["dateTime"] == 300
         assert b.count() == 2  # untouched station survives
 
+    def test_failed_job_leaves_archives_untouched(self, spark, tmp_path):
+        """Fault injection: a task that fails mid-write must abort the
+        job without corrupting existing archives; staging files are
+        removed by the abort path (or remain only as dot-prefixed files
+        the reader never touches)."""
+        from aristoteles_spark.sources.wview_datasource import WVIEW_SCHEMA
+
+        spark.dataSource.register(WviewDataSource)
+        w = str(tmp_path / "arch4")
+        good = [("a", 100, 1, *[1.0] * len(MEASURES))]
+        spark.createDataFrame(good, WVIEW_SCHEMA).write.format(
+            "wview"
+        ).option("dir", w).mode("append").save()
+
+        from pyspark.sql import functions as F
+
+        poisoned = spark.createDataFrame(
+            [("a", 200, 1, *[2.0] * len(MEASURES))], WVIEW_SCHEMA
+        ).withColumn(
+            "dateTime",
+            F.when(F.col("dateTime") > 0, F.col("dateTime")).otherwise(
+                F.col("dateTime")
+            )
+            + F.raise_error(F.lit("injected task failure")).cast("long") * 0,
+        )
+        with pytest.raises(Exception, match="injected task failure"):
+            poisoned.write.format("wview").option("dir", w).mode(
+                "append"
+            ).save()
+        back = spark.read.format("wview").option("path", f"{w}/a.sqlite").load()
+        rows = back.collect()
+        assert len(rows) == 1 and rows[0]["dateTime"] == 100
+
     def test_writer_rejects_wrong_schema(self, spark, tmp_path):
         spark.dataSource.register(WviewDataSource)
         df = spark.range(3)
