@@ -123,7 +123,41 @@ def q_ohlc_downsample(spark, sf_dir):
     )
 
 
+EWMA_ALPHA = 0.125  # 1/8: exactly representable, multiplications exact-ish
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values —
+    the smoothing/feature op of a time-series pipeline. EWMA is an
+    inherently sequential fold (acc*(1-a) + a*x), so it is computed as
+    an IN-ROW left fold over each user's time-ordered value array:
+    deterministic regardless of partitioning, identical fold order in
+    the oracle (list_reduce over list(.. ORDER BY ts, event_id)), and
+    every step a correctly-rounded IEEE op on identical doubles. Per-key
+    event counts are bounded (sessions/user), so the collected array is
+    small; an unbounded stream would use the applyInPandasWithState
+    form (streaming/events.py) instead. One user_id shuffle total."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    folded = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                F.lit(None).cast("double"),
+                lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+                    acc * F.lit(0.875) + x["value"] * F.lit(0.125)
+                ),
+            ).alias("ewma"),
+        )
+    )
+    return folded.select("user_id", "n", "ewma").orderBy("user_id")
+
+
 QUERIES = {
+    "ew1_ewma": q_ewma,
     "at1_asof_join": q_asof,
     "at2_interval_join": q_interval_counts,
     "at3_time_weighted_avg": q_time_weighted_avg,
@@ -131,6 +165,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ew1_ewma": """
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, count(*) AS n,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (a, b) -> a * 0.875 + b * 0.125) AS ewma
+FROM e GROUP BY user_id ORDER BY user_id
+""",
     "at1_asof_join": """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
