@@ -12,10 +12,12 @@ Crash safety: the compacted copy is written to a sibling staging
 directory first, and source partitions are swapped only after the whole
 staged write is durable. Partitions NOT selected for compaction are
 never touched. For a selected partition the swap is two renames
-(current -> .bak, staged -> current, delete .bak), so a crash leaves
-either the old or the new directory on disk — at worst a partition is
-briefly renamed to its .bak sibling, which a re-run or a manual rename
-restores. (An earlier in-place design held the only copy of the
+(current -> hidden .bak, staged -> current, delete .bak), so a crash
+leaves either the old or the new directory on disk; the backup name is
+dot-prefixed so Spark's listing never reads it as a partition, and
+``recover_compaction`` repairs both crash windows idempotently
+(restore an orphaned backup / drop a stale one). (An earlier in-place
+design held the only copy of the
 rewritten rows in executor block storage while dynamic overwrite deleted
 the originals; an executor loss mid-commit could drop a partition for
 good.) On object stores without atomic rename, point ``path`` at a
@@ -30,6 +32,49 @@ import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def _bak_path(dest: str) -> str:
+    """Backup sibling for a partition dir mid-swap. DOT-PREFIXED on the
+    leaf name: Spark's file listing skips hidden files/dirs, so a crash
+    that leaves the backup behind can never pollute reads. (A plain
+    ``date=X.compact-bak`` sibling WOULD be picked up by partition
+    discovery as a bogus partition value — observed.)"""
+    parent, leaf = os.path.split(dest.rstrip("/"))
+    return os.path.join(parent, f".{leaf}.compact-bak")
+
+
+def recover_compaction(path: str) -> dict[str, list[str]]:
+    """Repair the two crash windows a killed compaction can leave.
+
+    - Backup present AND destination present: the swap completed but
+      cleanup didn't — delete the stale backup.
+    - Backup present, destination MISSING: crashed between the two
+      renames — restore the backup (the only copy of that partition).
+    - Leftover hidden ``.{table}.compact-*`` staging dirs: remove.
+
+    Idempotent; safe to run before any compaction or read. Returns the
+    actions taken, for the caller's log."""
+    restored: list[str] = []
+    cleaned: list[str] = []
+    for cur, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.startswith(".") and d.endswith(".compact-bak"):
+                bak = os.path.join(cur, d)
+                dest = os.path.join(cur, d[1:-len(".compact-bak")])
+                if os.path.exists(dest):
+                    shutil.rmtree(bak)
+                    cleaned.append(os.path.relpath(bak, path))
+                else:
+                    os.rename(bak, dest)
+                    restored.append(os.path.relpath(dest, path))
+                dirs.remove(d)
+    parent, base = os.path.split(os.path.abspath(path.rstrip("/")))
+    for d in os.listdir(parent):
+        if d.startswith(f".{base}.compact-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            cleaned.append(d)
+    return {"restored": restored, "cleaned": cleaned}
 
 
 def _leaf_partition_dirs(root: str) -> list[str]:
@@ -99,7 +144,7 @@ def compact_partitions(
         for rel in rewritten:
             src = os.path.join(staging, rel)
             dest = os.path.join(path, rel)
-            bak = dest.rstrip("/") + ".compact-bak"
+            bak = _bak_path(dest)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             if os.path.exists(bak):
                 shutil.rmtree(bak)

@@ -313,3 +313,59 @@ class TestHdf5RoundTrip:
         assert math.isnan(got[("stA", 700)][m0])  # NULL -> NaN policy
         assert got[("stA", 1000)][m0] == 0.0
         assert got[("stB", 800)][m0] == 2.5
+
+
+class TestCompactionRecovery:
+    def _table(self, spark, tmp_path):
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        path = str(tmp_path / "tbl")
+        e.write.partitionBy("event_type").parquet(path)
+        return path, spark.read.parquet(path).count()
+
+    def test_orphaned_backup_is_restored(self, spark, tmp_path):
+        """Crash window 1: partition renamed to its hidden backup, new
+        copy never arrived. The backup is invisible to reads (hidden),
+        and recovery restores it."""
+        import os
+
+        from aristoteles_spark.sinks.compact import recover_compaction
+
+        path, total = self._table(spark, tmp_path)
+        part = os.path.join(path, "event_type=click")
+        bak = os.path.join(path, ".event_type=click.compact-bak")
+        os.rename(part, bak)
+        # hidden backup must NOT surface in reads (no bogus partitions)
+        visible = spark.read.parquet(path)
+        assert visible.filter("event_type = 'click'").count() == 0
+        assert "compact-bak" not in str(
+            visible.select("event_type").distinct().collect()
+        )
+        out = recover_compaction(path)
+        assert out["restored"] == ["event_type=click"]
+        assert spark.read.parquet(path).count() == total
+
+    def test_stale_backup_is_cleaned(self, spark, tmp_path):
+        """Crash window 2: swap completed, backup cleanup didn't."""
+        import os
+        import shutil
+
+        from aristoteles_spark.sinks.compact import recover_compaction
+
+        path, total = self._table(spark, tmp_path)
+        part = os.path.join(path, "event_type=click")
+        bak = os.path.join(path, ".event_type=click.compact-bak")
+        shutil.copytree(part, bak)
+        out = recover_compaction(path)
+        assert out["restored"] == []
+        assert [c for c in out["cleaned"] if "compact-bak" in c]
+        assert not os.path.exists(bak)
+        assert spark.read.parquet(path).count() == total
+
+    def test_recovery_noop_on_clean_table(self, spark, tmp_path):
+        from aristoteles_spark.sinks.compact import recover_compaction
+
+        path, total = self._table(spark, tmp_path)
+        assert recover_compaction(path) == {"restored": [], "cleaned": []}
+        assert spark.read.parquet(path).count() == total
