@@ -116,9 +116,22 @@ def q_stream_dedup_watermarked(spark, sf_dir):
     return out.orderBy("event_type")
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Streaming per-user EWMA (custom stateful op) — the
+    applyInPandasWithState twin of the batch ew1 fold; the oracle is
+    the identical list_reduce recurrence, so the state-store path must
+    reproduce the exact sequential fold."""
+    from aristoteles_spark.streaming.events import user_ewma_stateful
+
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(user_ewma_stateful(ev), "st9_ewma", "append")
+    return out.orderBy("user_id")
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st8_stream_dedup_watermarked": q_stream_dedup_watermarked,
+    "st9_stream_ewma": q_stream_ewma,
     "st2_stream_user_totals": q_stream_user_totals,
     "st3_stream_dedup": q_stream_dedup,
     "st4_stream_stream_join": q_stream_stream_join,
@@ -147,6 +160,13 @@ ORACLE = {
     "st8_stream_dedup_watermarked": (
         "SELECT event_type, count(DISTINCT user_id) AS n_first_seen "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "st9_stream_ewma": (
+        "SELECT user_id, count(*) AS n, "
+        "list_reduce(list(value ORDER BY ts, event_id), "
+        "(a, b) -> a * 0.875 + b * 0.125) AS ewma "
+        "FROM events WHERE value IS NOT NULL "
+        "GROUP BY user_id ORDER BY user_id"
     ),
     "st6_stream_sink_parquet": (
         "SELECT date_trunc('hour', ts) AS hour_start, event_type, "

@@ -139,6 +139,71 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("last_us", LongType()),
+        StructField("last_id", LongType()),
+    ]
+)
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def user_ewma_stateful(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA: the applyInPandasWithState form of the
+    batch ew1 fold. State = (count, current ewma, last event key); each
+    microbatch sorts its rows by (ts, event_id) and continues the fold
+    from state, so across any microbatch split the emitted value equals
+    the batch fold over the full ordered history — PROVIDED event time
+    does not regress across batches (file-source appends here; a
+    late-data stream would need the fold keyed into a timer/watermark
+    pattern instead, and the kernel asserts monotonicity rather than
+    silently folding out of order)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, ewma, last_us, last_id = (
+            state.get if state.exists else (0, None, -(2**62), -1)
+        )
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"])
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(_us=pdf["ts"].astype("int64"))
+            pdf = pdf.sort_values(["_us", "event_id"])
+            first = pdf.iloc[0]
+            assert (int(first["_us"]), int(first["event_id"])) > (
+                last_us,
+                last_id,
+            ), "event time regressed across microbatches"
+            for v in pdf["value"]:
+                ewma = v if ewma is None else ewma * 0.875 + v * 0.125
+            n += len(pdf)
+            tail = pdf.iloc[-1]
+            last_us, last_id = int(tail["_us"]), int(tail["event_id"])
+        state.update((n, ewma, last_us, last_id))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "ewma": [ewma]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_rollup(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

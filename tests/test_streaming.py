@@ -180,3 +180,55 @@ class TestCheckpointRecovery:
         assert resumed == want
         # phase 1 must have been a strict subset (less data processed)
         assert sum(partial.values()) < sum(resumed.values())
+
+
+class TestStatefulEwmaAcrossBatches:
+    def test_ewma_fold_continues_across_microbatches(self, spark):
+        """Per-key EWMA state must continue the fold across batch
+        boundaries: input split into 3 time-ordered files, one file per
+        trigger, final emitted value per user == the single-pass batch
+        fold over the full ordered history."""
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from aristoteles_spark.streaming.events import user_ewma_stateful
+
+        src = pq.read_table(f"{SF}/events.parquet").sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        d = tempfile.mkdtemp(prefix="ewma_split_")
+        n = src.num_rows
+        for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+            pq.write_table(src.slice(lo, hi - lo), os.path.join(d, f"part-{i}.parquet"))
+            os.utime(os.path.join(d, f"part-{i}.parquet"), (1000 + i, 1000 + i))
+
+        ev = _stream(spark, d)
+        out = run_available_now(
+            user_ewma_stateful(ev), "mb_ewma", "append"
+        )
+        # append mode re-emits a user's row each batch it appears in;
+        # the LAST emission carries the final state
+        got = {}
+        for r in out.collect():
+            prev = got.get(r["user_id"])
+            if prev is None or r["n"] >= prev[0]:
+                got[r["user_id"]] = (r["n"], r["ewma"])
+
+        batch = spark.read.parquet(f"{SF}/events.parquet").where(
+            "value IS NOT NULL"
+        )
+        want = {}
+        rows = sorted(
+            batch.select("user_id", "ts", "event_id", "value").collect(),
+            key=lambda r: (r["ts"], r["event_id"]),
+        )
+        for r in rows:
+            n0, e0 = want.get(r["user_id"], (0, None))
+            e1 = r["value"] if e0 is None else e0 * 0.875 + r["value"] * 0.125
+            want[r["user_id"]] = (n0 + 1, e1)
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0], u
+            assert got[u][1] == want[u][1], u
