@@ -93,6 +93,45 @@ class TestPartitionPlanning:
         # alpha: 2 days -> 4 half-day slices; beta: 100 rows cover <12h -> 1
         assert len(r.partitions()) == 5
 
+    def test_planning_scales_to_many_station_days(self, tmp_path):
+        """Planning over 40 stations x 30 days must yield one slice per
+        station-day (1200 partitions) from two index probes per station
+        — no data read at plan time. A pushed one-day filter collapses
+        the plan to one slice per station."""
+        import sqlite3
+
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+        t0 = int(
+            dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        )
+        stations = {}
+        for i in range(40):
+            p = str(tmp_path / f"s{i:02d}.sqlite")
+            # two rows bounding 30 days: planning only needs MIN/MAX
+            write_archive_sqlite(
+                p,
+                [
+                    (t0, 1, *[0.0] * len(MEASURES)),
+                    (t0 + 30 * 86400 - 1, 1, *[0.0] * len(MEASURES)),
+                ],
+            )
+            stations[f"s{i:02d}"] = p
+        opts = {"stations": ";".join(f"{k}={v}" for k, v in stations.items())}
+        parts = WviewReader(opts).partitions()
+        assert len(parts) == 40 * 30
+        r = WviewReader(opts)
+        day5 = t0 + 5 * 86400
+        list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("dateTime",), day5),
+                    LessThan(("dateTime",), day5 + 86400),
+                ]
+            )
+        )
+        assert len(r.partitions()) == 40
+
     def test_read_returns_arrow_batch(self, archives):
         import pyarrow as pa
 
