@@ -22,6 +22,7 @@ N_PLANES = 6
 K = 5
 QUERY_MOD = 50  # query set = vec_id % 50 == 0 (10 queries at sf0.01)
 NEARDUP_T = 0.35
+TRI_T = 0.1  # looser edge threshold for the triangle census (denser graph)
 
 PLANES = hyperplanes(DIM, N_PLANES)
 
@@ -83,7 +84,33 @@ def q_semantic_clusters(spark, sf_dir):
     ).orderBy("node")
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle census over the embedding near-dup graph — the local
+    clustering signal that separates tight duplicate cliques from
+    chains of borderline matches (a dedup-quality diagnostic). Edges
+    are sim3's LSH-bucketed near-dup pairs kept canonically a<b, so
+    each triangle (a<b<c) is counted exactly once by the standard
+    two-join enumeration: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c). Both joins are
+    equi-joins on vertex ids; the near-dup edge set is orders of
+    magnitude smaller than the corpus, and the canonical orientation
+    is the classic mitigation that keeps hub vertices from exploding
+    the wedge stage. Reports per-vertex triangle membership counts."""
+    v = _load(spark, sf_dir)
+    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    e1 = e.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = e.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
+    e3 = e.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex.orderBy("node")
+
+
 QUERIES = {
+    "tc1_triangles": q_triangles,
     "sim1_knn_brute": q_knn_brute,
     "sim2_knn_lsh": q_knn_lsh,
     "sim3_neardup_pairs": q_neardup,
@@ -146,6 +173,27 @@ ORDER BY query_id, neighbor_id
 """
 
 ORACLE = {
+    "tc1_triangles": f"""
+WITH v AS (
+  SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})
+), edges AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm * b.nrm > 0
+        THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END
+        >= {TRI_T}
+), tri AS (
+  SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.va = e1.vb
+  JOIN edges e3 ON e3.va = e1.va AND e3.vb = e2.vb
+)
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY node ORDER BY node
+""",
     "sim1_knn_brute": f"""
 WITH v AS ({_V}),
 q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id % {QUERY_MOD} = 0),
