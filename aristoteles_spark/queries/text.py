@@ -444,6 +444,65 @@ def q_perplexity_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus card: the one-row dataset summary a pipeline publishes
+    with a release — size, vocabulary, duplication, language mix,
+    quality yield. Composes the inventory's per-doc operators (digest
+    dedup, lang-ID, quality score) into three independent aggregates
+    (per-doc stats, vocabulary census, duplicate census) joined as
+    1-row frames. All outputs are integer counts: per-doc doubles
+    (quality) feed deterministic COMPARISONS, never a float SUM, so the
+    report is engine-exact by construction."""
+    from aristoteles_spark.functions.text import (
+        langid_predict,
+        quality_score,
+        tokens,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = tokens("text")
+    per_doc = d.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        langid_predict(t).alias("lang"),
+        quality_score("text").alias("q"),
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_english"),
+        F.sum(F.when(F.col("q") > 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_quality"),
+    )
+    vocab = (
+        d.select(F.explode(t).alias("w"))
+        .agg(F.count_distinct("w").alias("vocab_size"))
+    )
+    dup = (
+        per_doc.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_groups"),
+            F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+    )
+    return base.crossJoin(vocab).crossJoin(dup).select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        "n_exact_groups",
+        "n_dup_docs",
+        "n_english",
+        "n_high_quality",
+    )
+
+
 def q_negative_samples(spark, sf_dir):
     """Contrastive-training negative sampling: k=3 pseudo-random negative
     partner documents per document via a deterministic affine hash over
@@ -485,6 +544,7 @@ QUERIES = {
     "ct1_contamination": q_contamination,
     "tx12_pii_redaction": q_pii_redaction,
     "px1_perplexity_filter": q_perplexity_filter,
+    "cr1_corpus_report": q_corpus_report,
 }
 
 
@@ -642,6 +702,31 @@ SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams,
 FROM grams t JOIN grams e ON t.g = e.g
 WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    "cr1_corpus_report": f"""
+WITH per_doc AS (
+  SELECT doc_id, len({_TOKENS}) AS n_tok, md5(text) AS digest,
+         {_PRED} AS lang, {_QUALITY} AS q
+  FROM documents
+), base AS (
+  SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_english,
+         CAST(sum(CASE WHEN q > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_quality
+  FROM per_doc
+), vocab AS (
+  SELECT count(DISTINCT w) AS vocab_size
+  FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+), dup AS (
+  SELECT count(*) AS n_exact_groups,
+         CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM (SELECT digest, count(*) AS k FROM per_doc GROUP BY digest)
+)
+SELECT n_docs, total_tokens, vocab_size, n_exact_groups, n_dup_docs,
+       n_english, n_high_quality
+FROM base CROSS JOIN vocab CROSS JOIN dup
 """,
     "px1_perplexity_filter": f"""
 WITH toks AS (
