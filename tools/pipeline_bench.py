@@ -92,9 +92,49 @@ def main() -> None:
     shutil.rmtree(conf.archive, ignore_errors=True)
     os.remove(conf.state_path)
     t0 = time.time()
-    n = batch_write_days(spark, conf, start, last)
+    n, _nd = batch_write_days(spark, conf, start, last)
     batch_s = time.time() - t0
     assert n == total_rows, n
+
+    # third strategy: executor-parallel ingest through the wview Python
+    # Data Source (day-sliced partitioned reads) feeding the same
+    # conversion + single partitioned write. The driver-side Arrow read
+    # in batch_write_days serializes ingest through the driver; the
+    # connector spreads it across cores — the true 100 TB backfill shape.
+    import pyspark.sql.functions as F
+
+    from aristoteles_spark.plans.pipeline import convert_dataframe
+    from aristoteles_spark.sources.wview_datasource import WviewDataSource
+
+    spark.dataSource.register(WviewDataSource)
+    shutil.rmtree(conf.archive, ignore_errors=True)
+    stations_opt = ";".join(
+        f"{name}={sc['db_path']}" for name, sc in conf.stations.items()
+    )
+    t0 = time.time()
+    src = (
+        spark.read.format("wview").option("stations", stations_opt).load()
+    )
+    conv = convert_dataframe(src, strict=False)
+    ts = F.to_timestamp(F.col("dateTime"))
+    out_df = (
+        conv.withColumn("date", F.to_date(ts))
+        .withColumn(
+            "acq",
+            F.concat(
+                F.date_format(F.date_trunc("MONTH", ts), "yyyyMMdd"),
+                F.lit(f"T000000Z_{conf.instrument}_weather"),
+            ),
+        )
+        .repartition("acq", "date")
+        .sortWithinPartitions("station", "dateTime")
+    )
+    out_df.write.mode("overwrite").partitionBy("acq", "date").parquet(
+        conf.archive
+    )
+    wview_s = time.time() - t0
+    n3 = spark.read.parquet(conf.archive).count()
+    assert n3 == total_rows, n3
 
     out = (
         "# Pipeline throughput (reference-parity ETL surface)\n\n"
@@ -105,13 +145,21 @@ def main() -> None:
         "| strategy | wall s | rows/s | days/s |\n|---|---|---|---|\n"
         f"| per-day loop (`run`, reference-faithful watermark) | {per_day_s:.1f} "
         f"| {total_rows / per_day_s:,.0f} | {N_DAYS / per_day_s:.1f} |\n"
-        f"| single-job batch (`batch_write_days`, scale path) | {batch_s:.1f} "
-        f"| {total_rows / batch_s:,.0f} | {N_DAYS / batch_s:.1f} |\n\n"
+        f"| single-job batch (`batch_write_days`, driver-side Arrow ingest) | {batch_s:.1f} "
+        f"| {total_rows / batch_s:,.0f} | {N_DAYS / batch_s:.1f} |\n"
+        f"| single-job batch via `wview` data source (executor-parallel ingest) | {wview_s:.1f} "
+        f"| {total_rows / wview_s:,.0f} | {N_DAYS / wview_s:.1f} |\n\n"
         "The per-day loop pays one Spark job per day for the reference's\n"
-        "crash-safe day-at-a-time watermark; the batch path amortizes the\n"
-        "whole backlog into one ranged scan and one partitioned write —\n"
-        "the strategy a 100 TB catch-up would use (days are independent\n"
-        "partitions; parallelism scales with executors, not days).\n\n"
+        "crash-safe day-at-a-time watermark; the batch paths amortize the\n"
+        "whole backlog into one scan and one partitioned write. The wview\n"
+        "data source additionally moves the SQLite reads off the driver\n"
+        "onto executor tasks (one per station-day slice). At THIS scale,\n"
+        "single machine, the driver-side Arrow read can still win — the\n"
+        "whole input fits in one cheap local read, while the connector\n"
+        "pays Python-worker startup per task. The connector is the shape\n"
+        "that survives growth: driver ingest is serial and O(total bytes)\n"
+        "on one node, connector ingest is one task per station-day slice\n"
+        "and scales with executors.\n\n"
         "The reference executes this workload as a serial Python loop —\n"
         "one SQLite query and one HDF5 file per day x station, scalar\n"
         "per-cell unit conversion (aristoteles/aristoteles.py:332-476) —\n"
