@@ -576,9 +576,52 @@ def q_outliers(spark, sf_dir):
     )
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorization — clamp each group's numeric tail to its exact
+    p05/p95 (the robust-statistics cleaning step next to an4's 3-sigma
+    screen). Percentiles are EXACT sort-based quantiles (g7 proved
+    F.percentile and duckdb quantile_cont interpolate identically);
+    clamped values are either an original 2-dp price or an interpolated
+    quantile of 2-dp prices (exactly representable at 4dp), so the
+    clamped total goes through an exact DECIMAL(20,6) sum. Plan: one
+    percentile pass per group (sort buffer per group), the tiny bounds
+    broadcast back, one clamp+agg pass — event rows never shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pcts = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = (
+        e.groupBy("event_type")
+        .agg(pcts.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("lo"),
+            F.col("p")[1].alias("hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.sum(clamped.cast("decimal(20,6)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an4_outliers": q_outliers,
+    "wz1_winsorize": q_winsorize,
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
@@ -624,6 +667,24 @@ SELECT e.event_type, min(n) AS n, min(mean_value) AS mean_value,
        CAST(sum(CASE WHEN abs(value - mean_value) > 3 * stddev_value
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM e JOIN model USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+    "wz1_winsorize": """
+WITH e AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type, min(lo) AS p05, min(hi) AS p95,
+  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_low,
+  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_high,
+  CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(20,6)))
+    AS DOUBLE) AS winsorized_sum
+FROM e JOIN b USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type
 """,
     "mx1_source_mixture": """
