@@ -26,6 +26,7 @@ _MODULES = [
     "analytics",
     "arrays",
     "versioning",
+    "udfs",
     "windows",
     "relational",
     "tpch_shapes",

@@ -1,0 +1,103 @@
+"""UDF-surface queries: one per Python extension API + duckdb oracles.
+
+The reference needs no UDFs (SURVEY §2.10) and this engine's hot paths
+are all Catalyst codegen — these queries exist to keep every Spark
+Python extension point exercised and oracle-checked, so a user who does
+need one has a working, tested template:
+
+- `uf1` vectorized scalar ``pandas_udf`` (Arrow-batched, columnar)
+- `uf2` Python UDTF (table function, lateral-joined in SQL)
+- mapInPandas           -> mm2/mm6-9 (multimodal/features.py)
+- applyInPandasWithState-> st2/st9 (streaming/events.py)
+- row-at-a-time F.udf   -> deliberately ABSENT engine-wide (the slow
+  path; every scalar transform has a codegen form)
+
+Kernels are chosen deterministic-exact (integer arithmetic) so the SQL
+oracles hash-match.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from aristoteles_spark.sources.parquet_source import load_table
+
+
+@pandas_udf("long")
+def _to_cents(v: pd.Series) -> pd.Series:
+    """Vectorized 2-dp price -> exact integer cents (whole Arrow batch
+    per call; numpy kernel, no per-row Python)."""
+    return v.mul(100).round().astype("int64")
+
+
+def q_pandas_udf_cents(spark, sf_dir):
+    """Arrow-batched scalar pandas UDF: value -> integer cents, then a
+    plain exact aggregate over the UDF output. The UDF stage is a map —
+    no shuffle added; the agg shuffles tiny (type, sums) pairs."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.select("event_type", _to_cents("value").alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@udtf(returnType="chunk_id int, start_pos int, n_chars int")
+class _CharChunks:
+    """Table function: fixed-width character chunking of a document —
+    one input row expands to ceil(len/size) output rows."""
+
+    def eval(self, text: str, size: int):
+        if text is None:
+            return
+        for i in range(0, len(text), size):
+            yield i // size, i + 1, len(text[i:i + size])
+
+
+def q_udtf_chunks(spark, sf_dir):
+    """Python UDTF lateral-joined in SQL: per-document fixed-width char
+    chunks with positions. (tx10 is the codegen equivalent for token
+    chunking — the UDTF form is the template for expansions that
+    genuinely need Python.)"""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "uf2_documents"
+    )
+    spark.udtf.register("char_chunks", _CharChunks)
+    return spark.sql(
+        "SELECT doc_id, c.chunk_id, c.start_pos, c.n_chars "
+        "FROM uf2_documents, LATERAL char_chunks(text, 120) AS c "
+        "ORDER BY doc_id, c.chunk_id"
+    )
+
+
+QUERIES = {
+    "uf1_pandas_udf_cents": q_pandas_udf_cents,
+    "uf2_udtf_chunks": q_udtf_chunks,
+}
+
+ORACLE = {
+    "uf1_pandas_udf_cents": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    "uf2_udtf_chunks": """
+SELECT doc_id, CAST((s - 1) // 120 AS INT) AS chunk_id,
+       CAST(s AS INT) AS start_pos,
+       CAST(least(120, length(text) - s + 1) AS INT) AS n_chars
+FROM documents, unnest(range(1, length(text) + 1, 120)) AS r(s)
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_id
+""",
+}
