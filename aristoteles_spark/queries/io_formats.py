@@ -181,7 +181,51 @@ def q_schema_evolution(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Key-level MERGE (upsert) through the partition-scoped rewrite
+    recipe (sinks/merge.py — the Delta/Iceberg dataflow minus the log):
+    seed a partitioned table from events, apply a deterministic
+    changeset (value bump for event_id%11==0, new rows for
+    event_id%13==0 keyed past max id), and aggregate the merged table.
+    The oracle states the merge RESULT relationally (anti-join union),
+    so partition pruning, the anti join, and dynamic overwrite are all
+    verified by value. Only touched partitions are ever read/written."""
+    from aristoteles_spark.sinks.merge import upsert_by_key
+
+    path = _scratch("merge", sf_dir)
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+    base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    max_id = base.agg(F.max("event_id")).first()[0]
+    updates = base.filter(F.col("event_id") % 11 == 0).select(
+        "event_id", "event_type", (F.col("value") + 1.0).alias("value")
+    )
+    inserts = base.filter(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + max_id + 1).alias("event_id"),
+        "event_type",
+        F.lit(0.5).alias("value"),
+    )
+    upsert_by_key(
+        spark, path, updates.unionByName(inserts),
+        key_cols=["event_id"], partition_col="event_type",
+    )
+    merged = spark.read.parquet(path)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "mg1_merge_upsert": q_merge_upsert,
     "io1_orc_roundtrip": q_orc_roundtrip,
     "io2_csv_roundtrip": q_csv_roundtrip,
     "io3_jsonl_roundtrip": q_jsonl_roundtrip,
@@ -190,6 +234,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mg1_merge_upsert": """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+), mx AS (
+  SELECT max(event_id) AS m FROM base
+), updates AS (
+  SELECT event_id, event_type, value + 1.0 AS value
+  FROM base WHERE event_id % 11 = 0
+), inserts AS (
+  SELECT event_id + m + 1 AS event_id, event_type, 0.5 AS value
+  FROM base CROSS JOIN mx WHERE event_id % 13 = 0
+), merged AS (
+  SELECT b.event_id, b.event_type, b.value
+  FROM base b ANTI JOIN updates u ON b.event_id = u.event_id
+  UNION ALL SELECT * FROM updates
+  UNION ALL SELECT * FROM inserts
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       max(event_id) AS max_id
+FROM merged GROUP BY event_type ORDER BY event_type
+""",
     "io1_orc_roundtrip": _DAILY_AGG_SQL,
     "io2_csv_roundtrip": _DAILY_AGG_SQL,
     "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
