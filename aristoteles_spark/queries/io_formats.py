@@ -224,8 +224,48 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_compaction_roundtrip(spark, sf_dir):
+    """Small-files compaction as a driver-checked operation: fragment a
+    partitioned table (16 files per partition), compact it
+    (sinks/compact.py: staged write + hidden-backup partition swaps,
+    clustering on ts), and aggregate the compacted table. The oracle is
+    the same aggregate over the ORIGINAL rows — compaction must be
+    content-neutral — and the query also asserts the file count
+    actually shrank (a no-op 'compaction' would pass the value check
+    but fail the assertion)."""
+    import glob
+
+    from aristoteles_spark.sinks.compact import compact_partitions
+
+    path = _scratch("compact", sf_dir)
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base.repartition(16).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    before = len(glob.glob(f"{path}/event_type=*/*.parquet"))
+    compact_partitions(spark, path, ["event_type"], cluster_cols=["ts"])
+    after = len(glob.glob(f"{path}/event_type=*/*.parquet"))
+    assert after < before, (before, after)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.count_distinct("event_id").alias("n_ids"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "mg1_merge_upsert": q_merge_upsert,
+    "io6_compaction_roundtrip": q_compaction_roundtrip,
     "io1_orc_roundtrip": q_orc_roundtrip,
     "io2_csv_roundtrip": q_csv_roundtrip,
     "io3_jsonl_roundtrip": q_jsonl_roundtrip,
@@ -234,6 +274,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "io6_compaction_roundtrip": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       count(DISTINCT event_id) AS n_ids,
+       max(ts) AS max_ts
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     "mg1_merge_upsert": """
 WITH base AS (
   SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
