@@ -20,25 +20,29 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf, udtf
 
 from aristoteles_spark.sources.parquet_source import load_table
 
-
-@pandas_udf("long")
-def _to_cents(v: pd.Series) -> pd.Series:
-    """Vectorized 2-dp price -> exact integer cents (whole Arrow batch
-    per call; numpy kernel, no per-row Python)."""
-    return v.mul(100).round().astype("int64")
+# NOTE: pandas_udf("long")/udtf(returnType=...) parse their DDL through
+# the ACTIVE SparkContext, so decorating at module import would make
+# `import aristoteles_spark.queries` require a live session. Both are
+# therefore built lazily inside the query functions.
 
 
 def q_pandas_udf_cents(spark, sf_dir):
     """Arrow-batched scalar pandas UDF: value -> integer cents, then a
     plain exact aggregate over the UDF output. The UDF stage is a map —
     no shuffle added; the agg shuffles tiny (type, sums) pairs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def to_cents(v: pd.Series) -> pd.Series:
+        # whole Arrow batch per call; numpy kernel, no per-row Python
+        return v.mul(100).round().astype("int64")
+
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return (
-        e.select("event_type", _to_cents("value").alias("cents"))
+        e.select("event_type", to_cents("value").alias("cents"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -49,7 +53,6 @@ def q_pandas_udf_cents(spark, sf_dir):
     )
 
 
-@udtf(returnType="chunk_id int, start_pos int, n_chars int")
 class _CharChunks:
     """Table function: fixed-width character chunking of a document —
     one input row expands to ceil(len/size) output rows."""
@@ -66,10 +69,15 @@ def q_udtf_chunks(spark, sf_dir):
     chunks with positions. (tx10 is the codegen equivalent for token
     chunking — the UDTF form is the template for expansions that
     genuinely need Python.)"""
+    from pyspark.sql.functions import udtf
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "uf2_documents"
     )
-    spark.udtf.register("char_chunks", _CharChunks)
+    spark.udtf.register(
+        "char_chunks",
+        udtf(_CharChunks, returnType="chunk_id int, start_pos int, n_chars int"),
+    )
     return spark.sql(
         "SELECT doc_id, c.chunk_id, c.start_pos, c.n_chars "
         "FROM uf2_documents, LATERAL char_chunks(text, 120) AS c "

@@ -125,6 +125,20 @@ def main():
 
     argv = sys.argv[1:]
     strict = "--strict" in argv
+    if "--window" in argv:
+        # print which queries sit in the driver's first-N check window
+        # under the current CORRECTNESS_r* history (see
+        # queries/__init__.py:_history_order), then exit — a rotation
+        # sanity check for round planning; no Spark session needed.
+        import __spark_entry__ as em
+
+        names = list(em.queries())
+        n = 50
+        for i, name in enumerate(names):
+            mark = "IN-WINDOW " if i < n else "          "
+            print(f"{mark}{i + 1:3d}  {name}")
+        print(f"\n{len(names)} declared; first {n} = driver window")
+        return
     only = set(a for a in argv if not a.startswith("--"))
     spark = get_spark("check_correctness", cpus=8)
     con = duckdb.connect()
