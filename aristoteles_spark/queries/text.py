@@ -444,6 +444,37 @@ def q_perplexity_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the memorization-risk metric
+    between pairwise dedup (dd*) and train/eval decontamination (ct1):
+    for each document, the fraction of its distinct 8-gram shingles
+    that also occur in at least one OTHER document. One exploded pass
+    builds the corpus gram-frequency table (partial-agg groupBy on the
+    gram); joining it back re-uses the same gram key partitioning. The
+    ratio is an exact integer division (single correctly-rounded double
+    op, engine-identical)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            (
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus card: the one-row dataset summary a pipeline publishes
     with a release — size, vocabulary, duplication, language mix,
@@ -545,6 +576,7 @@ QUERIES = {
     "tx12_pii_redaction": q_pii_redaction,
     "px1_perplexity_filter": q_perplexity_filter,
     "cr1_corpus_report": q_corpus_report,
+    "nv1_ngram_novelty": q_ngram_novelty,
 }
 
 
@@ -702,6 +734,23 @@ SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams,
 FROM grams t JOIN grams e ON t.g = e.g
 WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    "nv1_ngram_novelty": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - {_GRAM - 2}), s ->
+    md5(array_to_string(list_slice(t, s, s + {_GRAM - 1}), ' '))))) AS g
+  FROM toks WHERE len(t) >= {_GRAM}
+), freq AS (
+  SELECT g, count(*) AS k FROM grams GROUP BY g
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+         AS dup_fraction
+FROM grams JOIN freq USING (g)
+GROUP BY doc_id ORDER BY doc_id
 """,
     "cr1_corpus_report": f"""
 WITH per_doc AS (
