@@ -203,6 +203,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "commutative hash-sum manifest partial-aggregated before its shuffle"),
         (r"!PythonUDF", "row hashing is codegen md5/conv — no Python"),
     ],
+    "nv1_ngram_novelty": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "gram frequencies partial-aggregated before the gram shuffle"),
+        (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "frequency join-back is a hash/merge join on the gram key"),
+    ],
+    "wz1_winsorize": [
+        (r"BroadcastHashJoin", "per-group quantile bounds broadcast back — event rows never shuffle for the join"),
+    ],
+    "uf1_pandas_udf_cents": [
+        (r"ArrowEvalPython", "scalar pandas UDF runs Arrow-batched, not row-at-a-time"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "cents totals partial-aggregated before the shuffle"),
+    ],
     "mx1_source_mixture": [
         (r"BroadcastHashJoin", "the tiny per-source model broadcasts back — document rows never shuffle for the join"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "token totals and selection stats partial-aggregated before their shuffles"),
