@@ -90,7 +90,16 @@ def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document. tf and df are computed in one
     exploded pass each; idf joins back on the token (shuffle on token —
     the natural key); top-k per doc via WindowGroupLimit (map-side
-    partial top-k, no full sort)."""
+    partial top-k, no full sort).
+
+    The idf is the RAW rarity ratio (n+1)/(df+1), not its log: JVM
+    Math.log and libm ln differ by 1 ulp on some inputs (the round-2
+    sf0.1 sweep caught exactly that here), so a log-idf score can't be
+    value-hash-compared across engines — and a 1-ulp score difference
+    can even flip a near-tie ranking. The ratio is an exact rational
+    (one correctly-rounded division + multiply, engine-identical) and
+    is monotone in the same direction, so the per-doc ranking it
+    induces is a valid tf-idf-family ordering."""
     from pyspark.sql import Window
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -105,7 +114,7 @@ def q_tfidf_top_terms(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+            F.col("tf") * ((F.col("n_docs") + 1) / (F.col("df") + 1)),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
@@ -667,7 +676,7 @@ WITH toks AS (
   GROUP BY token
 ), scored AS (
   SELECT tf.doc_id, tf.token,
-         tf * (ln(((SELECT count(*) FROM documents) + 1) / CAST(df + 1 AS DOUBLE)) + 1) AS tfidf
+         tf * (((SELECT count(*) FROM documents) + 1) / CAST(df + 1 AS DOUBLE)) AS tfidf
   FROM tf JOIN df ON tf.token = df.token
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
