@@ -304,6 +304,38 @@ class TestStreaming:
         it3, off3 = r.read(off2)
         assert sum(1 for _ in it3) == 0 and off3 == off2
 
+    def test_restart_continues_from_checkpoint(self, spark, tmp_path):
+        """Two AvailableNow runs over a growing archive with a shared
+        durable checkpoint: the second run must ingest ONLY the delta
+        (offset restored from the checkpoint), and the file sink must
+        hold exactly one copy of every row."""
+        db = str(tmp_path / "r.sqlite")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        write_archive_sqlite(db, _day_rows(dt.date(2020, 6, 1), 40))
+        spark.dataSource.register(WviewDataSource)
+
+        def run_once():
+            q = (
+                spark.readStream.format("wview")
+                .option("path", db)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(out).count() == 40
+        write_archive_sqlite(db, _day_rows(dt.date(2020, 6, 2), 15))
+        run_once()
+        df = spark.read.parquet(out)
+        assert df.count() == 55  # 40 + delta of 15, no re-ingest
+        assert df.select("dateTime").distinct().count() == 55
+
     def test_available_now_end_to_end(self, spark, tmp_path):
         db = str(tmp_path / "e.sqlite")
         write_archive_sqlite(db, _day_rows(dt.date(2020, 6, 1), 30))
