@@ -618,10 +618,48 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+N_SHARDS = 16
+
+
+def q_shard_plan(spark, sf_dir):
+    """Training-shard assignment — the last stage of the curation
+    pipeline (curate -> mix -> pack -> SHARD): every document lands in
+    one of N output shards by content hash, so the shard layout is
+    reproducible across runs/engines/partitioning and statistically
+    balanced without any coordination (the property that lets 1000
+    writers emit shards independently at 100 TB). Reports per-shard
+    document/token totals and the id range — the shard manifest. One
+    partial-agg shuffle on the tiny shard key."""
+    from aristoteles_spark.functions.text import h32, tokens
+    from aristoteles_spark.sources.parquet_source import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    shard = F.pmod(
+        h32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(N_SHARDS),
+    ).cast("int")
+    return (
+        d.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.size(tokens("text")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
+    "sh1_shard_plan": q_shard_plan,
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
@@ -646,6 +684,20 @@ _H32_KEY = (
 )
 
 ORACLE = {
+    "sh1_shard_plan": """
+WITH d AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS n_tok,
+    CAST(CAST(concat('0x', substr(md5(concat('0:', concat('shard:',
+      CAST(doc_id AS VARCHAR)))), 1, 8)) AS BIGINT) % 16 AS INT) AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM d GROUP BY shard ORDER BY shard
+""",
     "an4_outliers": """
 WITH e AS (
   SELECT event_type, value,
