@@ -655,8 +655,54 @@ def q_shard_plan(spark, sf_dir):
     )
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click within a 7-day lookback (channel =
+    click_event % 5; no qualifying click -> channel -1), then revenue
+    rolls up per channel. Composes the engine's as-of join operator
+    (union + running last — no range-join explosion, one user_id
+    shuffle) with the tolerance filter doing the lookback; the rollup
+    shuffles only (channel, cents). Cents-exact revenue."""
+    from aristoteles_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols={"event_id": "click_event"},
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    channel = (
+        F.when(F.col("click_event").isNull(), F.lit(-1))
+        .otherwise(F.col("click_event") % 5)
+        .cast("int")
+    )
+    cents = (
+        F.when(F.col("value").isNull(), F.lit(0))
+        .otherwise(F.round(F.col("value") * 100))
+        .cast("long")
+    )
+    return (
+        j.select(channel.alias("channel"), cents.alias("cents"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
+    "an5_attribution": q_attribution,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
     "sh1_shard_plan": q_shard_plan,
@@ -684,6 +730,32 @@ _H32_KEY = (
 )
 
 ORACLE = {
+    "an5_attribution": """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), c0 AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.ts, p.value, c.event_id AS click_event, c.ts AS click_ts
+  FROM p ASOF LEFT JOIN
+       (SELECT user_id, ts, event_id FROM c0 WHERE rn = 1) c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+), a AS (
+  SELECT CASE WHEN click_event IS NULL
+                OR click_ts < ts - INTERVAL 7 DAY
+              THEN -1 ELSE CAST(click_event % 5 AS INT) END AS channel,
+         CASE WHEN value IS NULL THEN 0
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM j
+)
+SELECT channel, count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM a GROUP BY channel ORDER BY channel
+""",
     "sh1_shard_plan": """
 WITH d AS (
   SELECT doc_id,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from aristoteles_spark.functions.time import epoch_us
 from aristoteles_spark.operators.temporal import asof_join, interval_join_binned
 from aristoteles_spark.sources.parquet_source import load_table
 
@@ -156,12 +157,109 @@ def q_ewma(spark, sf_dir):
     return folded.select("user_id", "n", "ewma").orderBy("user_id")
 
 
+FAR_FUTURE_US = 9_999_999_999_999_999  # open-interval sentinel (~year 2286)
+
+
+def q_interval_coalesce(spark, sf_dir):
+    """Gaps-and-islands interval coalescing per user: each event opens a
+    deterministic interval ``[ts, ts + (event_id % 540 + 60) s]``;
+    overlapping or touching intervals merge into one island (the classic
+    availability/uptime/session-merge operator timeseries engines ship
+    as ``range_agg``). Cumulative-max formulation: a row starts a new
+    island iff its start exceeds the running max end of all prior rows —
+    two window passes + one groupBy, all on the SAME user_id
+    partitioning, so Catalyst plans a single shuffle and reuses the
+    sort. All arithmetic is integer microseconds — engine-exact.
+
+    Scale: per-key windows; parallelism = #users, per-user row counts
+    bounded. No self-join, no range explosion (contrast the naive
+    interval-overlap join which is quadratic per key)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    s_us = epoch_us(e, "ts")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s_us.alias("start_us"),
+        (s_us + ((F.col("event_id") % 540) + 60) * F.lit(1_000_000)).alias("end_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("start_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("start_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("start_us") > F.coalesce(F.max("end_us").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.min("start_us").alias("ivl_start_us"),
+            F.max("end_us").alias("ivl_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension (Type 2) history build: per user, the
+    click stream carries an attribute (``tier = event_id % 3``); collapse
+    runs of the unchanged attribute, then emit versioned validity
+    intervals ``[valid_from_us, valid_to_us)`` with the open current
+    version carrying a far-future sentinel (a NULL bigint would degrade
+    to float64 through the driver's pandas canonicalization — same
+    hazard at1 documents). lag-filter + lead + row_number all share one
+    user_id partitioning: one shuffle, one sort, three window functions.
+
+    Scale: the change-collapse happens BEFORE the interval build, so
+    state per key is #changes, not #events; no joins."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    rows = e.select(
+        "user_id",
+        "event_id",
+        epoch_us(e, "ts").alias("ts_us"),
+        (F.col("event_id") % 3).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = rows.withColumn("prev_tier", F.lag("tier").over(w)).filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w2).alias("version"),
+            "tier",
+            F.col("ts_us").alias("valid_from_us"),
+            F.coalesce(F.lead("ts_us").over(w2), F.lit(FAR_FUTURE_US)).alias(
+                "valid_to_us"
+            ),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 QUERIES = {
     "ew1_ewma": q_ewma,
     "at1_asof_join": q_asof,
     "at2_interval_join": q_interval_counts,
     "at3_time_weighted_avg": q_time_weighted_avg,
     "at4_ohlc_downsample": q_ohlc_downsample,
+    "iv1_interval_coalesce": q_interval_coalesce,
+    "sc1_scd2_history": q_scd2_history,
 }
 
 ORACLE = {
@@ -221,5 +319,49 @@ SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
 FROM events WHERE value IS NOT NULL
 GROUP BY user_id, bucket_start
 ORDER BY user_id, bucket_start
+""",
+    "iv1_interval_coalesce": """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + ((event_id % 540) + 60) * 1000000 AS end_us
+  FROM events
+), flagged AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN start_us > coalesce(max(end_us) OVER (
+                PARTITION BY user_id ORDER BY start_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), islands AS (
+  SELECT user_id, start_us, end_us,
+         CAST(sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY start_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island, min(start_us) AS ivl_start_us,
+       max(end_us) AS ivl_end_us, count(*) AS n_events
+FROM islands GROUP BY user_id, island ORDER BY user_id, island
+""",
+    "sc1_scd2_history": f"""
+WITH rows_ AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_id % 3 AS tier
+  FROM events WHERE event_type = 'click'
+), changes AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts_us, tier,
+           lag(tier) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             AS prev_tier
+    FROM rows_)
+  WHERE prev_tier IS NULL OR tier <> prev_tier
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS version,
+       tier, ts_us AS valid_from_us,
+       coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+                {FAR_FUTURE_US}) AS valid_to_us
+FROM changes ORDER BY user_id, version
 """,
 }

@@ -101,9 +101,45 @@ def q_content_manifest(spark, sf_dir):
     )
 
 
+def q_apply_changelog(spark, sf_dir):
+    """CDC changelog apply (changelog -> current snapshot): the events
+    stream is read as an ordered change feed keyed by user_id — op is
+    'D' (delete) when ``event_id % 10 == 0`` else 'U' (upsert with the
+    event's value, cents-encoded; NULL payload -> -1 sentinel) — and the
+    snapshot is the LAST operation per key, deletes dropped. Last-write-
+    wins via one ``max_by(struct(payload), struct(ts, event_id))`` hash
+    aggregate: no per-key window sort, no self-join, partial-aggregated
+    map-side (max_by merges associatively), ONE shuffle of one tiny
+    struct per key. This is the MERGE-free way to materialize a Debezium
+    /binlog-style feed at 100 TB: the fact payload never shuffles more
+    than once and skewed keys still partial-aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    ch = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"),
+    )
+    okey = F.struct("ts", "event_id")
+    snap = ch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max_by("op", okey).alias("last_op"),
+        F.max_by("cents", okey).alias("last_cents"),
+    )
+    return (
+        snap.filter(F.col("last_op") == "U")
+        .select("user_id", "n_changes", "last_cents")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "cd1_snapshot_diff": q_snapshot_diff,
     "cd2_content_manifest": q_content_manifest,
+    "cd3_apply_changelog": q_apply_changelog,
 }
 
 _H32 = (
@@ -138,5 +174,23 @@ SELECT source, count(*) AS n_rows,
        CAST(sum({_H32}) AS BIGINT) AS content_sum,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY source ORDER BY source
+""",
+    "cd3_apply_changelog": """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN value IS NULL THEN -1
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events
+), ranked AS (
+  SELECT user_id, op, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ch
+)
+SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes,
+       cents AS last_cents
+FROM ranked WHERE rn = 1 AND op = 'U' ORDER BY user_id
 """,
 }

@@ -81,3 +81,113 @@ class TestIntervalJoin:
         build = _events(spark, [(100, 0, _ts("2024-01-01 10:00:00"), None)])
         out = interval_join_binned(probe, build, "ts", "ts", radius_sec=60).collect()
         assert len(out) == 1
+
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+class TestIntervalCoalesce:
+    def test_islands_disjoint_ordered_and_complete(self, spark):
+        from aristoteles_spark.queries.temporal import q_interval_coalesce
+
+        rows = q_interval_coalesce(spark, SF_SMOKE).collect()
+        n_events = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+        )
+        assert sum(r.n_events for r in rows) == n_events
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user_rows in by_user.values():
+            # island ids are 1..k in order; intervals strictly separated
+            assert [r.island for r in user_rows] == list(
+                range(1, len(user_rows) + 1)
+            )
+            for a, b in zip(user_rows, user_rows[1:]):
+                assert a.ivl_end_us < b.ivl_start_us
+            for r in user_rows:
+                assert r.ivl_start_us <= r.ivl_end_us
+
+    def test_touching_intervals_merge(self, spark):
+        # [0, 10], [10, 20] touch -> one island; [30, 40] separate
+        from pyspark.sql.window import Window
+
+        df = spark.createDataFrame(
+            [(1, 0, 10), (2, 10, 20), (3, 30, 40)],
+            "event_id long, start_us long, end_us long",
+        ).withColumn("user_id", F.lit(7))
+        w_prev = (
+            Window.partitionBy("user_id")
+            .orderBy("start_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("user_id")
+            .orderBy("start_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        flagged = df.withColumn(
+            "new_island",
+            F.when(
+                F.col("start_us")
+                > F.coalesce(F.max("end_us").over(w_prev), F.lit(-1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).withColumn("island", F.sum("new_island").over(w_run))
+        out = (
+            flagged.groupBy("island")
+            .agg(F.min("start_us").alias("s"), F.max("end_us").alias("e"))
+            .orderBy("island")
+            .collect()
+        )
+        assert [(r.s, r.e) for r in out] == [(0, 20), (30, 40)]
+
+
+class TestScd2History:
+    def test_versions_tile_and_change(self, spark):
+        from aristoteles_spark.queries.temporal import (
+            FAR_FUTURE_US,
+            q_scd2_history,
+        )
+
+        rows = q_scd2_history(spark, SF_SMOKE).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user_rows in by_user.values():
+            assert [r.version for r in user_rows] == list(
+                range(1, len(user_rows) + 1)
+            )
+            # intervals tile: each valid_to equals the next valid_from;
+            # last is open (sentinel); consecutive tiers always differ
+            for a, b in zip(user_rows, user_rows[1:]):
+                assert a.valid_to_us == b.valid_from_us
+                assert a.tier != b.tier
+            assert user_rows[-1].valid_to_us == FAR_FUTURE_US
+
+
+class TestApplyChangelog:
+    def test_matches_bruteforce_recompute(self, spark):
+        from aristoteles_spark.queries.versioning import q_apply_changelog
+
+        got = {
+            r.user_id: (r.n_changes, r.last_cents)
+            for r in q_apply_changelog(spark, SF_SMOKE).collect()
+        }
+        ev = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("user_id", "ts", "event_id", "value")
+            .collect()
+        )
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append(r)
+        expected = {}
+        for uid, rows in by_user.items():
+            rows.sort(key=lambda r: (r.ts, r.event_id))
+            last = rows[-1]
+            if last.event_id % 10 == 0:  # delete wins -> key absent
+                continue
+            cents = -1 if last.value is None else round(last.value * 100)
+            expected[uid] = (len(rows), cents)
+        assert got == expected
