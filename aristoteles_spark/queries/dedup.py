@@ -201,8 +201,67 @@ def q_cluster_representatives(spark, sf_dir):
     )
 
 
+DF_CAP = 25  # stop-gram removal: grams in more docs than this are dropped
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric near-containment detection ("doc A is mostly inside
+    doc B") — the dedup case Jaccard misses: a short doc embedded in a
+    long one has low Jaccard but containment ~1. Classic inverted-index
+    formulation: distinct 8-token shingles per doc, document-frequency
+    cap (k <= DF_CAP) drops stop-grams BEFORE the index self-join — the
+    blocking step that bounds per-gram pair fanout at DF_CAP^2 and makes
+    the join skew-proof at corpus scale (a boilerplate gram shared by
+    10^6 docs never reaches the join). Containment is scored on the
+    capped gram sets (stated semantics, identical in the oracle);
+    threshold 0.8 applied as an integer predicate (n_common*5 >=
+    4*min(n_a, n_b)) so no float comparison sits on the cut."""
+    from aristoteles_spark.functions.text import tokens
+    from aristoteles_spark.queries.text import _gram_hashes
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
+    rare = grams.join(freq.filter(F.col("k") <= DF_CAP), "g").select("doc_id", "g")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "g")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(F.col("n_common") * 5 >= 4 * F.least("n_a", "n_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "dd1_exact_groups": q_exact,
+    "dd10_containment": q_containment,
     "dd2_normalized_groups": q_normalized,
     "dd3_jaccard_pairs": q_jaccard,
     "dd4_minhash_lsh_pairs": q_minhash,
@@ -236,11 +295,40 @@ _est_sim = (
     + f") / {float(NUM_HASHES)}"
 )
 
+from aristoteles_spark.queries.text import _GRAM as _CGRAM  # noqa: E402
+
 ORACLE = {
     "dd1_exact_groups": (
         "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id "
         "FROM documents GROUP BY digest ORDER BY digest"
     ),
+    "dd10_containment": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - {_CGRAM - 2}), s ->
+    md5(array_to_string(list_slice(t, s, s + {_CGRAM - 1}), ' '))))) AS g
+  FROM toks WHERE len(t) >= {_CGRAM}
+), freq AS (
+  SELECT g, count(*) AS k FROM grams GROUP BY g
+), rare AS (
+  SELECT doc_id, g FROM grams JOIN freq USING (g) WHERE k <= {DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 5 >= 4 * least(sa.n, sb.n)
+ORDER BY doc_a, doc_b
+""",
     "dd9_cluster_representatives": None,  # filled below (_QUALITY import)
     "fz1_fuzzy_name_match": (
         "WITH n AS (SELECT DISTINCT p_name FROM part) "

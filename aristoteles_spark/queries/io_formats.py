@@ -263,8 +263,54 @@ def q_compaction_roundtrip(spark, sf_dir):
     )
 
 
+_MV_SPLIT = "2024-01-21 00:00:00"  # base/delta split inside the data range
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance: a daily rollup is
+    materialized from the base span (ts < split), a later delta span is
+    partially aggregated on its own, and the published view is the MERGE
+    of the stored partials with the delta partials — never a re-scan of
+    base facts. The oracle states the full recompute over all events, so
+    the driver check proves the maintenance algebra (count/sum partials
+    merge associatively) gives the exact full answer. At 100 TB this is
+    THE pattern for keeping rollups fresh: the delta pass touches only
+    new partitions, the merge shuffles only (group-key, two longs), and
+    the same recipe extends to any algebraic aggregate. Cents-exact."""
+    path = _scratch("mv", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cents = (
+        F.when(F.col("value").isNull(), F.lit(0))
+        .otherwise(F.round(F.col("value") * 100))
+        .cast("long")
+    )
+    split = F.lit(_MV_SPLIT).cast("timestamp_ntz")
+
+    def partial_rollup(df):
+        return df.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+
+    partial_rollup(ev.filter(F.col("ts") < split)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    mv = spark.read.parquet(path)
+    delta = partial_rollup(ev.filter(F.col("ts") >= split))
+    return (
+        mv.unionByName(delta)
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
 QUERIES = {
     "mg1_merge_upsert": q_merge_upsert,
+    "mv1_incremental_rollup": q_incremental_rollup,
     "io6_compaction_roundtrip": q_compaction_roundtrip,
     "io1_orc_roundtrip": q_orc_roundtrip,
     "io2_csv_roundtrip": q_csv_roundtrip,
@@ -274,6 +320,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mv1_incremental_rollup": """
+SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+       CAST(sum(CASE WHEN value IS NULL THEN 0
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY event_type, d ORDER BY event_type, d
+""",
     "io6_compaction_roundtrip": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

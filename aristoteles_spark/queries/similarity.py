@@ -109,8 +109,51 @@ def q_triangles(spark, sf_dir):
     return per_vertex.orderBy("node")
 
 
+K_HOPS = 3
+SEED_MOD = 100  # seed set = vec_id % 100 == 0
+
+
+def q_khop_bfs(spark, sf_dir):
+    """K-hop reachability (frontier BFS, fixed 3 levels) from a seed set
+    over the embedding near-dup graph — the blast-radius query of a
+    dedup pipeline ("if these documents are contaminated, what else is
+    transitively near them?"). Distributed frontier BFS: each level is
+    one equi-join of the (persisted, LSH-pre-shrunk) symmetric edge list
+    against the current frontier plus an anti-join against the reached
+    set, so per-level cost is O(frontier-adjacent edges), never
+    all-pairs; a fixed hop budget bounds the number of shuffles (the
+    unbounded closure is dd7's contraction operator). Emits min-hop per
+    reached node — BFS discovery order IS min-hop, no re-labeling."""
+    v = _load(spark, sf_dir)
+    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    edges = e.union(
+        e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).persist()
+    frontier = (
+        v.filter(F.col("vec_id") % SEED_MOD == 0)
+        .select(F.col("vec_id").alias("node"))
+        .distinct()
+    )
+    reached = frontier.withColumn("hop", F.lit(0)).persist()
+    for hop in range(1, K_HOPS + 1):
+        nbrs = (
+            frontier.join(edges, frontier["node"] == edges["vec_a"])
+            .select(F.col("vec_b").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .persist()
+        )
+        reached = reached.union(new).persist()
+        frontier = new.select("node")
+    return reached.orderBy("node")
+
+
 QUERIES = {
     "tc1_triangles": q_triangles,
+    "gr1_khop_bfs": q_khop_bfs,
     "sim1_knn_brute": q_knn_brute,
     "sim2_knn_lsh": q_knn_lsh,
     "sim3_neardup_pairs": q_neardup,
@@ -193,6 +236,39 @@ SELECT node, count(*) AS n_triangles FROM (
   UNION ALL SELECT b FROM tri
   UNION ALL SELECT c FROM tri
 ) GROUP BY node ORDER BY node
+""",
+    "gr1_khop_bfs": f"""
+WITH v AS (
+  SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})
+), e0 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm * b.nrm > 0
+        THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END
+        >= {TRI_T}
+), edges AS (
+  SELECT va, vb FROM e0 UNION ALL SELECT vb, va FROM e0
+), h0 AS (
+  SELECT vec_id AS node FROM v WHERE vec_id % {SEED_MOD} = 0
+), n1 AS (
+  SELECT DISTINCT vb AS node FROM edges JOIN h0 ON va = h0.node
+), s1 AS (
+  SELECT node FROM h0 UNION SELECT node FROM n1
+), n2 AS (
+  SELECT DISTINCT vb AS node FROM edges JOIN s1 ON va = s1.node
+), s2 AS (
+  SELECT node FROM s1 UNION SELECT node FROM n2
+), n3 AS (
+  SELECT DISTINCT vb AS node FROM edges JOIN s2 ON va = s2.node
+)
+SELECT node, 0 AS hop FROM h0
+UNION ALL
+SELECT node, 1 FROM n1 WHERE node NOT IN (SELECT node FROM h0)
+UNION ALL
+SELECT node, 2 FROM n2 WHERE node NOT IN (SELECT node FROM s1)
+UNION ALL
+SELECT node, 3 FROM n3 WHERE node NOT IN (SELECT node FROM s2)
+ORDER BY node
 """,
     "sim1_knn_brute": f"""
 WITH v AS ({_V}),

@@ -1,0 +1,128 @@
+"""Brute-force equivalence tests for the round-2 pipeline additions:
+k-hop BFS, n-gram containment, incremental rollup maintenance. The
+oracle harness checks values at sf0.01; these re-derive the same answers
+with independent driver-side Python over sf0.001."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKhopBfs:
+    def test_matches_python_bfs(self, spark):
+        from aristoteles_spark.operators.similarity import neardup_pairs
+        from aristoteles_spark.queries.similarity import (
+            K_HOPS,
+            PLANES,
+            SEED_MOD,
+            TRI_T,
+            _load,
+            q_khop_bfs,
+        )
+
+        got = {r.node: r.hop for r in q_khop_bfs(spark, SF).collect()}
+
+        v = _load(spark, SF)
+        pairs = neardup_pairs(v, PLANES, threshold=TRI_T).collect()
+        adj = defaultdict(set)
+        for r in pairs:
+            adj[r.vec_a].add(r.vec_b)
+            adj[r.vec_b].add(r.vec_a)
+        seeds = [
+            r.vec_id
+            for r in v.filter(F.col("vec_id") % SEED_MOD == 0)
+            .select("vec_id")
+            .collect()
+        ]
+        expected = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for hop in range(1, K_HOPS + 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj[n]
+            nxt -= set(expected)
+            for n in nxt:
+                expected[n] = hop
+            frontier = nxt
+        assert got == expected
+        assert len(got) > len(seeds)  # graph is connected enough to expand
+
+
+class TestContainment:
+    def test_matches_python_recompute(self, spark):
+        from aristoteles_spark.queries.dedup import DF_CAP, q_containment
+        from aristoteles_spark.queries.text import _GRAM
+
+        rows = q_containment(spark, SF).collect()
+        got = {(r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b) for r in rows}
+
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        )
+        gram_sets = {}
+        for r in docs:
+            toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+            gs = {
+                tuple(toks[i : i + _GRAM])
+                for i in range(len(toks) - _GRAM + 1)
+            }
+            gram_sets[r.doc_id] = gs
+        df = defaultdict(int)
+        for gs in gram_sets.values():
+            for g in gs:
+                df[g] += 1
+        rare = {
+            d: {g for g in gs if df[g] <= DF_CAP}
+            for d, gs in gram_sets.items()
+        }
+        expected = {}
+        ids = sorted(rare)
+        inv = defaultdict(set)
+        for d, gs in rare.items():
+            for g in gs:
+                inv[g].add(d)
+        cand = set()
+        for ds in inv.values():
+            ds = sorted(ds)
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    cand.add((a, b))
+        for a, b in cand:
+            common = len(rare[a] & rare[b])
+            na, nb = len(rare[a]), len(rare[b])
+            if common * 5 >= 4 * min(na, nb) and common > 0:
+                expected[(a, b)] = (common, na, nb)
+        assert got == expected
+        for r in rows:  # ratio column is the exact integer division
+            assert r.containment == r.n_common / min(r.n_a, r.n_b)
+
+
+class TestIncrementalRollup:
+    def test_merge_equals_full_recompute(self, spark):
+        from aristoteles_spark.queries.io_formats import q_incremental_rollup
+        from aristoteles_spark.sources.parquet_source import load_table
+
+        merged = q_incremental_rollup(spark, SF).collect()
+        ev = load_table(spark, SF, "events")
+        cents = (
+            F.when(F.col("value").isNull(), F.lit(0))
+            .otherwise(F.round(F.col("value") * 100))
+            .cast("long")
+        )
+        full = (
+            ev.groupBy("event_type", F.to_date("ts").alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).cast("long").alias("total_cents"),
+            )
+            .orderBy("event_type", "d")
+            .collect()
+        )
+        assert merged == full
