@@ -128,8 +128,35 @@ def q_stream_ewma(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_stream_left_outer(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream join run to completion:
+    unmatched clicks must surface with nulls, which requires watermark
+    advancement PAST their join windows — provided by the deterministic
+    flush source (two far-future sentinel microbatches after the data
+    batch; see streaming/events.py:stream_events_with_flush). The
+    result equals the batch left join exactly: batch 1 sees all real
+    data under watermark 0 (no drops, all inner matches), batches 2-3
+    advance the watermark beyond every real window (all outer rows
+    flushed)."""
+    from aristoteles_spark.streaming.events import (
+        SENTINEL_USER,
+        stream_events_with_flush,
+        stream_stream_left_outer_conversion,
+    )
+
+    ev = stream_events_with_flush(spark, sf_dir, "st10")
+    out = run_available_now(
+        stream_stream_left_outer_conversion(ev), "st10_left_outer", "append"
+    )
+    return (
+        out.filter(F.col("user_id") != SENTINEL_USER)
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
+    "st10_stream_left_outer": q_stream_left_outer,
     "st8_stream_dedup_watermarked": q_stream_dedup_watermarked,
     "st9_stream_ewma": q_stream_ewma,
     "st2_stream_user_totals": q_stream_user_totals,
@@ -141,6 +168,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "st10_stream_left_outer": (
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "CAST(p.event_id AS DOUBLE) AS purchase_id, p.value AS amount "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL '10 minutes' "
+        "ORDER BY click_id, purchase_id"
+    ),
     "st1_stream_hourly": (
         "SELECT date_trunc('hour', ts) AS hour_start, event_type, "
         "count(*) AS n_events, "

@@ -358,3 +358,122 @@ def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFra
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# --------------------------------------------------- outer-join flush source
+
+SENTINEL_USER = -999  # flush rows; never joins real keys, filtered from output
+
+
+def stream_events_with_flush(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """events as a 3-microbatch stream that FLUSHES outer-join state.
+
+    Outer stream-stream join rows (the unmatched-side nulls) are emitted
+    only when the watermark passes the end of a row's join window — and
+    the watermark used in batch N is computed from data seen through
+    batch N-1. A single AvailableNow batch over a bounded file therefore
+    terminates with every unmatched row still buffered (Spark's
+    documented outer-join delay). The standard fix is to append sentinel
+    future events: batch 1 = all real data (watermark 0: nothing
+    dropped, all inner matches found), batches 2-3 = one far-future
+    click+purchase pair each (user_id = SENTINEL_USER), so by batch 3
+    the watermark exceeds every real row's window and all outer rows
+    have been flushed. maxFilesPerTrigger=1 + explicit mtimes make the
+    batch split deterministic — and with it the emitted set.
+
+    A production continuous stream needs no sentinels (real traffic
+    advances the watermark); this shim exists to run the same operator
+    to completion on bounded input.
+    """
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = (
+        "/dev/shm/aristoteles_spark_stream"
+        if os.access("/dev/shm", os.W_OK)
+        else "/tmp/aristoteles_spark_stream"
+    )
+    d = os.path.join(root, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
+    os.utime(os.path.join(d, "part-0.parquet"), (1000, 1000))
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i, year in enumerate((2030, 2031), start=1):
+        t0 = dt.datetime(year, 1, 1)
+        tbl = pa.Table.from_pylist(
+            [
+                {"event_id": -2 * i, "ts": t0, "user_id": SENTINEL_USER,
+                 "event_type": "click", "value": None, "props": None},
+                {"event_id": -2 * i - 1, "ts": t0, "user_id": SENTINEL_USER,
+                 "event_type": "purchase", "value": None, "props": None},
+            ],
+            schema=schema,
+        )
+        p = os.path.join(d, f"part-{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1000 + i, 1000 + i))
+
+    from aristoteles_spark.functions.time import ntz_as_utc_instant
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+    return raw.withColumn("ts", ntz_as_utc_instant("ts"))
+
+
+def stream_stream_left_outer_conversion(events: DataFrame) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join: every click, matched
+    to same-user purchases in the following 10 minutes — unmatched
+    clicks ("didn't convert") emit with nulls once the watermark passes
+    click_ts + 10 min. Dual watermarks bound both state stores exactly
+    as in the inner-join form (st4); the outer semantics additionally
+    exercise state EVICTION-triggered emission, which is where the
+    flush-source batching matters."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.col("purchase_id").cast("double").alias("purchase_id"),
+        "amount",
+    )

@@ -232,3 +232,25 @@ class TestStatefulEwmaAcrossBatches:
         for u in want:
             assert got[u][0] == want[u][0], u
             assert got[u][1] == want[u][1], u
+
+
+class TestLeftOuterFlush:
+    def test_unmatched_clicks_emit_nulls_and_cover_all_clicks(self, spark):
+        """Every click must appear (matched or null-extended) once the
+        flush sentinels advance the watermark past all real windows."""
+        from aristoteles_spark.queries.streaming import q_stream_left_outer
+
+        out = q_stream_left_outer(spark, SF).collect()
+        clicks = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .where("event_type = 'click'")
+            .count()
+        )
+        assert len({r.click_id for r in out}) == clicks
+        unmatched = [r for r in out if r.purchase_id is None]
+        matched = [r for r in out if r.purchase_id is not None]
+        assert unmatched and matched  # outer rows actually flushed
+        # a click is either matched or unmatched, never both
+        assert {r.click_id for r in unmatched}.isdisjoint(
+            {r.click_id for r in matched}
+        )
