@@ -107,12 +107,14 @@ def q_apply_changelog(spark, sf_dir):
     'D' (delete) when ``event_id % 10 == 0`` else 'U' (upsert with the
     event's value, cents-encoded; NULL payload -> -1 sentinel) — and the
     snapshot is the LAST operation per key, deletes dropped. Last-write-
-    wins via one ``max_by(struct(payload), struct(ts, event_id))`` hash
-    aggregate: no per-key window sort, no self-join, partial-aggregated
-    map-side (max_by merges associatively), ONE shuffle of one tiny
-    struct per key. This is the MERGE-free way to materialize a Debezium
-    /binlog-style feed at 100 TB: the fact payload never shuffles more
-    than once and skewed keys still partial-aggregate."""
+    wins via one ``max_by(struct(payload), struct(ts, event_id))``
+    aggregate (planned as a partial+final SortAggregate — the struct
+    ordering key rules out a mutable hash buffer, but map-side partials
+    still run): no per-key window over the full history, no self-join,
+    ONE shuffle of one tiny struct per key. This is the MERGE-free way
+    to materialize a Debezium/binlog-style feed at 100 TB: the fact
+    payload never shuffles more than once and skewed keys still
+    partial-aggregate."""
     e = load_table(spark, sf_dir, "events")
     ch = e.select(
         "user_id",

@@ -53,6 +53,40 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "at1_asof_join": [
         (r"(?s)Union.*Window", "as-of via union + running window, no range-join explosion"),
     ],
+    "iv1_interval_coalesce": [
+        (r"(?s)HashAggregate.*Window.*Window.*Exchange",
+         "both windows and the island rollup sit above ONE data exchange"),
+        (r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)",
+         "the single data shuffle is on user_id"),
+        (r"!hashpartitioning\([^)]*island",
+         "groupBy(user_id, island) reuses the window partitioning — no re-shuffle"),
+    ],
+    "sc1_scd2_history": [
+        (r"(?s)Window.*Window.*Exchange",
+         "lag-filter and lead/row_number share one shuffle + sort"),
+        (r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)",
+         "that shuffle is on user_id"),
+    ],
+    "cd3_apply_changelog": [
+        (r"(?s)SortAggregate.*Exchange.*SortAggregate",
+         "map-side partial aggregate before the single user_id shuffle"),
+        (r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)",
+         "the aggregate shuffle is on user_id"),
+        (r"!\(\d+\) Window", "last-write-wins is an aggregate, not a per-key window over history"),
+    ],
+    "an5_attribution": [
+        (r"WindowGroupLimit", "right-side tie dedup (rn=1) pushed into partial group-limit"),
+        (r"!SortMergeJoin", "as-of composition uses union + running window — no join operator"),
+        (r"!BroadcastNestedLoopJoin", "no candidate-pair explosion anywhere"),
+    ],
+    "dd10_containment": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "gram document-frequency census partial-aggregated before its shuffle"),
+    ],
+    "mv1_incremental_rollup": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "delta partials combine map-side before the merge shuffle"),
+    ],
     "j5_multi_join_topk": [
         (r"TakeOrderedAndProject", "top-k via TakeOrdered — no global sort materialization"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "partial agg before the revenue shuffle"),
