@@ -241,6 +241,8 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if data[:2] in (b"P5", b"P6"):
         return "ppm"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -252,6 +254,10 @@ def decode(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "ppm":
         return decode_ppm(data)
+    if fmt == "jpeg":
+        from aristoteles_spark.formats.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unrecognized image format")
 
 

@@ -32,11 +32,12 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, float]:
 def decode_image(payload: bytes):
     """Real image decode -> numpy uint8 array (H,W) or (H,W,C).
 
-    Dispatches to Pillow when installed (JPEG/WebP/anything); otherwise
+    Dispatches to Pillow when installed (anything PIL reads); otherwise
     falls back to the self-contained pure-Python codecs in
-    ``formats/imaging.py`` (PNG / BMP / PPM — real decoders, no C
-    library). Raises NotImplementedError only for formats neither path
-    can handle (e.g. JPEG without Pillow)."""
+    ``formats/imaging.py`` (PNG / BMP / PPM / baseline JPEG — real
+    decoders, no C library; JPEG via ``formats/jpeg.py``). Raises
+    NotImplementedError only for formats neither path can handle
+    (e.g. progressive JPEG or WebP without Pillow)."""
     try:
         import io
 
@@ -50,7 +51,7 @@ def decode_image(payload: bytes):
 
     if sniff(payload) is None:
         raise NotImplementedError(
-            "payload is not PNG/BMP/PPM and Pillow is not installed; "
-            "compressed formats like JPEG need Pillow"
+            "payload is not PNG/BMP/PPM/JPEG and Pillow is not installed; "
+            "formats like WebP need Pillow"
         )
     return decode(payload)

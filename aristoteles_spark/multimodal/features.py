@@ -352,3 +352,50 @@ def frame_sample(
         n_sampled.alias("n_sampled"),
         F.md5(F.substring("payload", 1, frame_bytes)).alias("frame0_digest"),
     )
+
+
+def real_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG codec stage (formats/jpeg.py, no Pillow).
+
+    Each row's md5 digest defines a 16x16 grayscale image of four solid
+    8x8 quadrants with values ``64 + 2*(digest_byte % 64)`` — chosen so
+    at quality 50 (Annex K tables unscaled, DC quantizer 16) the DC-only
+    blocks survive quantization EXACTLY: 8*(v-128)/16 is an integer, the
+    IDCT of a DC-only block is constant, and the decoded image is
+    bit-equal to the input. mean_px is therefore SQL-stateable and the
+    driver oracle checks the actual entropy coder, marker parser, DPCM,
+    dequantize and IDCT — encode uses restart_interval=1, so every RSTn
+    boundary (predictor reset + bit realignment) is on the checked path
+    too. Runs in the same Arrow-batched mapInPandas seam; blobs never
+    shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                b = bytes.fromhex(hexd)
+                vals = [64 + 2 * (b[i] % 64) for i in range(4)]
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[0:8, 0:8] = vals[0]
+                img[0:8, 8:16] = vals[1]
+                img[8:16, 0:8] = vals[2]
+                img[8:16, 8:16] = vals[3]
+                payload = encode_jpeg(img, quality=50, restart_interval=1)
+                back = decode_jpeg(payload)
+                assert np.array_equal(back, img)  # DC-exact by construction
+                rows.append(
+                    (did, back.shape[1], back.shape[0], 1,
+                     float(back.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, FEATURE_SCHEMA)

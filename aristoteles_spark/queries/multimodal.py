@@ -103,8 +103,19 @@ def q_real_video(spark, sf_dir):
     return real_video_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_jpeg(spark, sf_dir):
+    """REAL baseline JPEG encode->decode inside the mapInPandas seam
+    (formats/jpeg.py): DC-exact quadrant images make mean_px
+    SQL-stateable, so the driver oracle checks the actual Huffman
+    entropy coder, restart-marker handling, dequantization and IDCT."""
+    from aristoteles_spark.multimodal.features import real_jpeg_features
+
+    return real_jpeg_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
+    "mm10_real_jpeg": q_real_jpeg,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
@@ -136,7 +147,16 @@ def _hex_int(start: int, n: int) -> str:
     return f"CAST(concat('0x', substr(md5(text), {start + 1}, {n})) AS BIGINT)"
 
 
+def _jpeg_quadrant(i: int) -> str:
+    return f"(64 + 2 * ({_byte_val(i)} % 64))"
+
+
 ORACLE = {
+    "mm10_real_jpeg": (
+        "SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels, "
+        f"(({' + '.join(_jpeg_quadrant(i) for i in range(4))}) / 4.0 / 255.0) "
+        "AS mean_px FROM documents ORDER BY doc_id"
+    ),
     "mm1_binary_stats": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
         "md5(text) AS digest FROM documents ORDER BY doc_id"
