@@ -252,8 +252,50 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_feature_snapshot(spark, sf_dir):
+    """Feature-store point-in-time join: label events (purchases) pick
+    up, per user, the LATEST value of two independently-updated feature
+    streams as of the label timestamp — last click value (7-day
+    tolerance) and last view value (unbounded) — with no leakage from
+    the future (the correctness property a feature store exists for).
+    Two as-of joins, each a union + running-last window on the same
+    user_id key; Catalyst plans them back-to-back on one partitioning.
+    Feature values ride as cents (exact)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select("user_id", "ts", cents.alias("click_cents"), "event_id")
+    views = e.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select("user_id", "ts", cents.alias("view_cents"), "event_id")
+    step1 = asof_join(
+        labels,
+        clicks,
+        on="user_id",
+        right_cols={"click_cents": "f_click_cents"},
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    step2 = asof_join(
+        step1,
+        views,
+        on="user_id",
+        right_cols={"view_cents": "f_view_cents"},
+    )
+    return step2.select(
+        "event_id",
+        "user_id",
+        F.coalesce("f_click_cents", F.lit(-1)).alias("f_click_cents"),
+        F.coalesce("f_view_cents", F.lit(-1)).alias("f_view_cents"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "ew1_ewma": q_ewma,
+    "fs1_feature_snapshot": q_feature_snapshot,
     "at1_asof_join": q_asof,
     "at2_interval_join": q_interval_counts,
     "at3_time_weighted_avg": q_time_weighted_avg,
@@ -319,6 +361,37 @@ SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
 FROM events WHERE value IS NOT NULL
 GROUP BY user_id, bucket_start
 ORDER BY user_id, bucket_start
+""",
+    "fs1_feature_snapshot": """
+WITH lbl AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), ck0 AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS rn
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+), vw0 AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS rn
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+), j1 AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         c.cents AS click_cents, c.ts AS click_ts
+  FROM lbl l ASOF LEFT JOIN
+       (SELECT user_id, ts, cents FROM ck0 WHERE rn = 1) c
+    ON l.user_id = c.user_id AND c.ts <= l.ts
+), j2 AS (
+  SELECT j1.*, v.cents AS view_cents
+  FROM j1 ASOF LEFT JOIN
+       (SELECT user_id, ts, cents FROM vw0 WHERE rn = 1) v
+    ON j1.user_id = v.user_id AND v.ts <= j1.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN click_cents IS NULL OR click_ts < ts - INTERVAL 7 DAY
+            THEN -1 ELSE click_cents END AS f_click_cents,
+       coalesce(view_cents, -1) AS f_view_cents
+FROM j2 ORDER BY event_id
 """,
     "iv1_interval_coalesce": """
 WITH iv AS (

@@ -126,3 +126,42 @@ class TestIncrementalRollup:
             .collect()
         )
         assert merged == full
+
+
+class TestFeatureSnapshot:
+    def test_point_in_time_no_leakage(self, spark):
+        """Each label's features must equal the latest at-or-before
+        value (click additionally within 7 days) — never a future one."""
+        import datetime as dt
+
+        from aristoteles_spark.queries.temporal import q_feature_snapshot
+
+        got = {
+            r.event_id: (r.f_click_cents, r.f_view_cents)
+            for r in q_feature_snapshot(spark, SF).collect()
+        }
+        ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+        labels = [r for r in ev if r.event_type == "purchase"]
+        assert len(got) == len(labels)
+
+        def latest(rows, uid, ts, horizon=None):
+            best = None
+            for r in rows:
+                if r.user_id != uid or r.value is None or r.ts > ts:
+                    continue
+                if horizon is not None and r.ts < ts - horizon:
+                    continue
+                cents = round(r.value * 100)
+                key = (r.ts, cents)
+                if best is None or key > best:
+                    best = key
+            return -1 if best is None else best[1]
+
+        clicks = [r for r in ev if r.event_type == "click"]
+        views = [r for r in ev if r.event_type == "view"]
+        for lbl in labels:
+            want_click = latest(
+                clicks, lbl.user_id, lbl.ts, dt.timedelta(days=7)
+            )
+            want_view = latest(views, lbl.user_id, lbl.ts)
+            assert got[lbl.event_id] == (want_click, want_view)
