@@ -243,6 +243,8 @@ def sniff(data: bytes) -> str | None:
         return "ppm"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -258,6 +260,10 @@ def decode(data: bytes) -> np.ndarray:
         from aristoteles_spark.formats.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from aristoteles_spark.formats.gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError("unrecognized image format")
 
 

@@ -399,3 +399,38 @@ def real_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
     ).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def real_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF codec stage (formats/gif.py): digest -> 4x4 gray image
+    -> GIF89a encode (interlaced when doc_id is odd, so the de-weave
+    path is driver-checked too) -> LZW decode -> features. GIF is
+    lossless, so mean_px == mean(digest bytes)/255 — stated verbatim by
+    the SQL oracle, which therefore checks the actual LZW
+    compressor/decompressor, sub-block framing and interlace order."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.gif import decode_gif, encode_gif
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                px = np.frombuffer(bytes.fromhex(hexd), dtype=np.uint8)
+                img = px.reshape(4, 4)
+                payload = encode_gif(img, interlace=bool(int(did) % 2))
+                back = decode_gif(payload)
+                assert np.array_equal(back, img)
+                rows.append(
+                    (did, back.shape[1], back.shape[0], 1,
+                     float(back.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, FEATURE_SCHEMA)

@@ -113,9 +113,19 @@ def q_real_jpeg(spark, sf_dir):
     return real_jpeg_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_gif(spark, sf_dir):
+    """REAL GIF (LZW) encode->decode inside the mapInPandas seam
+    (formats/gif.py); lossless round-trip makes mean_px SQL-stateable,
+    so the driver oracle checks the LZW coder and interlace weave."""
+    from aristoteles_spark.multimodal.features import real_gif_features
+
+    return real_gif_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm10_real_jpeg": q_real_jpeg,
+    "mm11_real_gif": q_real_gif,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
@@ -156,6 +166,11 @@ ORACLE = {
         "SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels, "
         f"(({' + '.join(_jpeg_quadrant(i) for i in range(4))}) / 4.0 / 255.0) "
         "AS mean_px FROM documents ORDER BY doc_id"
+    ),
+    "mm11_real_gif": (
+        "SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, "
+        f"{_byte_mean(list(range(16)))} AS mean_px "
+        "FROM documents ORDER BY doc_id"
     ),
     "mm1_binary_stats": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
