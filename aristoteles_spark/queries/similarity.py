@@ -134,7 +134,9 @@ def q_khop_bfs(spark, sf_dir):
         .select(F.col("vec_id").alias("node"))
         .distinct()
     )
+    temps = []
     reached = frontier.withColumn("hop", F.lit(0)).persist()
+    temps.append(reached)
     for hop in range(1, K_HOPS + 1):
         nbrs = (
             frontier.join(edges, frontier["node"] == edges["vec_a"])
@@ -146,9 +148,18 @@ def q_khop_bfs(spark, sf_dir):
             .withColumn("hop", F.lit(hop))
             .persist()
         )
+        temps.append(new)
         reached = reached.union(new).persist()
+        temps.append(reached)
         frontier = new.select("node")
-    return reached.orderBy("node")
+    # cut lineage to the per-level caches, then free them — a repeated
+    # BFS run must not leave K_HOPS generations of frames in block
+    # storage evicting other queries' caches
+    out = reached.orderBy("node").localCheckpoint(eager=True)
+    edges.unpersist()
+    for t in temps:
+        t.unpersist()
+    return out
 
 
 QUERIES = {

@@ -73,7 +73,9 @@ class TestDispatch:
         assert sniff(encode_png(img)) == "png"
         assert sniff(encode_bmp(img)) == "bmp"
         assert sniff(encode_ppm(img)) == "ppm"
-        assert sniff(b"\xff\xd8\xff") is None  # JPEG: not handled pure
+        assert sniff(b"\xff\xd8\xff") == "jpeg"  # baseline JPEG: formats/jpeg.py
+        assert sniff(b"GIF89a") == "gif"  # formats/gif.py
+        assert sniff(b"RIFF\x00\x00\x00\x00WEBP") is None  # WebP: needs Pillow
         for enc in (encode_png, encode_bmp, encode_ppm):
             assert decode(enc(img)).shape[:2] == (3, 3)
 
@@ -90,8 +92,8 @@ class TestDispatch:
         out = decode_image(encode_png(img))
         assert np.array_equal(np.asarray(out), img)
         with pytest.raises(NotImplementedError):
-            # JPEG magic, no Pillow in this container
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+            # WebP magic: neither Pillow nor a pure decoder here
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 24)
 
 
 class TestResize:
