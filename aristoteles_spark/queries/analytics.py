@@ -700,9 +700,95 @@ def q_attribution(spark, sf_dir):
     )
 
 
+BLOOM_BITS = 256  # 8 words x 32 bits (32-bit words stay positive in BIGINT)
+PROBE_MOD = 97  # probe token set = tokens of docs with doc_id % 97 == 0
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter sketch as a first-class aggregate — the pre-filter a
+    100 TB anti-join/decontamination pass ships to every executor
+    instead of the full key set. Per source: a 256-bit Bloom filter over
+    the source's token vocabulary, built with ``bit_or`` aggregation
+    over two portable h32 hash positions (8x32-bit words, so no BIGINT
+    sign edge); then a probe-token set is tested against every source's
+    filter and compared with EXACT membership. Outputs per source:
+    probes, Bloom hits, true members, false positives, and false
+    negatives (which Bloom guarantees to be zero — the oracle computes
+    the same zero rather than asserting it). Everything is integer
+    arithmetic over the same md5-based h32 both engines share, so the
+    sketch itself — normally 'engine-specific' state — is value-exact
+    reproducible. Scale: build is one partial-aggregated groupBy (bit_or
+    merges associatively map-side); the probe set is tiny and the filter
+    table is sources x 8 longs — broadcast material."""
+    from aristoteles_spark.functions.text import h32, tokens
+    from aristoteles_spark.sources.parquet_source import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    vocab = d.select(
+        "source", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).distinct()
+
+    def with_positions(df):
+        return df.withColumn(
+            "p1", F.pmod(h32(F.col("tok"), 1), F.lit(BLOOM_BITS))
+        ).withColumn("p2", F.pmod(h32(F.col("tok"), 2), F.lit(BLOOM_BITS)))
+
+    def contrib(pos, w):
+        return (
+            f"CASE WHEN shiftright({pos}, 5) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST({pos} & 31 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    bloom = with_positions(vocab).groupBy("source").agg(
+        *[
+            F.bit_or(F.expr(f"{contrib('p1', w)} | {contrib('p2', w)}")).alias(f"w{w}")
+            for w in range(8)
+        ]
+    )
+
+    probes = with_positions(
+        d.filter(F.col("doc_id") % PROBE_MOD == 0)
+        .select(F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .distinct()
+    )
+    actual = vocab.withColumn("actual", F.lit(1))
+
+    def bit_set(pos):
+        cases = " ".join(
+            f"WHEN shiftright({pos}, 5) = {w} "
+            f"THEN shiftright(w{w}, CAST({pos} & 31 AS INT))"
+            for w in range(8)
+        )
+        return f"((CASE {cases} END) & 1)"
+
+    tested = (
+        probes.crossJoin(F.broadcast(bloom))
+        .withColumn("hit", F.expr(f"CAST({bit_set('p1')} * {bit_set('p2')} = 1 AS INT)"))
+        .join(F.broadcast(actual), ["source", "tok"], "left")
+        .withColumn("actual", F.coalesce("actual", F.lit(0)))
+    )
+    return (
+        tested.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("hit").cast("long").alias("n_bloom_hits"),
+            F.sum("actual").cast("long").alias("n_members"),
+            F.sum(
+                F.when((F.col("hit") == 1) & (F.col("actual") == 0), 1).otherwise(0)
+            ).cast("long").alias("n_false_pos"),
+            F.sum(
+                F.when((F.col("hit") == 0) & (F.col("actual") == 1), 1).otherwise(0)
+            ).cast("long").alias("n_false_neg"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
+    "sk2_bloom_filter": q_bloom_filter,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
     "sh1_shard_plan": q_shard_plan,
@@ -729,7 +815,63 @@ _H32_KEY = (
     "CAST(concat('0x', substr(md5(concat('0:', CAST(l_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)"
 )
 
+_BTOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _bloom_h(seed: int, expr: str = "tok") -> str:
+    h = f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 8)) AS BIGINT)"
+    return f"({h} % {BLOOM_BITS})"
+
+
+def _bloom_contrib(pos: str, w: int) -> str:
+    return (
+        f"CASE WHEN ({pos} >> 5) = {w} "
+        f"THEN (CAST(1 AS BIGINT) << ({pos} & 31)) ELSE 0 END"
+    )
+
+
+def _bloom_bit(pos: str) -> str:
+    cases = " ".join(
+        f"WHEN ({pos} >> 5) = {w} THEN (w{w} >> CAST(({pos} & 31) AS INT))"
+        for w in range(8)
+    )
+    return f"((CASE {cases} END) & 1)"
+
+
+_BLOOM_WORDS_SQL = ", ".join(
+    f"bit_or({_bloom_contrib(_bloom_h(1), w)} | {_bloom_contrib(_bloom_h(2), w)}) AS w{w}"
+    for w in range(8)
+)
+
 ORACLE = {
+    "sk2_bloom_filter": f"""
+WITH vocab AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(list_distinct({_BTOK})) AS tok FROM documents)
+), bloom AS (
+  SELECT source, {_BLOOM_WORDS_SQL} FROM vocab GROUP BY source
+), probes AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(list_distinct({_BTOK})) AS tok
+    FROM documents WHERE doc_id % {PROBE_MOD} = 0)
+), tested AS (
+  SELECT b.source, p.tok,
+         CASE WHEN {_bloom_bit(_bloom_h(1, 'p.tok'))}
+                 * {_bloom_bit(_bloom_h(2, 'p.tok'))} = 1
+              THEN 1 ELSE 0 END AS hit,
+         CASE WHEN m.tok IS NOT NULL THEN 1 ELSE 0 END AS actual
+  FROM probes p CROSS JOIN bloom b
+  LEFT JOIN vocab m ON m.source = b.source AND m.tok = p.tok
+)
+SELECT source, count(*) AS n_probes,
+       CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(actual) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN hit = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(sum(CASE WHEN hit = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg
+FROM tested GROUP BY source ORDER BY source
+""",
     "an5_attribution": """
 WITH p AS (
   SELECT event_id, user_id, ts, value FROM events

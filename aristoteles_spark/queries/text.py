@@ -567,7 +567,33 @@ def q_negative_samples(spark, sf_dir):
     ).orderBy("doc_id", "j")
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation stats per document — the unit the
+    quality/readability stage of a text pipeline works in: split on
+    terminal punctuation runs ([.!?]+), trim, drop empties; report
+    sentence count, total sentence characters, and the longest
+    sentence. Pure in-row codegen (split + transform + filter +
+    aggregate), zero shuffle, all-integer outputs — engine-exact by
+    construction. The regex lives in the Java∩RE2 subset both engines
+    parse identically (same constraint as tx12)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    lens = F.transform(sents, lambda s: F.length(s))
+    return d.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+        ).alias("total_sent_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).alias("max_sent_chars"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "tx13_sentence_stats": q_sentence_stats,
     "ns1_negative_samples": q_negative_samples,
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -626,6 +652,20 @@ _PRED_CASES = " ".join(
 _PRED = f"CASE WHEN ({_BEST}) > 0 THEN (CASE {_PRED_CASES} END) ELSE 'und' END"
 
 ORACLE = {
+    "tx13_sentence_stats": """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                     x -> trim(x)), x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+       CAST(coalesce(list_sum(list_transform(sents, x -> length(x))), 0)
+            AS INT) AS total_sent_chars,
+       CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+            AS INT) AS max_sent_chars
+FROM s ORDER BY doc_id
+""",
     "tx1_token_stats": (
         f"SELECT doc_id, len({_TOKENS}) AS n_tokens, "
         f"len(list_distinct({_TOKENS})) AS n_distinct, "

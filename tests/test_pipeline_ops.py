@@ -165,3 +165,63 @@ class TestFeatureSnapshot:
             )
             want_view = latest(views, lbl.user_id, lbl.ts)
             assert got[lbl.event_id] == (want_click, want_view)
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_exact_members(self, spark):
+        from aristoteles_spark.queries.analytics import q_bloom_filter
+
+        rows = q_bloom_filter(spark, SF).collect()
+        assert rows  # probe set non-empty
+        for r in rows:
+            assert r.n_false_neg == 0  # Bloom guarantee
+            assert r.n_bloom_hits == r.n_members + r.n_false_pos
+            assert 0 <= r.n_members <= r.n_probes
+            assert r.n_bloom_hits <= r.n_probes
+
+    def test_membership_matches_bruteforce(self, spark):
+        import re as _re
+
+        from aristoteles_spark.queries.analytics import (
+            PROBE_MOD,
+            q_bloom_filter,
+        )
+
+        got = {r.source: r.n_members for r in q_bloom_filter(spark, SF).collect()}
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source", "text")
+            .collect()
+        )
+        vocab = defaultdict(set)
+        probe = set()
+        for r in docs:
+            toks = {t for t in _re.split(r"[^a-z0-9]+", r.text.lower()) if t}
+            vocab[r.source] |= toks
+            if r.doc_id % PROBE_MOD == 0:
+                probe |= toks
+        want = {s: len(probe & v) for s, v in vocab.items()}
+        assert got == want
+
+
+class TestSentenceStats:
+    def test_matches_python_recompute(self, spark):
+        import re as _re
+
+        from aristoteles_spark.queries.text import q_sentence_stats
+
+        got = {
+            r.doc_id: (r.n_sentences, r.total_sent_chars, r.max_sent_chars)
+            for r in q_sentence_stats(spark, SF).collect()
+        }
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in docs:
+            sents = [s.strip(" ") for s in _re.split(r"[.!?]+", r.text)]
+            sents = [s for s in sents if s]
+            lens = [len(s) for s in sents]
+            want = (len(sents), sum(lens), max(lens) if lens else 0)
+            assert got[r.doc_id] == want, r.doc_id
