@@ -85,9 +85,76 @@ def q_udtf_chunks(spark, sf_dir):
     )
 
 
+def q_grouped_agg_udaf(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (vectorized UDAF): the whole group's
+    column arrives as one pandas Series, the return is a scalar —
+    Spark still splits the work into partial batches per group, and the
+    kernel is a numpy reduction, no per-row Python. Template for custom
+    aggregates the built-ins can't express; here the kernel is
+    integer-exact so the oracle hash-matches."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int(v.mul(100).round().astype("int64").sum())
+
+    @pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg(), so the count is a pandas UDAF too
+        return int(len(v))
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.groupBy("event_type")
+        .agg(
+            group_size("value").alias("n"),
+            cents_sum("value").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_grouped_map_deltas(spark, sf_dir):
+    """Grouped-map ``applyInPandas``: each user's full (bounded) history
+    arrives as one pandas DataFrame; the kernel time-sorts it and emits
+    per-event deltas — the template for per-key sequential feature
+    engineering that needs a real DataFrame (order-dependent, multi-
+    column). One user_id shuffle, Arrow both ways, deterministic sort
+    key inside the kernel, integer outputs."""
+
+    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = pdf["value"].mul(100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "cents": cents,
+                "delta_cents": cents.diff().fillna(0).astype("int64"),
+            }
+        )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            deltas,
+            "user_id long, event_id long, cents long, delta_cents long",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 QUERIES = {
     "uf1_pandas_udf_cents": q_pandas_udf_cents,
     "uf2_udtf_chunks": q_udtf_chunks,
+    "uf3_grouped_agg_udaf": q_grouped_agg_udaf,
+    "uf4_grouped_map_deltas": q_grouped_map_deltas,
 }
 
 ORACLE = {
@@ -99,6 +166,25 @@ SELECT event_type, count(*) AS n,
          AS max_cents
 FROM events WHERE value IS NOT NULL
 GROUP BY event_type ORDER BY event_type
+""",
+    "uf3_grouped_agg_udaf": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    "uf4_grouped_map_deltas": """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_id, cents,
+       coalesce(cents - lag(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id), 0)
+         AS delta_cents
+FROM e ORDER BY user_id, event_id
 """,
     "uf2_udtf_chunks": """
 SELECT doc_id, CAST((s - 1) // 120 AS INT) AS chunk_id,
