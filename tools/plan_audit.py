@@ -87,6 +87,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(?s)HashAggregate.*Exchange.*HashAggregate",
          "delta partials combine map-side before the merge shuffle"),
     ],
+    "sk2_bloom_filter": [
+        (r"BroadcastNestedLoopJoin",
+         "tiny probe x filter-table cross join is broadcast — corpus never reshuffles for the probe"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "bit_or filter build partial-aggregates map-side (associative)"),
+    ],
+    "mm10_real_jpeg": [
+        (r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas",
+         "codec runs in the Arrow-batched Python seam"),
+        (r"!hashpartitioning",
+         "decode is a pure map stage — no hash shuffle; only fan-out round-robin and the presentation sort"),
+    ],
+    "mm11_real_gif": [
+        (r"!hashpartitioning",
+         "decode is a pure map stage — no hash shuffle anywhere"),
+    ],
+    "fs1_feature_snapshot": [
+        (r"(?s)Window.*Union", "as-of steps are union + running window"),
+        (r"!Join", "no join operator of any kind — both feature attachments avoid range-join explosion"),
+    ],
+    "uf4_grouped_map_deltas": [
+        (r"FlatMapGroupsInPandas", "grouped-map runs per-key pandas via Arrow"),
+        (r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)",
+         "one user_id shuffle feeds the kernel"),
+    ],
     "j5_multi_join_topk": [
         (r"TakeOrderedAndProject", "top-k via TakeOrdered — no global sort materialization"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "partial agg before the revenue shuffle"),
