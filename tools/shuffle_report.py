@@ -48,6 +48,15 @@ HEADLINERS = [
     "at3_time_weighted_avg",
     "tk1_salted_token_df",
     "wb4_multires_rollup",
+    "iv1_interval_coalesce",
+    "cd3_apply_changelog",
+    "an5_attribution",
+    "gr1_khop_bfs",
+    "dd10_containment",
+    "mv1_incremental_rollup",
+    "fs1_feature_snapshot",
+    "sk2_bloom_filter",
+    "mm10_real_jpeg",
 ]
 
 
