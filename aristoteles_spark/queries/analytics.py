@@ -785,10 +785,80 @@ def q_bloom_filter(spark, sf_dir):
     )
 
 
+N_DEPTH_BUCKETS = 8
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile) histogram of event values: ntile over a
+    TOTAL deterministic order (value, event_id) — both engines define
+    ntile identically (remainder rows go to the leading buckets), and
+    the tiebreaker makes bucket membership exact, so min/max/count per
+    bucket hash-match. The fixed-width counterpart is g10; equi-depth is
+    what query optimizers and drift monitors actually want (equal mass,
+    adaptive edges). Single global sort of (value,id) pairs only — at
+    100 TB this would switch to approx_percentile edges + one grouped
+    pass; this exact form is also the oracle for that approximation."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.orderBy("cents", "event_id")
+    b = e.select(cents.alias("cents"), "event_id").withColumn(
+        "bucket", F.ntile(N_DEPTH_BUCKETS).over(w)
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+GAP_THRESHOLD_US = 3_600_000_000  # 1 hour
+
+
+def q_gap_report(spark, sf_dir):
+    """Cadence-gap audit per user — the reference's completeness gate
+    (288 samples/day, aristoteles/aristoteles.py:296-327) generalized to
+    irregular streams: flag inter-event gaps over a threshold, report
+    gap count, the largest gap, and total silent time. One lag window
+    per user_id partition; integer microseconds throughout."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    from aristoteles_spark.functions.time import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = (
+        e.select("user_id", "event_id", epoch_us(e, "ts").alias("ts_us"))
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(F.col("gap_us") > GAP_THRESHOLD_US, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") > GAP_THRESHOLD_US, F.col("gap_us")).otherwise(0)
+            ).cast("long").alias("silent_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
     "sk2_bloom_filter": q_bloom_filter,
+    "g12_equidepth_histogram": q_equidepth_histogram,
+    "dq2_gap_report": q_gap_report,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
     "sh1_shard_plan": q_shard_plan,
@@ -844,6 +914,33 @@ _BLOOM_WORDS_SQL = ", ".join(
 )
 
 ORACLE = {
+    "g12_equidepth_histogram": f"""
+WITH b AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         ntile({N_DEPTH_BUCKETS}) OVER (ORDER BY CAST(round(value * 100)
+           AS BIGINT), event_id) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    "dq2_gap_report": f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(CASE WHEN gap_us > {GAP_THRESHOLD_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gaps,
+       max(gap_us) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > {GAP_THRESHOLD_US} THEN gap_us ELSE 0 END)
+            AS BIGINT) AS silent_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""",
     "sk2_bloom_filter": f"""
 WITH vocab AS (
   SELECT DISTINCT source, tok FROM (
