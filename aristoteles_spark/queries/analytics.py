@@ -853,12 +853,66 @@ def q_gap_report(spark, sf_dir):
     )
 
 
+T0_EPOCH_S = 1_704_067_200  # 2024-01-01T00:00:00Z, inside the data span
+
+_OLS_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_OLS_ICEPT = (
+    "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+)
+
+
+def q_linear_trend(spark, sf_dir):
+    """Per-group OLS linear trend (drift detection: is this metric
+    rising?): closed-form least squares from the five sufficient
+    statistics (n, Σx, Σy, Σx², Σxy) — accumulated as EXACT integers
+    (x = whole seconds from a fixed epoch inside the span, y = cents),
+    so the one shuffle carries five longs per group and the partial
+    aggregation is order-independent. Slope/intercept come from ONE
+    identical double expression tree on both engines: every operand is
+    an exactly-represented integer, every multiply/divide is a single
+    correctly-rounded IEEE op, so the doubles hash-match (same
+    discipline as px1's no-transcendentals rule). The sufficient-
+    statistics shape is THE scale pattern for distributed regression:
+    model fit cost is O(groups), not O(rows)."""
+    from aristoteles_spark.functions.time import epoch_us
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = (
+        e.select(
+            "event_type",
+            epoch_us(e, "ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .withColumn("x", F.expr("us DIV 1000000") - F.lit(T0_EPOCH_S))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    return (
+        stats.withColumn("slope", F.expr(_OLS_SLOPE))
+        .withColumn("intercept", F.expr(_OLS_ICEPT))
+        .select("event_type", "n", "slope", "intercept")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
     "sk2_bloom_filter": q_bloom_filter,
     "g12_equidepth_histogram": q_equidepth_histogram,
     "dq2_gap_report": q_gap_report,
+    "ml1_linear_trend": q_linear_trend,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
     "sh1_shard_plan": q_shard_plan,
@@ -914,6 +968,27 @@ _BLOOM_WORDS_SQL = ", ".join(
 )
 
 ORACLE = {
+    "ml1_linear_trend": f"""
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) - {T0_EPOCH_S} AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY event_type
+), fit AS (
+  SELECT event_type, n, sx, sy,
+         {_OLS_SLOPE} AS slope
+  FROM stats
+)
+SELECT event_type, n, slope,
+       {_OLS_ICEPT} AS intercept
+FROM fit ORDER BY event_type
+""",
     "g12_equidepth_histogram": f"""
 WITH b AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,

@@ -162,9 +162,69 @@ def q_khop_bfs(spark, sf_dir):
     return out
 
 
+PR_ITERS = 3
+PR_ONE = 1_000_000  # rank fixed-point scale: 1e6 ppm == rank 1.0
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the near-dup graph, in FIXED-POINT INTEGER
+    arithmetic — the representative-picking signal for duplicate
+    clusters (rank-weighted canonical docs), and the template for any
+    iterative message-passing algorithm on this engine. Float PageRank
+    cannot be oracle-hash-checked (summation order changes low bits);
+    this formulation keeps every step exact and engine-portable:
+    per-edge contribution = rank DIV degree (integer), damping applied
+    as (85 * S) DIV 100, dangling nodes deterministically keep the
+    teleport term. Fixed 3 iterations; each is one equi-join of the
+    persisted edge list with current ranks + a partial-aggregated sum —
+    the classic Pregel step as DataFrame ops, shuffle volume O(edges)
+    per iteration, never all-pairs."""
+    v = _load(spark, sf_dir)
+    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    edges = (
+        e.union(
+            e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+        )
+        .withColumnRenamed("vec_a", "src")
+        .withColumnRenamed("vec_b", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = v.select(F.col("vec_id").alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(PR_ONE).cast("long"))
+    temps = []
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank DIV deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * coalesce(s, 0)) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+            .persist()
+        )
+        temps.append(ranks)
+    out = ranks.orderBy("node").localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
+    for t in temps:
+        t.unpersist()
+    return out
+
+
 QUERIES = {
     "tc1_triangles": q_triangles,
     "gr1_khop_bfs": q_khop_bfs,
+    "gr2_pagerank": q_pagerank,
     "sim1_knn_brute": q_knn_brute,
     "sim2_knn_lsh": q_knn_lsh,
     "sim3_neardup_pairs": q_neardup,
@@ -247,6 +307,27 @@ SELECT node, count(*) AS n_triangles FROM (
   UNION ALL SELECT b FROM tri
   UNION ALL SELECT c FROM tri
 ) GROUP BY node ORDER BY node
+""",
+    "gr2_pagerank": f"""
+WITH v AS (
+  SELECT vec_id, e, nrm, {{sig}} AS sig FROM ({{vsrc}})
+), e0 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm * b.nrm > 0
+        THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END
+        >= {TRI_T}
+), edges AS (
+  SELECT va AS src, vb AS dst FROM e0
+  UNION ALL SELECT vb, va FROM e0
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT vec_id AS node FROM v
+), r0 AS (
+  SELECT node, CAST({PR_ONE} AS BIGINT) AS rank FROM nodes
+){{iters}}
+SELECT node, rank FROM r{PR_ITERS} ORDER BY node
 """,
     "gr1_khop_bfs": f"""
 WITH v AS (
@@ -357,3 +438,23 @@ FROM embeddings LEFT JOIN comp ON vec_id = comp.node
 ORDER BY node
 """,
 }
+
+# gr2's oracle: fill the signature/source fragments and generate the
+# fixed-point iteration chain (one CTE per PageRank step, same integer
+# ops as the Spark loop: contribution = rank // deg, damped by
+# (85*S)//100, teleport 150000 ppm).
+_PR_STEP = """, r{t} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+    FROM r{p} r JOIN edges e ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)"""
+
+ORACLE["gr2_pagerank"] = ORACLE["gr2_pagerank"].format(
+    sig=_SIG.format(e="e"),
+    vsrc=_V,
+    iters="".join(_PR_STEP.format(t=t, p=t - 1) for t in range(1, PR_ITERS + 1)),
+)

@@ -225,3 +225,67 @@ class TestSentenceStats:
             lens = [len(s) for s in sents]
             want = (len(sents), sum(lens), max(lens) if lens else 0)
             assert got[r.doc_id] == want, r.doc_id
+
+
+class TestPagerank:
+    def test_matches_python_fixed_point(self, spark):
+        from aristoteles_spark.operators.similarity import neardup_pairs
+        from aristoteles_spark.queries.similarity import (
+            PLANES,
+            PR_ITERS,
+            PR_ONE,
+            TRI_T,
+            _load,
+            q_pagerank,
+        )
+
+        got = {r.node: r.rank for r in q_pagerank(spark, SF).collect()}
+        v = _load(spark, SF)
+        pairs = neardup_pairs(v, PLANES, threshold=TRI_T).collect()
+        nodes = [r.vec_id for r in v.select("vec_id").collect()]
+        adj = defaultdict(list)
+        for r in pairs:
+            adj[r.vec_a].append(r.vec_b)
+            adj[r.vec_b].append(r.vec_a)
+        rank = {n: PR_ONE for n in nodes}
+        for _ in range(PR_ITERS):
+            s = defaultdict(int)
+            for u, nbrs in adj.items():
+                c = rank[u] // len(nbrs)
+                for w in nbrs:
+                    s[w] += c
+            rank = {n: 150_000 + (85 * s[n]) // 100 for n in nodes}
+        assert got == rank
+        # mass sanity: connected nodes outrank isolated ones
+        isolated = [n for n in nodes if not adj[n]]
+        if isolated:
+            assert all(got[n] == 150_000 for n in isolated)
+
+
+class TestLinearTrend:
+    def test_matches_numpy_lstsq(self, spark):
+        import numpy as np
+
+        from aristoteles_spark.queries.analytics import (
+            T0_EPOCH_S,
+            q_linear_trend,
+        )
+
+        rows = q_linear_trend(spark, SF).collect()
+        ev = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .where("value IS NOT NULL")
+            .collect()
+        )
+        by_type = defaultdict(list)
+        for r in ev:
+            x = int(r.ts.timestamp()) - T0_EPOCH_S
+            by_type[r.event_type].append((x, round(r.value * 100)))
+        for r in rows:
+            pts = by_type[r.event_type]
+            xs = np.array([p[0] for p in pts], dtype=float)
+            ys = np.array([p[1] for p in pts], dtype=float)
+            slope, icept = np.polyfit(xs, ys, 1)
+            assert r.n == len(pts)
+            assert abs(r.slope - slope) < 1e-9 * max(1, abs(slope))
+            assert abs(r.intercept - icept) < 1e-6 * max(1, abs(icept))
