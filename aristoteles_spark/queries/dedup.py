@@ -297,6 +297,43 @@ _est_sim = (
 
 from aristoteles_spark.queries.text import _GRAM as _CGRAM  # noqa: E402
 
+CC_ITERS = 12  # 2x the measured sf0.1 convergence depth (6)
+
+
+def minlabel_chain(k: int = CC_ITERS) -> str:
+    """Fixed-iteration min-label propagation CTE chain over edge CTE
+    ``e(a, b)`` (symmetric): l0 = node id; each step takes the min label
+    across neighbors. Replaces the recursive reachability closure the
+    round-1 oracles used — that closure materializes O(sum comp_size^2)
+    rows (5.4M pairs -> quadratic blowup at sf0.1), while this is
+    O(iters x edges). The caller's final SELECT must guard convergence
+    by comparing l{k} with l{k+1} (poison label -1 on divergence), so
+    an under-iterated oracle fails LOUDLY instead of silently agreeing.
+    """
+    # every CTE is MATERIALIZED: each l{t} is referenced twice by
+    # l{t+1} and e is referenced by every step — default inlining would
+    # re-expand the whole chain exponentially (observed: fd exhaustion
+    # from re-reading the parquet per inlined copy)
+    step = """, l{t} AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l{p} n LEFT JOIN (
+    SELECT e.a AS node, min(x.lbl) AS mn
+    FROM e JOIN l{p} x ON x.node = e.b GROUP BY e.a) m
+    ON m.node = n.node
+)"""
+    chain = """, l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS lbl FROM e
+)"""
+    for t in range(1, k + 2):  # k productive + 1 convergence probe
+        chain += step.format(t=t, p=t - 1)
+    chain += f""", comp AS (
+  SELECT k.node,
+         CASE WHEN k1.lbl = k.lbl THEN k.lbl ELSE -1 END AS cluster
+  FROM l{k} k JOIN l{k + 1} k1 ON k1.node = k.node
+)"""
+    return chain
+
+
 ORACLE = {
     "dd1_exact_groups": (
         "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id "
@@ -410,17 +447,11 @@ WITH RECURSIVE hashed AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b
   FROM banded a JOIN banded b ON a.doc < b.doc AND ({_band_match})
   WHERE {_est_sim} >= 0.5
-), e AS (
+), e AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
   SELECT doc_b AS a, doc_a AS b FROM pairs
-), r AS (
-  SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
-  UNION
-  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
-), comp AS (
-  SELECT a AS node, min(b) AS cluster FROM r GROUP BY a
-)
+){minlabel_chain()}
 SELECT doc_id AS node, coalesce(cluster, doc_id) AS cluster
 FROM documents LEFT JOIN comp ON doc_id = comp.node
 ORDER BY node

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from aristoteles_spark.queries.dedup import minlabel_chain
 from aristoteles_spark.operators.similarity import (
     hyperplanes,
     knn_brute,
@@ -422,17 +423,11 @@ WITH RECURSIVE v AS (
   WHERE CASE WHEN a.nrm * b.nrm > 0
         THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END
         >= {NEARDUP_T}
-), e AS (
+), e AS MATERIALIZED (
   SELECT vec_a AS a, vec_b AS b FROM pairs
   UNION
   SELECT vec_b AS a, vec_a AS b FROM pairs
-), r AS (
-  SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
-  UNION
-  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
-), comp AS (
-  SELECT a AS node, min(b) AS cluster FROM r GROUP BY a
-)
+){minlabel_chain()}
 SELECT vec_id AS node, coalesce(cluster, vec_id) AS cluster
 FROM embeddings LEFT JOIN comp ON vec_id = comp.node
 ORDER BY node
