@@ -116,6 +116,126 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_gzip_jsonl_roundtrip(spark, sf_dir):
+    """Compressed-corpus ingest: events written as GZIP-compressed JSONL
+    (THE interchange format LLM corpora actually arrive in), read back
+    through Spark's codec auto-detection, aggregated against the
+    original parquet. Compression is requested at write (codec=gzip)
+    and inferred at read from the .gz extension — the full landing-zone
+    path. Scale note: gzip is NOT splittable — one file = one task — so
+    the writer shards first (repartition) and parallelism = #shards;
+    that sharding discipline is the real-world contract this query
+    pins."""
+    from aristoteles_spark.sources.files import load_jsonl
+
+    path = _scratch("jsonlgz", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.repartition(8)
+        .write.mode("overwrite")
+        .option("timestampNTZFormat", _NTZ_US)
+        .option("compression", "gzip")
+        .json(path)
+    )
+    import glob
+
+    assert glob.glob(os.path.join(path, "*.json.gz")), "gzip output expected"
+    return _daily_agg(
+        load_jsonl(spark, path, _EVENTS_DDL, timestampNTZFormat=_NTZ_US)
+    )
+
+
+def q_webdataset_tar(spark, sf_dir):
+    """WebDataset-style tar-shard ingest: the documents corpus packed
+    into N tar shards (one member per doc, named {doc_id}.txt — the
+    layout web-scale multimodal/text corpora ship in), shards read as
+    whole files via Spark's binaryFile source, members extracted with
+    the stdlib tar parser inside an Arrow-batched mapInPandas, and the
+    reconstructed corpus aggregated per source against the original
+    parquet table. Parallelism = #shards (each task streams one tar
+    sequentially — exactly how WebDataset is consumed by training
+    loaders); document bytes never shuffle, only the per-doc stats."""
+    import io as _io
+    import tarfile
+
+    from pyspark.sql import types as T
+
+    path = _scratch("wds", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    n_shards = 8
+
+    def write_shards(it):
+        import pandas as pd
+
+        for pdf in it:
+            by_shard = {}
+            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                by_shard.setdefault(int(did) % n_shards, []).append(
+                    (int(did), src, text)
+                )
+            rows = []
+            for shard, members in by_shard.items():
+                buf = _io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for did, src, text in sorted(members):
+                        data = f"{src}\n{text}".encode()
+                        info = tarfile.TarInfo(name=f"{did}.txt")
+                        info.size = len(data)
+                        info.mtime = 0
+                        tf.addfile(info, _io.BytesIO(data))
+                rows.append((shard, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["shard", "payload"])
+
+    os.makedirs(path, exist_ok=True)
+    # one tar per (input-partition, shard); a production writer would
+    # repartition by shard first — this keeps the test deterministic
+    shards = (
+        docs.repartition(1)
+        .mapInPandas(write_shards, "shard int, payload binary")
+        .collect()
+    )
+    for r in shards:
+        with open(os.path.join(path, f"shard-{r.shard:05d}.tar"), "wb") as f:
+            f.write(r.payload)
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def extract(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=_io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        data = tf.extractfile(m).read().decode()
+                        src, text = data.split("\n", 1)
+                        rows.append((int(m.name.split(".")[0]), src, len(text)))
+            yield pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    extracted = raw.select("content").mapInPandas(extract, out_schema)
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_bucketed_join(spark, sf_dir):
     """Fact-fact join through the bucketed layout: both sides written
     bucketed+sorted by the order key once, then joined WITHOUT an
@@ -311,6 +431,8 @@ def q_incremental_rollup(spark, sf_dir):
 QUERIES = {
     "mg1_merge_upsert": q_merge_upsert,
     "mv1_incremental_rollup": q_incremental_rollup,
+    "io7_gzip_jsonl": q_gzip_jsonl_roundtrip,
+    "io8_webdataset_tar": q_webdataset_tar,
     "io6_compaction_roundtrip": q_compaction_roundtrip,
     "io1_orc_roundtrip": q_orc_roundtrip,
     "io2_csv_roundtrip": q_csv_roundtrip,
@@ -361,6 +483,13 @@ FROM merged GROUP BY event_type ORDER BY event_type
     "io1_orc_roundtrip": _DAILY_AGG_SQL,
     "io2_csv_roundtrip": _DAILY_AGG_SQL,
     "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
+    "io7_gzip_jsonl": _DAILY_AGG_SQL,
+    "io8_webdataset_tar": (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
     "io5_schema_evolution": (
         "SELECT CAST(ts AS DATE) AS d, count(*) AS n, "
         "CAST(count(CASE WHEN event_id % 2 = 1 THEN props END) AS BIGINT) "

@@ -592,8 +592,37 @@ def q_sentence_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batch forming (the padding-efficiency op every
+    training loader runs): documents grouped into power-of-two token-
+    length buckets, reporting per bucket the docs, token mass, bucket
+    max, and the padding waste of pad-to-bucket-max batching — the
+    number that justifies bucketing over naive global padding. The
+    bucket id is ``length(bin(n_tok))`` (integer floor-log2 + 1 via the
+    binary string — no transcendental log2, which differs by 1 ulp
+    across libm builds). One partial-agg shuffle of a tiny key."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens("text"))
+    b = d.select(
+        F.greatest(n_tok, F.lit(1)).alias("n_tok")
+    ).select("n_tok", F.expr("CAST(length(bin(n_tok)) AS INT)").alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.max("n_tok").alias("max_tok"),
+            (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "tx13_sentence_stats": q_sentence_stats,
+    "pk2_length_buckets": q_length_buckets,
     "ns1_negative_samples": q_negative_samples,
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -652,6 +681,18 @@ _PRED_CASES = " ".join(
 _PRED = f"CASE WHEN ({_BEST}) > 0 THEN (CASE {_PRED_CASES} END) ELSE 'und' END"
 
 ORACLE = {
+    "pk2_length_buckets": f"""
+WITH b AS (
+  SELECT greatest(len({_TOKENS}), 1) AS n_tok FROM documents
+), k AS (
+  SELECT n_tok, CAST(length(bin(n_tok)) AS INT) AS bucket FROM b
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_tok,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_waste
+FROM k GROUP BY bucket ORDER BY bucket
+""",
     "tx13_sentence_stats": """
 WITH s AS (
   SELECT doc_id,

@@ -132,3 +132,56 @@ class TestHdf5Properties:
             back = read_hdf5(f.name)
         assert back["attrs"] == attrs
         assert back["groups"]["g"]["datasets"]["v"]["values"] == values
+
+
+class TestGifProperties:
+    @settings(_settings)
+    @given(st.integers(1, 24), st.integers(1, 24), st.booleans(), st.data())
+    def test_gif_round_trip(self, h, w, interlace, data):
+        from aristoteles_spark.formats.gif import decode_gif, encode_gif
+
+        img = data.draw(_img(h, w, 1))
+        assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+    @settings(_settings)
+    @given(st.binary(min_size=0, max_size=400))
+    def test_lzw_round_trip_arbitrary_bytes(self, raw):
+        from aristoteles_spark.formats.gif import _lzw_decode, _lzw_encode
+
+        assert _lzw_decode(_lzw_encode(raw, 8), 8) == raw
+
+
+class TestJpegProperties:
+    @settings(_settings)
+    @given(
+        st.integers(1, 3), st.integers(1, 3),
+        st.sampled_from([0, 1, 2]), st.data(),
+    )
+    def test_jpeg_dc_exact_tiled(self, bh, bw, dri, data):
+        """Images of solid 8x8 tiles with even-offset values survive
+        quality-50 quantization bit-exactly (DC-only blocks), for any
+        tile grid and restart interval."""
+        from aristoteles_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+        vals = data.draw(
+            st.lists(
+                st.integers(32, 95).map(lambda k: 2 * k),  # even 64..190
+                min_size=bh * bw, max_size=bh * bw,
+            )
+        )
+        img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for i, v in enumerate(vals):
+            y, x = divmod(i, bw)
+            img[8 * y : 8 * y + 8, 8 * x : 8 * x + 8] = v
+        out = decode_jpeg(encode_jpeg(img, quality=50, restart_interval=dri))
+        assert np.array_equal(out, img)
+
+    @settings(_settings)
+    @given(st.integers(1, 40), st.integers(1, 40), st.data())
+    def test_jpeg_lossy_bounded_any_shape(self, h, w, data):
+        from aristoteles_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+        img = data.draw(_img(h, w, 1))
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 24
