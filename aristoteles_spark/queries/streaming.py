@@ -154,9 +154,47 @@ def q_stream_left_outer(spark, sf_dir):
     )
 
 
+def q_stream_partial_mv(spark, sf_dir):
+    """Streaming materialized view with replay-safe partial staging
+    (streaming/events.py:run_partial_mv): 3 deterministic microbatches
+    each stage their own daily rollup partials; the published view is
+    the associative merge — checked against the batch full recompute
+    (the streaming counterpart of mv1)."""
+    import os as _os
+
+    from aristoteles_spark.streaming.events import (
+        run_partial_mv,
+        stream_events_split,
+    )
+
+    root = (
+        "/dev/shm/aristoteles_spark_stream"
+        if _os.access("/dev/shm", _os.W_OK)
+        else "/tmp/aristoteles_spark_stream"
+    )
+    out_dir = _os.path.join(
+        root, f"st11_mv_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = stream_events_split(spark, sf_dir, "st11")
+    run_partial_mv(ev, out_dir)
+    staged = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    return (
+        staged.groupBy("event_type", "d")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st10_stream_left_outer": q_stream_left_outer,
+    "st11_stream_partial_mv": q_stream_partial_mv,
     "st8_stream_dedup_watermarked": q_stream_dedup_watermarked,
     "st9_stream_ewma": q_stream_ewma,
     "st2_stream_user_totals": q_stream_user_totals,
@@ -168,6 +206,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "st11_stream_partial_mv": (
+        "SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n, "
+        "CAST(sum(CASE WHEN value IS NULL THEN 0 "
+        "ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) "
+        "AS total_cents "
+        "FROM events GROUP BY event_type, d ORDER BY event_type, d"
+    ),
     "st10_stream_left_outer": (
         "SELECT c.event_id AS click_id, c.user_id, "
         "CAST(p.event_id AS DOUBLE) AS purchase_id, p.value AS amount "

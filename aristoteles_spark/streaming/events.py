@@ -477,3 +477,89 @@ def stream_stream_left_outer_conversion(events: DataFrame) -> DataFrame:
         F.col("purchase_id").cast("double").alias("purchase_id"),
         "amount",
     )
+
+
+def stream_events_split(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 3) -> DataFrame:
+    """events re-sharded into ``n_files`` time-ordered files read one per
+    trigger — the deterministic multi-microbatch harness (mtime-pinned so
+    the batch split, and with it every incremental result, replays
+    identically)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    root = (
+        "/dev/shm/aristoteles_spark_stream"
+        if os.access("/dev/shm", os.W_OK)
+        else "/tmp/aristoteles_spark_stream"
+    )
+    d = os.path.join(root, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    n = src.num_rows
+    for i in range(n_files):
+        lo = i * n // n_files
+        hi = (i + 1) * n // n_files
+        p = os.path.join(d, f"part-{i}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), p)
+        os.utime(p, (1000 + i, 1000 + i))
+
+    from aristoteles_spark.functions.time import ntz_as_utc_instant
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+    return raw.withColumn("ts", ntz_as_utc_instant("ts"))
+
+
+def run_partial_mv(events: DataFrame, out_dir: str) -> None:
+    """Streaming materialized view via PARTIAL-AGGREGATE STAGING: each
+    microbatch writes only its own partial rollup (count + cents sum per
+    (event_type, day)) under a batch-keyed directory. Idempotent under
+    batch replay BY CONSTRUCTION — re-running batch N overwrites
+    batch N's directory, never double-counts — which is the property a
+    merge-into-the-MV design loses the moment a batch retries. The
+    published view is the re-aggregation of all staged partials (counts
+    and sums merge associatively), computed at read or by a periodic
+    compaction; per-batch work is O(batch), never a base re-scan."""
+    from aristoteles_spark.functions.time import instant_as_utc_ntz
+
+    spark = events.sparkSession
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        cents = (
+            F.when(F.col("value").isNull(), F.lit(0))
+            .otherwise(F.round(F.col("value") * 100))
+            .cast("long")
+        )
+        partial = df.groupBy(
+            "event_type", F.to_date(instant_as_utc_ntz("ts")).alias("d")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with _ckpt_tmpdir("ckpt_mv_") as ckpt:
+            q = (
+                events.writeStream.foreachBatch(write_batch)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

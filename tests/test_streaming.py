@@ -254,3 +254,44 @@ class TestLeftOuterFlush:
         assert {r.click_id for r in unmatched}.isdisjoint(
             {r.click_id for r in matched}
         )
+
+
+class TestPartialMvReplay:
+    def test_full_replay_is_idempotent(self, spark):
+        """Re-running the whole stream (fresh checkpoint, same staging
+        dir, no cleanup) must overwrite each batch's partials in place —
+        the merged view stays identical, proving batch replay can never
+        double-count."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.streaming.events import (
+            run_partial_mv,
+            stream_events_split,
+        )
+
+        out_dir = "/tmp/test_mv_replay"
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        def run_once():
+            ev = stream_events_split(spark, SF, "mvtest")
+            run_partial_mv(ev, out_dir)
+            return (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(out_dir)
+                .groupBy("event_type", "d")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+                .orderBy("event_type", "d")
+                .collect()
+            )
+
+        first = run_once()
+        again = run_once()  # replay into the SAME staging dir
+        assert first == again
+        batch_dirs = [p for p in os.listdir(out_dir) if p.startswith("batch=")]
+        assert len(batch_dirs) == 3  # one dir per microbatch, not six
