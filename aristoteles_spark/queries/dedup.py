@@ -259,9 +259,69 @@ def q_containment(spark, sf_dir):
     )
 
 
+SPLIT_BUCKETS = 10  # 0-7 train, 8 val, 9 test
+
+
+def q_leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val/test split: assignment is by NEAR-DUP
+    CLUSTER, not by document — the practice that keeps one member of a
+    duplicate family out of eval while its twin sits in train (the
+    failure mode p7's per-doc hash split cannot prevent). Clusters are
+    the MinHash-LSH connected components (dd7's operator); the split is
+    a content-hash of the CLUSTER label, so every member inherits the
+    same bucket by construction. Emits per split the doc/cluster/token
+    masses plus ``n_leaky_clusters`` — clusters spanning >1 split —
+    which is structurally zero and oracle-matched at zero (the same
+    computed-not-asserted pattern as sk2's false negatives). Scale: the
+    cluster labeling is the contraction CC; everything after is one
+    partial-agg shuffle of tiny keys."""
+    from aristoteles_spark.functions.text import h32, tokens
+    from aristoteles_spark.operators.dedup import minhash_cluster_edges
+    from aristoteles_spark.operators.graph import connected_components
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    edges = minhash_cluster_edges(
+        d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    cc = connected_components(nodes, edges)  # (node, cluster)
+    bucket = F.pmod(
+        h32(F.col("cluster").cast("string"), F.lit("split")),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    labeled = (
+        d.select("doc_id", F.size(tokens("text")).alias("n_tok"))
+        .join(cc, d["doc_id"] == cc["node"])
+        .select("doc_id", "n_tok", "cluster", split.alias("split"))
+    )
+    leaky = (
+        labeled.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster").alias("n_clusters"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "dd1_exact_groups": q_exact,
     "dd10_containment": q_containment,
+    "p8_leakage_free_split": q_leakage_free_split,
     "dd2_normalized_groups": q_normalized,
     "dd3_jaccard_pairs": q_jaccard,
     "dd4_minhash_lsh_pairs": q_minhash,
@@ -512,4 +572,35 @@ WITH scored AS (
 )
 SELECT doc_id AS rep_doc, n_members, q AS rep_quality
 FROM ranked WHERE rn = 1 ORDER BY rep_doc
+"""
+
+# p8's oracle reuses dd7's full cluster-labeling query as a CTE (the
+# banded MinHash pairs + min-label propagation chain), then applies the
+# same cluster-hash split and leak census.
+_DD7_BODY = ORACLE["dd7_dup_clusters"].replace("ORDER BY node", "")
+ORACLE["p8_leakage_free_split"] = f"""
+WITH labels AS (
+{_DD7_BODY}
+), toks AS (
+  SELECT doc_id, len({_TOKENS}) AS n_tok FROM documents
+), lab AS (
+  SELECT t.doc_id, t.n_tok, l.cluster,
+         CASE WHEN l.b <= 7 THEN 'train' WHEN l.b = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT node, cluster,
+               {_h32("CAST(cluster AS VARCHAR)", "split")} % {SPLIT_BUCKETS} AS b
+        FROM labels) l
+  JOIN toks t ON t.doc_id = l.node
+), leaky AS (
+  SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaky_clusters
+  FROM (SELECT cluster, count(DISTINCT split) AS k FROM lab GROUP BY cluster)
+), base AS (
+  SELECT split, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM lab GROUP BY split
+)
+SELECT b.split, b.n_docs, b.n_clusters, b.total_tokens,
+       leaky.n_leaky_clusters
+FROM base b CROSS JOIN leaky ORDER BY split
 """
