@@ -130,6 +130,9 @@ def q_khop_bfs(spark, sf_dir):
     edges = e.union(
         e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     ).persist()
+    edges.count()  # materialize ONCE: the LSH pair computation is the
+    # expensive subtree; a lazy persist would re-race it across the
+    # level joins that all consume it in the single final job
     frontier = (
         v.filter(F.col("vec_id") % SEED_MOD == 0)
         .select(F.col("vec_id").alias("node"))
@@ -191,6 +194,7 @@ def q_pagerank(spark, sf_dir):
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg.count()  # materializes edges + deg once (see q_khop_bfs note)
     nodes = v.select(F.col("vec_id").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(PR_ONE).cast("long"))
     temps = []
