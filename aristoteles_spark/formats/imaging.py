@@ -245,6 +245,8 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -264,6 +266,10 @@ def decode(data: bytes) -> np.ndarray:
         from aristoteles_spark.formats.gif import decode_gif
 
         return decode_gif(data)
+    if fmt == "tiff":
+        from aristoteles_spark.formats.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError("unrecognized image format")
 
 

@@ -434,3 +434,35 @@ def real_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
     ).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def real_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL TIFF codec stage (formats/tiff.py): digest -> 4x4 gray image
+    -> uncompressed TIFF 6.0 encode (IFD + strip) -> decode -> features.
+    Lossless, so mean_px == mean(digest bytes)/255 — the oracle checks
+    the IFD tag parser, strip reassembly and layout math for real."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.tiff import decode_tiff, encode_tiff
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                px = np.frombuffer(bytes.fromhex(hexd), dtype=np.uint8)
+                img = px.reshape(4, 4)
+                back = decode_tiff(encode_tiff(img))
+                assert np.array_equal(back, img)
+                rows.append(
+                    (did, back.shape[1], back.shape[0], 1,
+                     float(back.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, FEATURE_SCHEMA)

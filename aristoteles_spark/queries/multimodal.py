@@ -122,10 +122,20 @@ def q_real_gif(spark, sf_dir):
     return real_gif_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_tiff(spark, sf_dir):
+    """REAL TIFF (IFD/strip) encode->decode in the mapInPandas seam
+    (formats/tiff.py); lossless round-trip keeps mean_px
+    SQL-stateable."""
+    from aristoteles_spark.multimodal.features import real_tiff_features
+
+    return real_tiff_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm10_real_jpeg": q_real_jpeg,
     "mm11_real_gif": q_real_gif,
+    "mm12_real_tiff": q_real_tiff,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
@@ -168,6 +178,11 @@ ORACLE = {
         "AS mean_px FROM documents ORDER BY doc_id"
     ),
     "mm11_real_gif": (
+        "SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, "
+        f"{_byte_mean(list(range(16)))} AS mean_px "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "mm12_real_tiff": (
         "SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, "
         f"{_byte_mean(list(range(16)))} AS mean_px "
         "FROM documents ORDER BY doc_id"

@@ -456,8 +456,47 @@ def q_sql_surface(spark, sf_dir):
     return run_sql(spark, sf_dir, _SQ1_SQL)
 
 
+# the multi-statement SQL surface: CREATE TEMP VIEW chains through the
+# catalog, final SELECT consumes them — the script-style workflow a
+# SQL-first user actually runs. The oracle states the identical
+# pipeline as CTEs (duckdb sees one statement; Spark sees three).
+# Intermediates stay DECIMAL end-to-end; only the final output casts
+# to DOUBLE (seg_spend ~1e9: 11 digits, inside duckdb's correctly-
+# rounded int128->double range).
+_SQ2_VIEWS = [
+    (
+        "CREATE OR REPLACE TEMPORARY VIEW sq2_big AS "
+        "SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p "
+        "FROM {orders} WHERE o_totalprice > 100000"
+    ),
+    (
+        "CREATE OR REPLACE TEMPORARY VIEW sq2_cust AS "
+        "SELECT o_custkey, count(*) AS n_big, sum(p) AS spend "
+        "FROM sq2_big GROUP BY o_custkey"
+    ),
+]
+_SQ2_FINAL = (
+    "SELECT c_mktsegment, count(*) AS n_cust, "
+    "CAST(sum(n_big) AS BIGINT) AS n_orders, "
+    "CAST(sum(spend) AS DOUBLE) AS seg_spend "
+    "FROM sq2_cust JOIN {customer} ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+
+def q_sql_pipeline(spark, sf_dir):
+    from aristoteles_spark.sources.parquet_source import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq2_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq2_customer")
+    for stmt in _SQ2_VIEWS:
+        spark.sql(stmt.format(orders="sq2_orders"))
+    return spark.sql(_SQ2_FINAL.format(customer="sq2_customer"))
+
+
 QUERIES = {
     "sq1_sql_surface": q_sql_surface,
+    "sq2_sql_pipeline": q_sql_pipeline,
     "s2_min_probe": q_min_probe,
     "p1_projection": q_projection,
     "p2_range_count": q_range_count,
@@ -489,6 +528,14 @@ QUERIES = {
 
 ORACLE = {
     "sq1_sql_surface": _SQ1_SQL,
+    "sq2_sql_pipeline": (
+        "WITH sq2_big AS ("
+        + _SQ2_VIEWS[0].split(" AS ", 1)[1].format(orders="orders")
+        + "), sq2_cust AS ("
+        + _SQ2_VIEWS[1].split(" AS ", 1)[1]
+        + ") "
+        + _SQ2_FINAL.format(customer="customer")
+    ),
     "s2_min_probe": "SELECT min(l_orderkey) AS min_orderkey FROM lineitem",
     "p1_projection": (
         "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
