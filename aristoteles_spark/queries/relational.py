@@ -208,7 +208,20 @@ def q_full_outer(spark, sf_dir):
         .agg(F.count("*").alias("n_supp"))
         .withColumnRenamed("s_nationkey", "nationkey")
     )
-    return c.join(s, "nationkey", "full_outer").orderBy("nationkey")
+    # nullable BIGINT degrades to float64 through the driver's pandas
+    # canonicalization on the oracle side only when a null is present
+    # (the at1 hazard — surfaced by the sf0.001 sweep, where some
+    # nations have no suppliers); nullable DOUBLE round-trips
+    # identically on both sides, so ship the counts as double.
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.col("n_cust").cast("double").alias("n_cust"),
+            F.col("n_supp").cast("double").alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
 
 
 # --- breadth: pivot (wide aggregation; fixed value list so the plan is a
@@ -598,7 +611,8 @@ ORACLE = {
         "           FROM customer GROUP BY 1), "
         "s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp "
         "      FROM supplier GROUP BY 1) "
-        "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp "
+        "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, "
+        "CAST(n_cust AS DOUBLE) AS n_cust, CAST(n_supp AS DOUBLE) AS n_supp "
         "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey ORDER BY nationkey"
     ),
     "g6_pivot": (
