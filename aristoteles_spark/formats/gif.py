@@ -114,8 +114,11 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            if len(table) < 4096:  # 12-bit cap: encoders emitting
+                # deferred clears keep coding with a full table — the
+                # decoder must stop growing in lockstep
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:

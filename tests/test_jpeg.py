@@ -121,3 +121,27 @@ class TestDispatch:
         img = np.full((8, 8), 156, dtype=np.uint8)
         out = decode_image(encode_jpeg(img, quality=50))
         assert np.array_equal(np.asarray(out), img)
+
+
+class TestAnnexKTables:
+    def test_ac_tables_cover_every_run_size_symbol(self):
+        """Independent structural validation of the hand-entered spec
+        tables: each AC table must contain exactly EOB (0x00), ZRL
+        (0xF0), and all 160 (run 0-15, size 1-10) symbols, no dupes.
+        (Interop note: the encoder also TRANSMITS its tables in DHT
+        segments, so any compliant decoder uses the in-stream tables —
+        file validity never depends on matching Annex K order.)"""
+        from aristoteles_spark.formats.jpeg import (
+            AC_CHROM_VALS,
+            AC_LUM_VALS,
+            DC_CHROM_VALS,
+            DC_LUM_VALS,
+        )
+
+        expected = {0x00, 0xF0} | {
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        }
+        assert set(AC_LUM_VALS) == expected and len(AC_LUM_VALS) == 162
+        assert set(AC_CHROM_VALS) == expected and len(AC_CHROM_VALS) == 162
+        assert DC_LUM_VALS == list(range(12))
+        assert DC_CHROM_VALS == list(range(12))
