@@ -906,6 +906,44 @@ def q_linear_trend(spark, sf_dir):
     )
 
 
+def q_mode(spark, sf_dir):
+    """Exact MODE per group (most frequent value, deterministic
+    smallest-value tie-break) — the aggregate SQL gives you only
+    approximately (approx_top_k) at scale. Two-level formulation:
+    count per (group, value) — partial-aggregated, the only shuffle
+    carrying (group, value, count) — then one argmax struct-max per
+    group; no window, no sort, no value list materialized anywhere.
+    Cents-exact values."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    counts = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("k").alias("k"),
+            (-F.col("cents")).alias("neg"),
+            F.col("cents").alias("cents"),
+        )
+    )
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            best.alias("b"),
+        )
+        .select(
+            "event_type",
+            "n_distinct",
+            F.col("b.cents").alias("mode_cents"),
+            F.col("b.k").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
@@ -913,6 +951,7 @@ QUERIES = {
     "g12_equidepth_histogram": q_equidepth_histogram,
     "dq2_gap_report": q_gap_report,
     "ml1_linear_trend": q_linear_trend,
+    "g13_mode": q_mode,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
     "sh1_shard_plan": q_shard_plan,
@@ -968,6 +1007,23 @@ _BLOOM_WORDS_SQL = ", ".join(
 )
 
 ORACLE = {
+    "g13_mode": """
+WITH counts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) AS k
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, cents
+), ranked AS (
+  SELECT event_type, cents, k,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY k DESC, cents ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_distinct
+  FROM counts
+)
+SELECT event_type, CAST(n_distinct AS BIGINT) AS n_distinct,
+       cents AS mode_cents, CAST(k AS BIGINT) AS mode_count
+FROM ranked WHERE rn = 1 ORDER BY event_type
+""",
     "ml1_linear_trend": f"""
 WITH pts AS (
   SELECT event_type,
