@@ -112,6 +112,32 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)",
          "one user_id shuffle feeds the kernel"),
     ],
+    "g13_mode": [
+        (r"(?s)HashAggregate.*HashAggregate.*Exchange",
+         "two-level mode: value census partial-aggregates before its shuffle"),
+        (r"!\(\d+\) Window", "argmax is a struct-max aggregate, not a ranking window"),
+    ],
+    "ml1_linear_trend": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "sufficient statistics partial-aggregate map-side — 5 longs per group shuffle"),
+        (r"!PythonUDF", "closed-form fit is pure codegen"),
+    ],
+    "dq2_gap_report": [
+        (r"(?s)HashAggregate.*Window.*Exchange",
+         "one lag window + rollup on one user_id exchange"),
+    ],
+    "io8_webdataset_tar": [
+        (r"MapInPandas|ArrowEvalPython",
+         "tar extraction runs in the Arrow-batched Python seam"),
+        (r"!Exchange hashpartitioning\([^)]*content",
+         "shard blobs never shuffle — only the per-doc stats aggregate"),
+    ],
+    "p8_leakage_free_split": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "split rollup partial-aggregates before its shuffle"),
+        (r"BroadcastNestedLoopJoin|BroadcastExchange",
+         "the 1-row leak census attaches by broadcast"),
+    ],
     "j5_multi_join_topk": [
         (r"TakeOrderedAndProject", "top-k via TakeOrdered — no global sort materialization"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "partial agg before the revenue shuffle"),
