@@ -620,9 +620,97 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+CT2_BITS = 4096  # bloom size: 128 x 32-bit words, built as an ARRAY
+CT2_WORDS = CT2_BITS // 32
+
+
+def q_bloom_decontamination(spark, sf_dir):
+    """Two-phase decontamination: a Bloom filter over the eval 8-gram
+    set pre-screens train grams, and only Bloom candidates reach the
+    exact semi-join — the composition that makes ct1 cheap at 100 TB
+    (the filter is a few KB broadcast to every executor; the exact join
+    sees only candidate grams). The final counts must equal the exact
+    single-phase answer — Bloom can only over-admit, and the verify
+    join removes every false positive — so the oracle (which runs the
+    SAME two phases in SQL) pins both the filter arithmetic and the
+    no-false-negative property. The filter is an ARRAY of 128 32-bit
+    words (built per-word with bit_or, assembled with a dense range
+    left-join so empty words are zeros), indexed with element_at on
+    both engines — sizing the filter never grows the expression tree.
+    Reports per train doc: bloom candidates vs exact shared grams."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
+    )
+    eval_g = grams.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
+    train_g = grams.filter(F.col("doc_id") % 7 != 0)
+
+    from aristoteles_spark.functions.text import h32
+
+    def pos(col, seed):
+        return F.pmod(h32(col, seed), F.lit(CT2_BITS))
+
+    contrib = eval_g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.shiftright(pos(F.col("g"), s), 5).alias("w"),
+                        pos(F.col("g"), s).bitwiseAND(F.lit(31)).alias("b"),
+                    )
+                    for s in (1, 2)
+                ]
+            )
+        ).alias("x")
+    ).select(F.col("x.w").alias("w"), F.col("x.b").alias("b"))
+    words_sparse = contrib.groupBy("w").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).alias("bits")
+    )
+    words = (
+        spark.range(CT2_WORDS)
+        .withColumnRenamed("id", "w")
+        .join(words_sparse, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0)).alias("bits"))
+        .groupBy()
+        .agg(F.expr("array_sort(collect_list(struct(w, bits)))").alias("ws"))
+        .select(F.expr("transform(ws, x -> x.bits)").alias("words"))
+    )
+
+    probed = (
+        train_g.crossJoin(F.broadcast(words))
+        .withColumn("p1", pos(F.col("g"), 1))
+        .withColumn("p2", pos(F.col("g"), 2))
+    )
+    _bit = (
+        "((element_at(words, CAST(shiftright({p}, 5) AS INT) + 1)"
+        " >> CAST({p} & 31 AS INT)) & 1)"
+    )
+    hit = F.expr(f"{_bit.format(p='p1')} * {_bit.format(p='p2')}")
+    candidates = probed.filter(hit == 1).select("doc_id", "g")
+    verified = candidates.join(eval_g, "g", "left_semi")
+    return (
+        candidates.groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_candidates"))
+        .join(
+            verified.groupBy("doc_id").agg(
+                F.count_distinct("g").alias("n_shared_grams")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_candidates",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tx13_sentence_stats": q_sentence_stats,
     "pk2_length_buckets": q_length_buckets,
+    "ct2_bloom_decontamination": q_bloom_decontamination,
     "ns1_negative_samples": q_negative_samples,
     "tx1_token_stats": q_token_stats,
     "tx2_quality": q_quality,
@@ -680,7 +768,46 @@ _PRED_CASES = " ".join(
 )
 _PRED = f"CASE WHEN ({_BEST}) > 0 THEN (CASE {_PRED_CASES} END) ELSE 'und' END"
 
+def _ct2_h(seed: int, expr: str = "g") -> str:
+    h = f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 8)) AS BIGINT)"
+    return f"({h} % {CT2_BITS})"
+
+
 ORACLE = {
+    "ct2_bloom_decontamination": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - {_GRAM - 2}), s ->
+    md5(array_to_string(list_slice(t, s, s + {_GRAM - 1}), ' '))))) AS g
+  FROM toks WHERE len(t) >= {_GRAM}
+), eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+), train_g AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0
+), contrib AS (
+  SELECT h // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+  FROM (
+    SELECT {_ct2_h(1)} AS h FROM eval_g
+    UNION ALL SELECT {_ct2_h(2)} FROM eval_g
+  ) GROUP BY w
+), bloom AS (
+  SELECT list(coalesce(bits, 0) ORDER BY r.r) AS words
+  FROM range({CT2_WORDS}) r(r) LEFT JOIN contrib ON contrib.w = r.r
+), probe AS (
+  SELECT doc_id, g, {_ct2_h(1)} AS p1, {_ct2_h(2)} AS p2 FROM train_g
+), cand AS (
+  SELECT doc_id, g FROM probe CROSS JOIN bloom
+  WHERE ((words[CAST(p1 // 32 AS INT) + 1] >> CAST(p1 % 32 AS INT)) & 1)
+      * ((words[CAST(p2 // 32 AS INT) + 1] >> CAST(p2 % 32 AS INT)) & 1) = 1
+)
+SELECT c.doc_id, count(DISTINCT c.g) AS n_candidates,
+       count(DISTINCT CASE WHEN e.g IS NOT NULL THEN c.g END)
+         AS n_shared_grams
+FROM cand c LEFT JOIN eval_g e ON e.g = c.g
+GROUP BY c.doc_id ORDER BY c.doc_id
+""",
     "pk2_length_buckets": f"""
 WITH b AS (
   SELECT greatest(len({_TOKENS}), 1) AS n_tok FROM documents

@@ -289,3 +289,28 @@ class TestLinearTrend:
             assert r.n == len(pts)
             assert abs(r.slope - slope) < 1e-9 * max(1, abs(slope))
             assert abs(r.intercept - icept) < 1e-6 * max(1, abs(icept))
+
+
+class TestBloomDecontamination:
+    def test_two_phase_equals_exact_single_phase(self, spark):
+        """Bloom prefilter + exact verify must reproduce ct1's exact
+        per-doc shared-gram counts (no false negatives), and bloom
+        candidates always dominate the exact counts."""
+        from aristoteles_spark.queries.text import (
+            q_bloom_decontamination,
+            q_contamination,
+        )
+
+        two_phase = {
+            r.doc_id: (r.n_candidates, r.n_shared_grams)
+            for r in q_bloom_decontamination(spark, SF).collect()
+        }
+        exact = {
+            r.doc_id: r.n_shared_grams
+            for r in q_contamination(spark, SF).collect()
+        }
+        for doc, n in exact.items():
+            assert two_phase[doc][1] == n  # verify phase is exact
+        for doc, (cand, shared) in two_phase.items():
+            assert cand >= shared
+            assert shared == exact.get(doc, 0)
