@@ -318,9 +318,52 @@ def q_leakage_free_split(spark, sf_dir):
     )
 
 
+def q_lsh_tuning(spark, sf_dir):
+    """LSH parameter diagnostics: per band, the bucket census — bucket
+    count, largest bucket, and the candidate-pair mass Σ k·(k−1)/2 each
+    band would feed the verifier. This is the table you read before
+    picking (bands, rows): a band whose max bucket explodes is the
+    skew/recall trade-off made visible BEFORE running the join.
+    Buckets are grouped on the raw signature slices (no digest — the
+    grouping itself is the portable object), one explode + one
+    partial-agg shuffle; census keys are tiny."""
+    from aristoteles_spark.operators.dedup import minhash_signatures
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    rows_per_band = NUM_HASHES // BANDS
+    sigs = minhash_signatures(d, num_hashes=NUM_HASHES)
+    banded = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.slice("sig", bi * rows_per_band + 1, rows_per_band).alias(
+                            "key"
+                        ),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("x")
+    ).select(F.col("x.band").alias("band"), F.col("x.key").alias("key"))
+    buckets = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("k").cast("long").alias("n_docs"),
+            F.max("k").alias("max_bucket"),
+            F.sum(F.expr("(k * (k - 1)) DIV 2")).cast("long").alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = {
     "dd1_exact_groups": q_exact,
     "dd10_containment": q_containment,
+    "dd11_lsh_tuning": q_lsh_tuning,
     "p8_leakage_free_split": q_leakage_free_split,
     "dd2_normalized_groups": q_normalized,
     "dd3_jaccard_pairs": q_jaccard,
@@ -603,4 +646,29 @@ WITH labels AS (
 SELECT b.split, b.n_docs, b.n_clusters, b.total_tokens,
        leaky.n_leaky_clusters
 FROM base b CROSS JOIN leaky ORDER BY split
+"""
+
+# dd11's oracle: same signature CTE as dd4, buckets grouped per band on
+# the raw signature columns, then the per-band census.
+_DD11_BANDS = " UNION ALL ".join(
+    f"SELECT {bi} AS band, count(*) AS k FROM sigs GROUP BY "
+    + ", ".join(f"s{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    for bi in range(BANDS)
+)
+ORACLE["dd11_lsh_tuning"] = f"""
+WITH hashed AS (
+  SELECT doc_id AS doc, list_transform({_DTOKENS}, t -> {_h32('t')}) AS base_h
+  FROM documents
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+), buckets AS (
+  {_DD11_BANDS}
+)
+SELECT CAST(band AS INT) AS band, count(*) AS n_buckets,
+       CAST(sum(k) AS BIGINT) AS n_docs,
+       CAST(max(k) AS BIGINT) AS max_bucket,
+       CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band ORDER BY band
 """
