@@ -140,6 +140,59 @@ def q_sliding_window(spark, sf_dir):
 
 
 # --- time bucket: session window (30-minute gap) per user
+def q_sliding_distinct(spark, sf_dir):
+    """Sliding-window DISTINCT users (wb2's distinct-cardinality form):
+    exact count_distinct per overlapping hour window — the audience/
+    reach metric. Each event lands in 2 overlapping windows (Expand),
+    then one partial-agg distinct shuffle keyed by (window, user). At
+    100 TB the approximate form is approx_count_distinct over the same
+    expansion; this exact query is its stated oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("bucket"), "n_users")
+        .orderBy("bucket")
+    )
+
+
+def q_calendar_join(spark, sf_dir):
+    """Generated date-dimension join: the calendar is SYNTHESIZED with
+    sequence+explode (no stored dim table needed), carries derived
+    attributes (day-of-week as the PORTABLE integer (epoch_days+4)%7 —
+    1970-01-01 was a Thursday; engine dow() numberings differ), and
+    left-joins the daily fact rollup so empty days still appear. The
+    generated-dimension pattern: the dim is a few rows of codegen,
+    always broadcast, never stored or shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+            )
+        ).alias("d")
+    ).select(
+        "d",
+        F.pmod(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4, F.lit(7))
+        .cast("int")
+        .alias("dow"),
+    )
+    return (
+        cal.join(daily, "d", "left")
+        .select(
+            "d",
+            "dow",
+            (F.col("dow") >= 5).cast("int").alias("is_weekend"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("d")
+    )
+
+
 def q_session_window(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
@@ -241,6 +294,8 @@ def q_gapfill_locf(spark, sf_dir):
 
 QUERIES = {
     "wb5_gapfill_locf": q_gapfill_locf,
+    "wb6_sliding_distinct": q_sliding_distinct,
+    "dm1_calendar_join": q_calendar_join,
     "wf1_row_number": q_row_number,
     "wf2_lag_delta": q_lag_delta,
     "wf3_running_sum": q_running_sum,
@@ -340,6 +395,29 @@ ORDER BY t.event_type, s.slot
         "    AND ts <  time_bucket(INTERVAL '30 minutes', ts) - (o.off * INTERVAL '30 minutes')"
         "         + INTERVAL '1 hour') "
         "SELECT bucket, count(*) AS n FROM assigned GROUP BY bucket ORDER BY bucket"
+    ),
+    "wb6_sliding_distinct": (
+        "WITH assigned AS ("
+        "  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) - "
+        "         (o.off * INTERVAL '30 minutes') AS bucket"
+        "  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o"
+        "  WHERE ts >= time_bucket(INTERVAL '30 minutes', ts) - (o.off * INTERVAL '30 minutes')"
+        "    AND ts <  time_bucket(INTERVAL '30 minutes', ts) - (o.off * INTERVAL '30 minutes')"
+        "         + INTERVAL '1 hour') "
+        "SELECT bucket, count(DISTINCT user_id) AS n_users "
+        "FROM assigned GROUP BY bucket ORDER BY bucket"
+    ),
+    "dm1_calendar_join": (
+        "WITH cal AS ("
+        "  SELECT CAST(s AS DATE) AS d,"
+        "         CAST((datediff('day', DATE '1970-01-01', CAST(s AS DATE)) + 4) % 7 AS INT) AS dow"
+        "  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL '1 day') g(s)"
+        "), daily AS ("
+        "  SELECT CAST(ts AS DATE) AS d, count(*) AS n_events FROM events GROUP BY d"
+        ") "
+        "SELECT cal.d, dow, CAST(dow >= 5 AS INT) AS is_weekend, "
+        "coalesce(n_events, 0) AS n_events "
+        "FROM cal LEFT JOIN daily ON cal.d = daily.d ORDER BY cal.d"
     ),
     "wb3_session_window": (
         "WITH marked AS ("
