@@ -236,6 +236,71 @@ def q_webdataset_tar(spark, sf_dir):
     )
 
 
+def q_malformed_csv(spark, sf_dir):
+    """Dirty-ingest robustness: a CSV landing file where a
+    deterministic subset of rows is CORRUPTED (event_id % 13 == 3 gets
+    a non-numeric user_id), read in PERMISSIVE mode with a
+    columnNameOfCorruptRecord — the quarantine pattern for real
+    landing zones: bad rows surface as (nulls + raw line) instead of
+    failing the job or silently vanishing. The query reports, per day,
+    clean vs quarantined row counts, surviving user_id values, and the
+    clean-row value mass; the oracle states the same from the original
+    table (it knows exactly which rows were corrupted). Both
+    failure-handling semantics (null-out + capture) are value-pinned.
+
+    Gotcha this query deliberately pins: Spark's CSV parser prunes to
+    REQUIRED columns, and a row is only flagged corrupt if a required
+    column fails to convert — an aggregate that never touched the dirty
+    column would see n_quarantined == 0. The aggregation therefore
+    consumes user_id (count of surviving values), which is also the
+    operationally honest report."""
+    from pyspark.sql import functions as F
+
+    path = _scratch("badcsv", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dirty = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.when(F.col("event_id") % 13 == 3, F.lit("not_a_number"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("user_id"),
+        "event_type",
+        "value",
+    )
+    dirty.write.mode("overwrite").option("header", "true").csv(path)
+    ddl = (
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, _corrupt STRING"
+    )
+    back = (
+        spark.read.schema(ddl)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return (
+        back.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_corrupt").alias("n_quarantined"),
+            F.count("user_id").cast("long").alias("n_user_vals"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt").isNull(),
+                    F.round(F.col("value") * 100),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("clean_cents"),
+        )
+        .orderBy("d")
+    )
+
+
 def q_bucketed_join(spark, sf_dir):
     """Fact-fact join through the bucketed layout: both sides written
     bucketed+sorted by the order key once, then joined WITHOUT an
@@ -433,6 +498,7 @@ QUERIES = {
     "mv1_incremental_rollup": q_incremental_rollup,
     "io7_gzip_jsonl": q_gzip_jsonl_roundtrip,
     "io8_webdataset_tar": q_webdataset_tar,
+    "io9_malformed_csv": q_malformed_csv,
     "io6_compaction_roundtrip": q_compaction_roundtrip,
     "io1_orc_roundtrip": q_orc_roundtrip,
     "io2_csv_roundtrip": q_csv_roundtrip,
@@ -484,6 +550,17 @@ FROM merged GROUP BY event_type ORDER BY event_type
     "io2_csv_roundtrip": _DAILY_AGG_SQL,
     "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
     "io7_gzip_jsonl": _DAILY_AGG_SQL,
+    "io9_malformed_csv": (
+        "SELECT CAST(ts AS DATE) AS d, count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN event_id % 13 = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_quarantined, "
+        "CAST(sum(CASE WHEN event_id % 13 <> 3 AND user_id IS NOT NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_user_vals, "
+        "CAST(sum(CASE WHEN event_id % 13 <> 3 "
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+        "AS clean_cents "
+        "FROM events GROUP BY d ORDER BY d"
+    ),
     "io8_webdataset_tar": (
         "SELECT source, count(*) AS n_docs, "
         "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
