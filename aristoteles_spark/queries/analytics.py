@@ -944,6 +944,44 @@ def q_mode(spark, sf_dir):
     )
 
 
+def q_freshness(spark, sf_dir):
+    """Data-freshness SLO report: per event stream, the last-seen
+    event time, staleness against the newest event anywhere (integer
+    microseconds — the monitoring number an on-call pages on), and the
+    late-arrival profile (events per stream in the global last hour).
+    One partial-agg pass for the per-type extrema; the 1-row global
+    watermark broadcasts back — no second scan of the facts at 100 TB
+    if the per-type maxima are maintained incrementally (mv1's
+    pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    from aristoteles_spark.functions.time import epoch_us
+
+    per_type = e.groupBy("event_type").agg(
+        F.max(epoch_us(e, "ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    global_max = per_type.agg(F.max("last_us").alias("g_us"))
+    last_hour = (
+        e.select("event_type", epoch_us(e, "ts").alias("us"))
+        .crossJoin(F.broadcast(global_max))
+        .filter(F.col("us") > F.col("g_us") - F.lit(3_600_000_000))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last_hour"))
+    )
+    return (
+        per_type.crossJoin(F.broadcast(global_max))
+        .join(last_hour, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "last_us",
+            (F.col("g_us") - F.col("last_us")).alias("staleness_us"),
+            F.coalesce("n_last_hour", F.lit(0)).alias("n_last_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
@@ -952,6 +990,7 @@ QUERIES = {
     "dq2_gap_report": q_gap_report,
     "ml1_linear_trend": q_linear_trend,
     "g13_mode": q_mode,
+    "dq3_freshness": q_freshness,
     "an4_outliers": q_outliers,
     "wz1_winsorize": q_winsorize,
     "sh1_shard_plan": q_shard_plan,
@@ -1007,6 +1046,25 @@ _BLOOM_WORDS_SQL = ", ".join(
 )
 
 ORACLE = {
+    "dq3_freshness": """
+WITH per_type AS (
+  SELECT event_type, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+  FROM events GROUP BY event_type
+), g AS (
+  SELECT max(last_us) AS g_us FROM per_type
+), lh AS (
+  SELECT event_type, count(*) AS n_last_hour
+  FROM events CROSS JOIN g
+  WHERE epoch_us(ts) > g_us - 3600000000
+  GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, p.last_us,
+       (g.g_us - p.last_us) AS staleness_us,
+       coalesce(lh.n_last_hour, 0) AS n_last_hour
+FROM per_type p CROSS JOIN g
+LEFT JOIN lh ON lh.event_type = p.event_type
+ORDER BY p.event_type
+""",
     "g13_mode": """
 WITH counts AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
