@@ -489,6 +489,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # non-interleaved multi-scan baseline (one SOS per
+                # component): returning after the first scan would
+                # silently yield just the Y plane — reject explicitly,
+                # mirroring the progressive/arithmetic rejection above
+                raise JpegError(
+                    "non-interleaved multi-scan baseline not supported "
+                    f"(SOS has {ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
@@ -583,8 +592,30 @@ def _decode_block(br, dc_dec, ac_dec, qt, pred):
 
 
 def jpeg_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, n_components) from the SOF header, full parse."""
-    arr = decode_jpeg(data)
-    if arr.ndim == 2:
-        return arr.shape[1], arr.shape[0], 1
-    return arr.shape[1], arr.shape[0], arr.shape[2]
+    """(width, height, n_components) straight from the SOF0/SOF1 frame
+    header — O(header), no entropy decode. A stream whose markers are
+    fine but whose scan data is corrupt still yields metadata (the
+    right behavior for a catalog/stats pass over a 100 TB corpus;
+    decode_jpeg is the integrity check)."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:  # standalone
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if m in (0xC0, 0xC1):  # SOF0/1
+            _prec, fh, fw, nc = struct.unpack(">BHHB", data[pos + 2 : pos + 8])
+            return fw, fh, nc
+        if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("progressive/arithmetic JPEG not supported (baseline only)")
+        if m == 0xDA:  # SOS before any SOF
+            break
+        pos += seglen
+    raise JpegError("no SOF0/SOF1 frame header found")

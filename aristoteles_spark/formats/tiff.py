@@ -92,18 +92,36 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    if data[:2] != _II or struct.unpack("<H", data[2:4])[0] != 42:
-        raise TiffError("not a little-endian TIFF")
-    (ifd_off,) = struct.unpack("<I", data[4:8])
-    n = struct.unpack("<H", data[ifd_off : ifd_off + 2])[0]
+def _read_ifd(data: bytes):
+    """Parse header + first IFD for either byte order; returns
+    (endian_prefix, values(tag, default=None) accessor). Truncated or
+    garbage input surfaces as TiffError, never a raw struct.error."""
+    try:
+        return _read_ifd_unchecked(data)
+    except (struct.error, IndexError) as e:
+        raise TiffError(f"truncated or corrupt TIFF: {e}") from e
+
+
+def _read_ifd_unchecked(data: bytes):
+    if data[:2] == b"II":
+        en = "<"
+    elif data[:2] == b"MM":
+        en = ">"
+    else:
+        raise TiffError("not a TIFF (no II/MM byte-order mark)")
+    if struct.unpack(en + "H", data[2:4])[0] != 42:
+        raise TiffError("bad TIFF magic (42 expected)")
+    (ifd_off,) = struct.unpack(en + "I", data[4:8])
+    n = struct.unpack(en + "H", data[ifd_off : ifd_off + 2])[0]
     tags: dict[int, tuple[int, int, int]] = {}
     for i in range(n):
         e = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack("<HHI", data[e : e + 8])
-        (raw,) = struct.unpack("<I", data[e + 8 : e + 12])
+        tag, typ, cnt = struct.unpack(en + "HHI", data[e : e + 8])
+        (raw,) = struct.unpack(en + "I", data[e + 8 : e + 12])
         if typ == _TYPE_SHORT and cnt == 1:
-            raw &= 0xFFFF
+            # a single SHORT sits in the FIRST two bytes of the value
+            # field — which two bytes of the uint32 depends on order
+            raw = (raw >> 16) if en == ">" else (raw & 0xFFFF)
         tags[tag] = (typ, cnt, raw)
 
     def values(tag, default=None):
@@ -117,17 +135,36 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if cnt * size <= 4:
             if cnt == 1:
                 return [raw]
-            # multiple short values packed inline
-            packed = struct.pack("<I", raw)
-            return list(struct.unpack(f"<{cnt}{fmt}", packed[: cnt * size]))
-        return list(struct.unpack(f"<{cnt}{fmt}", data[raw : raw + cnt * size]))
+            # multiple short values packed inline, in file byte order
+            packed = struct.pack(en + "I", raw)
+            return list(struct.unpack(f"{en}{cnt}{fmt}", packed[: cnt * size]))
+        return list(
+            struct.unpack(f"{en}{cnt}{fmt}", data[raw : raw + cnt * size])
+        )
 
+    return en, values
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    try:
+        return _decode_tiff_unchecked(data)
+    except (struct.error, IndexError) as e:
+        raise TiffError(f"truncated or corrupt TIFF: {e}") from e
+
+
+def _decode_tiff_unchecked(data: bytes) -> np.ndarray:
+    en, values = _read_ifd(data)
     w = values(T_WIDTH)[0]
     h = values(T_LENGTH)[0]
     comp = values(T_COMPRESSION, [1])[0]
     if comp != 1:
         raise TiffError(f"compression {comp} not supported (uncompressed only)")
     spp = values(T_SAMPLES, [1])[0]
+    photometric = values(T_PHOTometric, [1])[0]
+    if photometric not in (0, 1, 2):
+        raise TiffError(f"photometric {photometric} not supported")
+    if photometric == 2 and spp < 3:
+        raise TiffError("RGB photometric with <3 samples")
     bits = values(T_BITS, [8])
     if any(b != 8 for b in bits):
         raise TiffError("only 8 bits per sample supported")
@@ -139,10 +176,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if len(raw) != w * h * spp:
         raise TiffError(f"pixel count mismatch: {len(raw)} != {w * h * spp}")
     arr = np.frombuffer(raw, dtype=np.uint8)
-    return arr.reshape((h, w) if spp == 1 else (h, w, spp)).copy()
+    arr = arr.reshape((h, w) if spp == 1 else (h, w, spp)).copy()
+    if photometric == 0:  # WhiteIsZero: invert to the BlackIsZero scale
+        arr = 255 - arr
+    return arr
 
 
 def tiff_meta(data: bytes) -> tuple[int, int, int]:
-    arr = decode_tiff(data)
-    ch = 1 if arr.ndim == 2 else arr.shape[2]
-    return arr.shape[1], arr.shape[0], ch
+    """(width, height, n_channels) from the IFD alone — O(header), no
+    pixel-data read (the strips are never touched)."""
+    _, values = _read_ifd(data)
+    w = values(T_WIDTH)[0]
+    h = values(T_LENGTH)[0]
+    spp = values(T_SAMPLES, [1])[0]
+    return w, h, spp

@@ -43,6 +43,13 @@ _MODULES = [
 # (16 re-typed round-1 reds, then the never-checked LLM-pipeline
 # families) and the fallback when no history file exists.
 _PRIORITY = [
+    # round-3 seed: pull the ENTIRE multimodal family into the round-3
+    # window (VERDICT r2 item 7 — don't strand mm* at the tail)
+    "mm1_binary_stats", "mm2_decode_features", "mm3_frame_sample",
+    "mm4_perceptual_buckets", "mm5_resize", "mm6_real_codec",
+    "mm7_real_resize", "mm8_real_audio", "mm9_real_video",
+    "mm10_real_jpeg", "mm11_real_gif", "mm12_real_tiff",
+    "io8_webdataset_tar",  # changed this round — must be re-proven
     # round-1 red rows, re-typed — must re-enter the check window
     "j1_join_agg", "g1_pricing_summary", "j5_multi_join_topk",
     "j6_star_join", "j9_large_orders", "h6_forecast_revenue",

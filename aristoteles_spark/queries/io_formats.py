@@ -154,7 +154,15 @@ def q_webdataset_tar(spark, sf_dir):
     reconstructed corpus aggregated per source against the original
     parquet table. Parallelism = #shards (each task streams one tar
     sequentially — exactly how WebDataset is consumed by training
-    loaders); document bytes never shuffle, only the per-doc stats."""
+    loaders); document bytes never shuffle through the driver — the
+    writer hash-partitions on the shard key so every shard's members
+    colocate in exactly one task, that task builds the tar and writes
+    it straight to shared storage (tmpfs here; an object store or
+    shared FS on a cluster), and only a (shard, n_members, path)
+    manifest returns to the driver. Members are accumulated across the
+    WHOLE Arrow-batch iterator before the tar is built, so a shard
+    larger than arrow.maxRecordsPerBatch yields one complete tar, not
+    a last-batch-wins overwrite."""
     import io as _io
     import tarfile
 
@@ -170,36 +178,43 @@ def q_webdataset_tar(spark, sf_dir):
     def write_shards(it):
         import pandas as pd
 
+        # shard -> members, accumulated over ALL batches of this task
+        # (a shard bigger than arrow.maxRecordsPerBatch spans batches)
+        members = {}
         for pdf in it:
-            by_shard = {}
             for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
-                by_shard.setdefault(int(did) % n_shards, []).append(
+                members.setdefault(int(did) % n_shards, []).append(
                     (int(did), src, text)
                 )
-            rows = []
-            for shard, members in by_shard.items():
-                buf = _io.BytesIO()
-                with tarfile.open(fileobj=buf, mode="w") as tf:
-                    for did, src, text in sorted(members):
-                        data = f"{src}\n{text}".encode()
-                        info = tarfile.TarInfo(name=f"{did}.txt")
-                        info.size = len(data)
-                        info.mtime = 0
-                        tf.addfile(info, _io.BytesIO(data))
-                rows.append((shard, buf.getvalue()))
-            yield pd.DataFrame(rows, columns=["shard", "payload"])
+        rows = []
+        for shard, ms in members.items():
+            fpath = os.path.join(path, f"shard-{shard:05d}.tar")
+            tmp = fpath + ".inprogress"
+            with tarfile.open(tmp, mode="w") as tf:
+                for did, src, text in sorted(ms):
+                    data = f"{src}\n{text}".encode()
+                    info = tarfile.TarInfo(name=f"{did}.txt")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, _io.BytesIO(data))
+            os.replace(tmp, fpath)  # atomic publish, crash-safe
+            rows.append((shard, len(ms), fpath))
+        yield pd.DataFrame(rows, columns=["shard", "n_members", "path"])
 
     os.makedirs(path, exist_ok=True)
-    # one tar per (input-partition, shard); a production writer would
-    # repartition by shard first — this keeps the test deterministic
-    shards = (
-        docs.repartition(1)
-        .mapInPandas(write_shards, "shard int, payload binary")
+    for stale in os.listdir(path):  # tiny listing; clears prior runs
+        if stale.endswith((".tar", ".inprogress")):
+            os.remove(os.path.join(path, stale))
+    # hash-partition on the shard key: every member of a shard lands in
+    # exactly one task (a task may own several shards, a shard never
+    # splits), each task writes its tars directly — the driver receives
+    # only the O(n_shards)-row manifest, never payload bytes.
+    manifest = (
+        docs.repartition(n_shards, F.col("doc_id") % n_shards)
+        .mapInPandas(write_shards, "shard int, n_members long, path string")
         .collect()
     )
-    for r in shards:
-        with open(os.path.join(path, f"shard-{r.shard:05d}.tar"), "wb") as f:
-            f.write(r.payload)
+    assert sum(r.n_members for r in manifest) > 0, "empty webdataset write"
 
     raw = spark.read.format("binaryFile").load(path)
 

@@ -105,6 +105,40 @@ class TestStructure:
         with pytest.raises((JpegError, IndexError, ValueError)):
             decode_jpeg(data[:20])
 
+    def test_rejects_non_interleaved_multi_scan(self):
+        """A color SOS naming fewer components than the SOF declares is
+        a non-interleaved multi-scan file: must raise, not silently
+        return only the Y plane."""
+        rng = np.random.default_rng(7)
+        data = bytearray(
+            encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+        )
+        i = bytes(data).find(b"\xff\xda")
+        assert i > 0
+        # SOS body: len(2) ns(1) [cs td/ta]*ns ss se ah/al — shrink to 1
+        # component in place, fixing the segment length
+        seglen_old = int.from_bytes(data[i + 2 : i + 4], "big")
+        assert data[i + 4] == 3  # ns
+        body = bytes(data[i + 4 : i + 2 + seglen_old])
+        new_body = bytes([1]) + body[1:3] + body[7:]  # keep comp 1 only
+        data[i + 2 : i + 2 + seglen_old] = (
+            (2 + len(new_body)).to_bytes(2, "big") + new_body
+        )
+        with pytest.raises(JpegError, match="non-interleaved"):
+            decode_jpeg(bytes(data))
+
+    def test_meta_is_header_only(self):
+        """jpeg_meta must not entropy-decode: corrupting every byte
+        after SOS still yields (w, h, nc)."""
+        from aristoteles_spark.formats.jpeg import jpeg_meta
+
+        data = bytearray(encode_jpeg(np.full((24, 17), 9, dtype=np.uint8)))
+        i = bytes(data).find(b"\xff\xda")
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        scan_start = i + 2 + seglen
+        data[scan_start:-2] = bytes(len(data) - scan_start - 2)  # zero scan
+        assert jpeg_meta(bytes(data)) == (17, 24, 1)
+
 
 class TestDispatch:
     def test_sniff_and_decode_route_jpeg(self):

@@ -1,0 +1,285 @@
+"""Scale sweep: headline queries at sf0.1 vs a generated 10x replica.
+
+The sf0.1 bench cannot surface driver-side or skew cliffs, so this tool
+(a) materializes a deterministic 10x scale-up of the fact tables
+(documents, embeddings, events, lineitem, orders — dims stay 1x, the
+realistic shape), (b) runs the 15 headline queries at both scales, and
+(c) asserts
+
+  * wall-time grows at most ~linearly (ratio <= SCALE_FACTOR * SLACK), and
+  * the physical plan is EXCHANGE-STABLE: the number of shuffle
+    exchanges in the pre-execution plan is identical at both scales
+    (a plan that adds exchanges as data grows re-plans itself into
+    extra shuffles at 100 TB).
+
+Scale-up construction — the part that makes the sweep honest:
+a naive 10x row copy would make every document an exact 10-way
+duplicate, turning dedup/similarity outputs QUADRATIC by construction
+(each near-dup cluster of size k becomes 10k -> 100x the pairs) and
+the sweep meaningless. Instead each copy i is an isomorphic but
+cross-copy-disjoint world:
+
+  * all keys (doc_id, vec_id, event_id, user_id, o_orderkey,
+    l_orderkey) shift by i * STRIDE — no cross-copy key collisions;
+  * document text gets a per-copy suffix on every alphanumeric token
+    (copy 0 = original): within-copy shingle/gram structure is
+    isomorphic to the original, cross-copy Jaccard ~ 0;
+  * embeddings are circularly rolled by i dimensions: within-copy
+    dot/cosine geometry is EXACTLY preserved (permutation-invariant),
+    cross-copy vectors decorrelate like independent random vectors;
+  * timestamps/values stay as-is: event-time density grows 10x, which
+    is precisely the state-pressure a streaming operator must absorb.
+
+Output: BENCH_SCALE.json at the repo root. Run:
+    python tools/scale_sweep.py [--regen] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_FACTOR = 10
+# linear growth + generous constant-overhead slack; a quadratic operator
+# would land at ~SCALE_FACTOR^2 = 100x and fail loudly
+RATIO_MAX = SCALE_FACTOR * 1.5
+_SHM = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+BIG = os.path.join(_SHM, "aristoteles_scale", f"sf1x{SCALE_FACTOR}")
+STRIDE = 100_000_000
+
+HEADLINE = [
+    "dd4_minhash_lsh_pairs",
+    "dd7_dup_clusters",
+    "dd10_containment",
+    "sim2_knn_lsh",
+    "sim4_knn_ivf",
+    "ct2_bloom_decontamination",
+    "gr1_khop_bfs",
+    "gr2_pagerank",
+    "p8_leakage_free_split",
+    "tx6_tfidf_top_terms",
+    "st4_stream_stream_join",
+    "st10_stream_left_outer",
+    "iv1_interval_coalesce",
+    "uf4_grouped_map_deltas",
+    "io4_bucketed_join",
+]
+
+_DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def generate(force: bool = False) -> str:
+    marker = os.path.join(BIG, ".complete")
+    if os.path.exists(marker) and not force:
+        return BIG
+    import shutil
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(BIG, exist_ok=True)
+    if os.path.exists(marker):
+        os.remove(marker)
+    con = duckdb.connect()
+    copies = f"(SELECT unnest(range({SCALE_FACTOR})) AS i) c"
+
+    def emit(name: str, sql: str) -> None:
+        out = os.path.join(BIG, f"{name}.parquet")
+        con.execute(
+            f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, COMPRESSION SNAPPY)"
+        )
+
+    for d in _DIMS:  # dims stay 1x
+        shutil.copy(os.path.join(SMALL, f"{d}.parquet"),
+                    os.path.join(BIG, f"{d}.parquet"))
+
+    ev = os.path.join(SMALL, "events.parquet")
+    emit(
+        "events",
+        f"""
+        SELECT event_id + c.i * {STRIDE} AS event_id, ts,
+               user_id + c.i * {STRIDE} AS user_id,
+               event_type, value,
+               props
+        FROM read_parquet('{ev}'), {copies}
+        ORDER BY c.i, event_id
+        """,
+    )
+
+    doc = os.path.join(SMALL, "documents.parquet")
+    emit(
+        "documents",
+        f"""
+        SELECT doc_id + c.i * {STRIDE} AS doc_id,
+               CASE WHEN c.i = 0 THEN text
+                    ELSE regexp_replace(text, '([A-Za-z0-9]+)',
+                                        '\\1x' || c.i::VARCHAR, 'g')
+               END AS text,
+               lang, source,
+               CAST(length(CASE WHEN c.i = 0 THEN text
+                    ELSE regexp_replace(text, '([A-Za-z0-9]+)',
+                                        '\\1x' || c.i::VARCHAR, 'g')
+               END) AS BIGINT) AS n_chars
+        FROM read_parquet('{doc}'), {copies}
+        ORDER BY c.i, doc_id
+        """,
+    )
+
+    lt = os.path.join(SMALL, "lineitem.parquet")
+    emit(
+        "lineitem",
+        f"""
+        SELECT l_orderkey + c.i * {STRIDE} AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate
+        FROM read_parquet('{lt}'), {copies}
+        ORDER BY c.i, l_orderkey, l_linenumber
+        """,
+    )
+
+    od = os.path.join(SMALL, "orders.parquet")
+    emit(
+        "orders",
+        f"""
+        SELECT o_orderkey + c.i * {STRIDE} AS o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM read_parquet('{od}'), {copies}
+        ORDER BY c.i, o_orderkey
+        """,
+    )
+    con.close()
+
+    # embeddings: numpy roll per copy (duckdb list ops can't express an
+    # exact float32-preserving circular shift tersely)
+    t = pq.read_table(os.path.join(SMALL, "embeddings.parquet"))
+    vec = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy()
+    parts = []
+    for i in range(SCALE_FACTOR):
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + i * STRIDE, pa.int64()),
+                    "embedding": pa.array(
+                        list(np.roll(vec, i, axis=1)),
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(BIG, "embeddings.parquet")
+    )
+
+    open(marker, "w").write("ok\n")
+    return BIG
+
+
+def _explain(df) -> str:
+    try:
+        jqe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return jqe.explainString(mode)
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
+def _n_exchanges(df) -> int:
+    return len(re.findall(r"\bExchange\b", _explain(df)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regen", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    names = args.names or HEADLINE
+    big = generate(force=args.regen)
+    print(f"scaled data at {big}")
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "12h")
+    import __spark_entry__ as entrymod
+    from aristoteles_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    qs = entrymod.queries()
+
+    results: dict[str, dict] = {}
+    n_bad = 0
+    for name in names:
+        fn = qs[name]
+        fn(spark, SMALL).collect()  # warmup (JIT, broadcast paths)
+        t0 = time.time()
+        df_s = fn(spark, SMALL)
+        rows_s = len(df_s.collect())
+        t_small = time.time() - t0
+        ex_small = _n_exchanges(fn(spark, SMALL))
+
+        t0 = time.time()
+        df_b = fn(spark, big)
+        rows_b = len(df_b.collect())
+        t_big = time.time() - t0
+        ex_big = _n_exchanges(fn(spark, big))
+
+        ratio = t_big / max(t_small, 1e-9)
+        ok = ratio <= RATIO_MAX and ex_big == ex_small
+        n_bad += 0 if ok else 1
+        results[name] = {
+            "t_small_sec": round(t_small, 3),
+            "t_big_sec": round(t_big, 3),
+            "ratio": round(ratio, 2),
+            "rows_small": rows_s,
+            "rows_big": rows_b,
+            "exchanges_small": ex_small,
+            "exchanges_big": ex_big,
+            "linear_ok": ratio <= RATIO_MAX,
+            "exchange_stable": ex_big == ex_small,
+        }
+        flag = "ok " if ok else "BAD"
+        print(
+            f"{flag} {name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"(x{ratio:.1f}, exch {ex_small}->{ex_big}, "
+            f"rows {rows_s}->{rows_b})"
+        )
+
+    out = {
+        "metric": "scale_sweep",
+        "scale_factor": SCALE_FACTOR,
+        "ratio_max": RATIO_MAX,
+        "small": SMALL,
+        "big": big,
+        "queries": results,
+        "n_bad": n_bad,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({"scale_sweep_bad": n_bad}))
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
