@@ -156,10 +156,16 @@ def batch_write_days(
 ) -> tuple[int, int]:
     """Scale path: ALL pending days in one partitioned write (single job).
 
-    One ranged read per station covering the whole span, conversion, then a
-    single write partitioned by (acq, date) — Spark writes every day in
-    parallel instead of the reference's serial day loop. Trades per-day
-    watermark granularity for throughput; state advances once at the end.
+    The read goes through the ``format("wview")`` Python Data Source
+    (sources/wview_datasource.py): per-(station, day) input partitions,
+    dateTime range pushed down into SQLite, Arrow batches decoded on
+    EXECUTORS — the only ingest whose parallelism scales with the
+    cluster. (The per-day incremental loop keeps the driver-side Arrow
+    read: one day x one station is a few hundred rows, where a
+    distributed scan is pure overhead.) Conversion, then a single write
+    partitioned by (acq, date) — Spark writes every day in parallel
+    instead of the reference's serial day loop. Trades per-day watermark
+    granularity for throughput; state advances once at the end.
 
     Returns ``(rows_written, days_written)`` counted from THIS job's
     output frame — not from a readback of the whole [first, last] span,
@@ -173,10 +179,20 @@ def batch_write_days(
     from aristoteles_spark.plans.days import acq_name
     from aristoteles_spark.sinks.daily_parquet import _write_sidecar
 
+    from aristoteles_spark.sources.wview_datasource import register
+
     db_paths = {n: sc["db_path"] for n, sc in conf.stations.items()}
     lo, _ = D.day_bounds(first)
     _, hi = D.day_bounds(last)
-    df = read_stations(spark, db_paths, lo, hi)
+    register(spark)
+    df = (
+        spark.read.format("wview")
+        .option("stations", ";".join(f"{n}={p}" for n, p in db_paths.items()))
+        .load()
+        # range filter pushed down into each per-(station, day) SQLite
+        # read (WviewReader.pushFilters); also prunes day partitions
+        .filter((F.col("dateTime") >= lo) & (F.col("dateTime") <= hi))
+    )
     if df.isEmpty():
         # nothing to write for the whole span — still advance the
         # watermark (the loop path advances per skipped day; without this
