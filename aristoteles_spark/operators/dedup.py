@@ -398,7 +398,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_allpairs_sigs: int = 65536,
+    max_allpairs_sigs: int = 4096,
 ) -> DataFrame:
     """LSH-banded candidate pairs with signature-estimated similarity.
 
@@ -413,8 +413,12 @@ def minhash_lsh_pairs(
     - **all-pairs** (distinct sigs <= ``max_allpairs_sigs``): dup-heavy
       corpora collapse to few distinct signatures; a broadcast
       nested-loop of in-row array compares beats the explode-by-bands
-      shuffle and needs no candidate dedup. O(u^2) in distinct sigs — only
-      sane when u is small, which the threshold guards.
+      shuffle and needs no candidate dedup. O(u^2) in distinct sigs —
+      MEASURED crossover is low: at u~5k the banded join already wins
+      (2.3s vs 3.1s, sf0.1) and at u~33k all-pairs is 22x slower
+      (140s vs 6.3s on the 10x scale sweep), so the default cap stays
+      small; raise it only for corpora known to collapse to a few
+      thousand distinct signatures.
     - **banded equi-join** (above the threshold — the 100 TB path on a
       mostly-unique corpus where u ~ n): each signature explodes into
       ``bands`` (band, xxhash64(band slice)) keys, candidates come from a
@@ -471,7 +475,7 @@ def minhash_cluster_edges(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_allpairs_sigs: int = 65536,
+    max_allpairs_sigs: int = 4096,
 ) -> DataFrame:
     """(doc_a, doc_b) edge set with the SAME connected components as
     ``minhash_lsh_pairs`` but without clique expansion.

@@ -265,17 +265,33 @@ def main() -> int:
             f"rows {rows_s}->{rows_b})"
         )
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(root, "BENCH_SCALE.json")
+    # merge with prior sweeps: a partial re-run (after fixing one query)
+    # must not discard the other queries' evidence
+    merged: dict[str, dict] = {}
+    try:
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("scale_factor") == SCALE_FACTOR:
+            merged.update(prior.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    merged.update(results)
     out = {
         "metric": "scale_sweep",
         "scale_factor": SCALE_FACTOR,
         "ratio_max": RATIO_MAX,
         "small": SMALL,
         "big": big,
-        "queries": results,
-        "n_bad": n_bad,
+        "queries": merged,
+        "n_bad": sum(
+            1
+            for r in merged.values()
+            if not (r["linear_ok"] and r["exchange_stable"])
+        ),
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_SCALE.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"scale_sweep_bad": n_bad}))
     return 1 if n_bad else 0
