@@ -481,8 +481,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("progressive/arithmetic JPEG not supported (baseline only)")
+        elif m == 0xC2:  # SOF2: progressive DCT — dedicated decoder
+            from aristoteles_spark.formats.jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("lossless/arithmetic JPEG not supported")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif m == 0xDA:  # SOS
@@ -610,12 +616,12 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:  # standalone
             continue
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
-        if m in (0xC0, 0xC1):  # SOF0/1
+        if m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, fh, fw, nc = struct.unpack(">BHHB", data[pos + 2 : pos + 8])
             return fw, fh, nc
-        if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("progressive/arithmetic JPEG not supported (baseline only)")
+        if m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("lossless/arithmetic JPEG not supported")
         if m == 0xDA:  # SOS before any SOF
             break
         pos += seglen
-    raise JpegError("no SOF0/SOF1 frame header found")
+    raise JpegError("no SOF0/SOF1/SOF2 frame header found")

@@ -34,10 +34,11 @@ def decode_image(payload: bytes):
 
     Dispatches to Pillow when installed (anything PIL reads); otherwise
     falls back to the self-contained pure-Python codecs in
-    ``formats/imaging.py`` (PNG / BMP / PPM / baseline JPEG — real
-    decoders, no C library; JPEG via ``formats/jpeg.py``). Raises
+    ``formats/imaging.py`` (PNG / BMP / PPM / GIF / TIFF / baseline AND
+    progressive JPEG — real decoders, no C library; JPEG via
+    ``formats/jpeg.py`` + ``formats/jpeg_progressive.py``). Raises
     NotImplementedError only for formats neither path can handle
-    (e.g. progressive JPEG or WebP without Pillow)."""
+    (e.g. WebP without Pillow)."""
     try:
         import io
 
@@ -51,7 +52,7 @@ def decode_image(payload: bytes):
 
     if sniff(payload) is None:
         raise NotImplementedError(
-            "payload is not PNG/BMP/PPM/JPEG and Pillow is not installed; "
-            "formats like WebP need Pillow"
+            "payload is not PNG/BMP/PPM/GIF/TIFF/JPEG and Pillow is not "
+            "installed; formats like WebP need Pillow"
         )
     return decode(payload)

@@ -401,6 +401,58 @@ def real_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def real_progressive_jpeg_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) codec stage
+    (formats/jpeg_progressive.py, no Pillow).
+
+    Same DC-exact construction as ``real_jpeg_features`` but over digest
+    bytes 4..7 and encoded PROGRESSIVELY: the multi-scan successive-
+    approximation script (DC first at Al=1, per-component AC first, DC
+    refine, AC refine) recomposes the quantized coefficients
+    bit-for-bit, so the decoded image equals the input exactly and
+    mean_px stays SQL-stateable — the driver oracle therefore checks the
+    actual progressive scan parser, EOB-run logic and refinement-bit
+    protocol. Decode goes through ``decode_jpeg`` to also pin the
+    SOF2 dispatch. Same Arrow-batched mapInPandas seam; blobs never
+    shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.jpeg import decode_jpeg
+        from aristoteles_spark.formats.jpeg_progressive import (
+            encode_jpeg_progressive,
+        )
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                b = bytes.fromhex(hexd)
+                vals = [64 + 2 * (b[4 + i] % 64) for i in range(4)]
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[0:8, 0:8] = vals[0]
+                img[0:8, 8:16] = vals[1]
+                img[8:16, 0:8] = vals[2]
+                img[8:16, 8:16] = vals[3]
+                payload = encode_jpeg_progressive(img, quality=50)
+                back = decode_jpeg(payload)  # dispatches on SOF2
+                assert np.array_equal(back, img)  # DC-exact by construction
+                rows.append(
+                    (did, back.shape[1], back.shape[0], 1,
+                     float(back.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, FEATURE_SCHEMA)
+
+
 def real_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL GIF codec stage (formats/gif.py): digest -> 4x4 gray image
     -> GIF89a encode (interlaced when doc_id is odd, so the de-weave

@@ -113,6 +113,21 @@ def q_real_jpeg(spark, sf_dir):
     return real_jpeg_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_progressive_jpeg(spark, sf_dir):
+    """REAL progressive JPEG (SOF2) encode->decode inside the
+    mapInPandas seam (formats/jpeg_progressive.py): DC-exact quadrant
+    images keep mean_px SQL-stateable, so the driver oracle checks the
+    multi-scan progression — spectral selection, successive
+    approximation, EOB runs and refinement bits."""
+    from aristoteles_spark.multimodal.features import (
+        real_progressive_jpeg_features,
+    )
+
+    return real_progressive_jpeg_features(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def q_real_gif(spark, sf_dir):
     """REAL GIF (LZW) encode->decode inside the mapInPandas seam
     (formats/gif.py); lossless round-trip makes mean_px SQL-stateable,
@@ -136,6 +151,7 @@ QUERIES = {
     "mm10_real_jpeg": q_real_jpeg,
     "mm11_real_gif": q_real_gif,
     "mm12_real_tiff": q_real_tiff,
+    "mm13_progressive_jpeg": q_real_progressive_jpeg,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
@@ -175,6 +191,11 @@ ORACLE = {
     "mm10_real_jpeg": (
         "SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels, "
         f"(({' + '.join(_jpeg_quadrant(i) for i in range(4))}) / 4.0 / 255.0) "
+        "AS mean_px FROM documents ORDER BY doc_id"
+    ),
+    "mm13_progressive_jpeg": (
+        "SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels, "
+        f"(({' + '.join(_jpeg_quadrant(4 + i) for i in range(4))}) / 4.0 / 255.0) "
         "AS mean_px FROM documents ORDER BY doc_id"
     ),
     "mm11_real_gif": (

@@ -96,9 +96,10 @@ class TestStructure:
         with pytest.raises(JpegError):
             decode_jpeg(b"PK\x03\x04 not a jpeg")
 
-    def test_rejects_progressive(self):
-        with pytest.raises(JpegError, match="progressive"):
-            decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9)
+    def test_rejects_lossless(self):
+        # SOF3 (lossless) is unsupported; SOF2 (progressive) now decodes
+        with pytest.raises(JpegError, match="lossless"):
+            decode_jpeg(b"\xff\xd8\xff\xc3\x00\x0b" + b"\x00" * 9)
 
     def test_rejects_truncated(self):
         data = encode_jpeg(np.full((16, 16), 77, dtype=np.uint8))
