@@ -251,6 +251,95 @@ def q_webdataset_tar(spark, sf_dir):
     )
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro object-container roundtrip through the pure-Python codec
+    (formats/avro.py — the container has no spark-avro module and no
+    network, so the public spec is implemented directly, like minihdf5).
+
+    Distributed BOTH ways: the writer runs inside mapInPandas — each of
+    8 hash partitions serializes its rows into one container file
+    (deflate codec, zigzag varints, block framing, sync markers) written
+    straight from the task; only an (n_rows, path) manifest reaches the
+    driver. The reader is binaryFile + an Arrow-batched decode, one task
+    per container file — Avro's block framing would also support
+    sub-file splits at scale. The daily aggregate must match the oracle
+    computed on the ORIGINAL parquet, so a codec that mangles varint
+    sign extension, union indices, micros timestamps, or UTF-8 turns
+    the row red."""
+    import pandas as pd
+
+    from aristoteles_spark.formats.avro import (
+        EVENTS_AVRO_SCHEMA,
+        read_avro,
+        write_avro_file,
+    )
+
+    path = _scratch("avro", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_files = 8
+
+    def write_files(it):
+        rows = []
+        for pdf in it:
+            micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for eid, us, uid, et, val, pr in zip(
+                pdf["event_id"], micros, pdf["user_id"],
+                pdf["event_type"], pdf["value"], pdf["props"],
+            ):
+                rows.append(
+                    (int(eid), int(us),
+                     None if pd.isna(uid) else int(uid),
+                     None if et is None else str(et),
+                     None if pd.isna(val) else float(val),
+                     None if pr is None else str(pr))
+                )
+        if not rows:
+            yield pd.DataFrame(
+                {
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+            return
+        rows.sort()  # deterministic file bytes per partition
+        fpath = os.path.join(path, f"part-{rows[0][0] % n_files:05d}.avro")
+        write_avro_file(fpath, EVENTS_AVRO_SCHEMA, rows, codec="deflate")
+        yield pd.DataFrame({"n_rows": [len(rows)], "path": [fpath]})
+
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.endswith((".avro", ".inprogress")):
+            os.remove(os.path.join(path, stale))
+    manifest = (
+        ev.repartition(n_files, F.col("event_id") % n_files)
+        .mapInPandas(write_files, "n_rows long, path string")
+        .collect()
+    )
+    assert sum(r.n_rows for r in manifest) > 0, "empty avro write"
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def decode(it):
+        for pdf in it:
+            frames = []
+            for blob in pdf["content"]:
+                _schema, rows = read_avro(bytes(blob))
+                df = pd.DataFrame(
+                    rows,
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value", "props"],
+                )
+                df["ts"] = pd.to_datetime(df["ts"], unit="us")
+                frames.append(df)
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["event_id", "ts", "user_id", "event_type",
+                         "value", "props"]
+            )
+
+    back = raw.select("content").mapInPandas(decode, _EVENTS_DDL)
+    return _daily_agg(back)
+
+
 def q_malformed_csv(spark, sf_dir):
     """Dirty-ingest robustness: a CSV landing file where a
     deterministic subset of rows is CORRUPTED (event_id % 13 == 3 gets
@@ -520,6 +609,7 @@ QUERIES = {
     "io3_jsonl_roundtrip": q_jsonl_roundtrip,
     "io4_bucketed_join": q_bucketed_join,
     "io5_schema_evolution": q_schema_evolution,
+    "io10_avro_roundtrip": q_avro_roundtrip,
 }
 
 ORACLE = {
@@ -562,6 +652,7 @@ SELECT event_type, count(*) AS n,
 FROM merged GROUP BY event_type ORDER BY event_type
 """,
     "io1_orc_roundtrip": _DAILY_AGG_SQL,
+    "io10_avro_roundtrip": _DAILY_AGG_SQL,
     "io2_csv_roundtrip": _DAILY_AGG_SQL,
     "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
     "io7_gzip_jsonl": _DAILY_AGG_SQL,
