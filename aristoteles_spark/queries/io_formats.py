@@ -340,6 +340,100 @@ def q_avro_roundtrip(spark, sf_dir):
     return _daily_agg(back)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC/WET ingest — the container web-scale text corpora actually
+    arrive in (Common Crawl). The documents corpus is packed into 8
+    member-gzip WARC shards of WET-style 'conversion' records
+    (formats/warc.py: one gzip member per record, the layout that makes
+    a 100 TB crawl splittable at member bounds), each shard written
+    straight from its task; the read side is binaryFile + Arrow-batched
+    parse, one task per shard. doc_id/source travel through
+    WARC-Target-URI, text through the payload; the per-source aggregate
+    against the original parquet pins header framing, Content-Length,
+    member-gzip reassembly and UTF-8 round-tripping."""
+    import pandas as pd
+
+    from aristoteles_spark.formats.warc import (
+        conversion_record,
+        read_warc,
+        write_warc,
+    )
+
+    path = _scratch("warc", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_shards = 8
+
+    def write_shards(it):
+        by_shard: dict[int, list] = {}
+        for pdf in it:
+            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                by_shard.setdefault(int(did) % n_shards, []).append(
+                    (int(did), src, text)
+                )
+        rows = []
+        for shard, members in by_shard.items():
+            records = [
+                conversion_record(
+                    uri=f"corpus://{src}/{did}",
+                    date="2026-01-01T00:00:00Z",
+                    text=text,
+                    record_id=f"{did:016d}",
+                )
+                for did, src, text in sorted(members)
+            ]
+            fpath = os.path.join(path, f"shard-{shard:05d}.warc.gz")
+            tmp = fpath + ".inprogress"
+            with open(tmp, "wb") as f:
+                f.write(write_warc(records, compress=True))
+            os.replace(tmp, fpath)
+            rows.append((shard, len(members), fpath))
+        yield pd.DataFrame(rows, columns=["shard", "n_members", "path"])
+
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.endswith((".warc.gz", ".inprogress")):
+            os.remove(os.path.join(path, stale))
+    manifest = (
+        docs.repartition(n_shards, F.col("doc_id") % n_shards)
+        .mapInPandas(write_shards, "shard int, n_members long, path string")
+        .collect()
+    )
+    assert sum(r.n_members for r in manifest) > 0, "empty warc write"
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def extract(it):
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                for headers, payload in read_warc(bytes(blob)):
+                    uri = headers["WARC-Target-URI"]
+                    _scheme, rest = uri.split("://", 1)
+                    src, did = rest.rsplit("/", 1)
+                    rows.append(
+                        (int(did), src, len(payload.decode("utf-8")))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "n_chars"]
+            )
+
+    extracted = raw.select("content").mapInPandas(
+        extract, "doc_id long, source string, n_chars int"
+    )
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_malformed_csv(spark, sf_dir):
     """Dirty-ingest robustness: a CSV landing file where a
     deterministic subset of rows is CORRUPTED (event_id % 13 == 3 gets
@@ -610,6 +704,7 @@ QUERIES = {
     "io4_bucketed_join": q_bucketed_join,
     "io5_schema_evolution": q_schema_evolution,
     "io10_avro_roundtrip": q_avro_roundtrip,
+    "io11_warc_roundtrip": q_warc_roundtrip,
 }
 
 ORACLE = {
@@ -668,6 +763,12 @@ FROM merged GROUP BY event_type ORDER BY event_type
         "FROM events GROUP BY d ORDER BY d"
     ),
     "io8_webdataset_tar": (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    "io11_warc_roundtrip": (
         "SELECT source, count(*) AS n_docs, "
         "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
