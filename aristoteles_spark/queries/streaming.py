@@ -191,10 +191,51 @@ def q_stream_partial_mv(spark, sf_dir):
     )
 
 
+def q_stream_cdc_upsert(spark, sf_dir):
+    """Streaming CDC apply (streaming/events.py:run_cdc_upsert): the
+    event stream is treated as a change stream keyed by user_id; each of
+    3 deterministic microbatches merges its per-key winners into a
+    bucket-partitioned keyed table via the partition-scoped MERGE
+    (only touched buckets rewritten), with a read-back re-reduce so an
+    out-of-order batch can never regress a key. The published table —
+    last (ts, event_id)-versioned value per user — must equal the batch
+    row_number()-over-everything oracle, proving the merge is
+    batch-split-independent."""
+    import os as _os
+    import shutil
+
+    from aristoteles_spark.streaming.events import (
+        run_cdc_upsert,
+        stream_events_split,
+    )
+
+    root = (
+        "/dev/shm/aristoteles_spark_stream"
+        if _os.access("/dev/shm", _os.W_OK)
+        else "/tmp/aristoteles_spark_stream"
+    )
+    table_dir = _os.path.join(
+        root, f"st12_cdc_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    ev = stream_events_split(spark, sf_dir, "st12")
+    run_cdc_upsert(ev, table_dir)
+    return (
+        spark.read.parquet(table_dir)
+        .select(
+            "user_id",
+            instant_as_utc_ntz("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "st1_stream_hourly": q_stream_hourly,
     "st10_stream_left_outer": q_stream_left_outer,
     "st11_stream_partial_mv": q_stream_partial_mv,
+    "st12_stream_cdc_upsert": q_stream_cdc_upsert,
     "st8_stream_dedup_watermarked": q_stream_dedup_watermarked,
     "st9_stream_ewma": q_stream_ewma,
     "st2_stream_user_totals": q_stream_user_totals,
@@ -206,6 +247,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "st12_stream_cdc_upsert": (
+        "SELECT user_id, ts AS last_ts, value AS last_value FROM ("
+        "SELECT user_id, ts, value, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events WHERE user_id IS NOT NULL) t "
+        "WHERE rn = 1 ORDER BY user_id"
+    ),
     "st11_stream_partial_mv": (
         "SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n, "
         "CAST(sum(CASE WHEN value IS NULL THEN 0 "

@@ -518,6 +518,85 @@ def stream_events_split(spark: SparkSession, sf_dir: str, tag: str, n_files: int
     return raw.withColumn("ts", ntz_as_utc_instant("ts"))
 
 
+def run_cdc_upsert(
+    events: DataFrame, table_dir: str, n_buckets: int = 16
+) -> None:
+    """Streaming CDC apply: per-key LAST-WRITE-WINS state maintained by
+    a partition-scoped MERGE per microbatch — the canonical "apply a
+    change stream to a keyed table" pattern (Debezium->lakehouse).
+
+    Each microbatch reduces to its per-key winner (max by the unique
+    (ts, event_id) version vector — deterministic under any batch
+    split), reads back ONLY the current rows of the touched buckets
+    for the incoming keys (partition filter + broadcast semi join),
+    re-reduces so an out-of-order batch can never regress a key, and
+    merges through ``sinks/merge.upsert_by_key`` — so per-batch write
+    cost is O(touched buckets), never a full-state rewrite, and the
+    final table is independent of how the stream was microbatched.
+    Idempotent under batch replay: re-applying a batch reduces to the
+    same winners."""
+    from aristoteles_spark.sinks.merge import upsert_by_key
+
+    spark = events.sparkSession
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("w"))
+            .select(
+                "user_id",
+                F.col("w.ts").alias("ts"),
+                F.col("w.event_id").alias("event_id"),
+                F.col("w.value").alias("value"),
+                (F.col("user_id") % n_buckets).cast("int").alias("bucket"),
+            )
+        )
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        w = latest(df.select("user_id", "ts", "event_id", "value"))
+        if w.isEmpty():
+            return
+        if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+            touched = [
+                r[0] for r in w.select("bucket").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(table_dir)
+                .filter(F.col("bucket").isin(touched))
+                .join(
+                    F.broadcast(w.select("user_id")), "user_id", "left_semi"
+                )
+            )
+            cols = ["user_id", "ts", "event_id", "value"]
+            w = latest(
+                w.select(*cols).unionByName(existing.select(*cols))
+            )
+            upsert_by_key(spark, table_dir, w, ["user_id"], "bucket")
+        else:
+            (
+                w.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(table_dir)
+            )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with _ckpt_tmpdir("ckpt_cdc_") as ckpt:
+            q = (
+                events.writeStream.foreachBatch(apply_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_partial_mv(events: DataFrame, out_dir: str) -> None:
     """Streaming materialized view via PARTIAL-AGGREGATE STAGING: each
     microbatch writes only its own partial rollup (count + cents sum per

@@ -295,3 +295,82 @@ class TestPartialMvReplay:
         assert first == again
         batch_dirs = [p for p in os.listdir(out_dir) if p.startswith("batch=")]
         assert len(batch_dirs) == 3  # one dir per microbatch, not six
+
+
+class TestCdcUpsert:
+    def test_final_table_independent_of_batch_split(self, spark, tmp_path):
+        """The CDC-merged keyed table must equal the batch last-write-
+        wins answer regardless of how the stream was microbatched (1
+        file vs 4 files per trigger exercise different merge paths:
+        create-only vs create+3 merges)."""
+        from aristoteles_spark.streaming.events import (
+            run_cdc_upsert,
+            stream_events_split,
+        )
+
+        expected = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("w"))
+            .select(
+                "user_id", F.col("w.ts").alias("ts"),
+                F.col("w.value").alias("value"),
+            )
+        )
+        exp_rows = sorted(
+            (r.user_id, r.ts, r.value) for r in expected.collect()
+        )
+        for tag, n_files in (("cdc_t1", 1), ("cdc_t4", 4)):
+            table = str(tmp_path / tag)
+            ev = stream_events_split(spark, SF, tag, n_files=n_files)
+            run_cdc_upsert(ev, table, n_buckets=4)
+            got = spark.read.parquet(table).select(
+                "user_id",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "value",
+            )
+            rows = sorted((r.user_id, r.ts, r.value) for r in got.collect())
+            assert rows == exp_rows, f"{tag}: CDC table != batch answer"
+
+    def test_merge_rewrites_only_touched_buckets(self, spark, tmp_path):
+        """Partition-scoped merge contract: a second batch touching one
+        key leaves every other bucket's files untouched."""
+        import os as _os
+
+        from aristoteles_spark.sinks.merge import upsert_by_key
+
+        table = str(tmp_path / "bucketed")
+        base = spark.createDataFrame(
+            [(i, float(i), i % 4) for i in range(40)],
+            "user_id long, value double, bucket int",
+        )
+        base.write.mode("overwrite").partitionBy("bucket").parquet(table)
+
+        def bucket_mtimes():
+            out = {}
+            for b in range(4):
+                d = _os.path.join(table, f"bucket={b}")
+                out[b] = max(
+                    _os.path.getmtime(_os.path.join(d, f))
+                    for f in _os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            return out
+
+        before = bucket_mtimes()
+        upd = spark.createDataFrame(
+            [(1, 99.0, 1)], "user_id long, value double, bucket int"
+        )
+        n = upsert_by_key(spark, table, upd, ["user_id"], "bucket")
+        assert n == 1
+        after = bucket_mtimes()
+        assert after[1] > before[1]
+        for b in (0, 2, 3):
+            assert after[b] == before[b], f"bucket {b} was rewritten"
+        got = (
+            spark.read.parquet(table)
+            .filter(F.col("user_id") == 1)
+            .collect()
+        )
+        assert len(got) == 1 and got[0].value == 99.0
