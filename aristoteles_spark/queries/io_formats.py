@@ -434,6 +434,60 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_zorder_pruning(spark, sf_dir):
+    """Z-ordered (Morton) data layout + z-index range pruning
+    (functions/layout.py) — the lakehouse answer to two-dimensional
+    filters. events is written clustered by the coarse Z-cell of
+    (user_id mod 256, day index): each cell is a partition directory
+    whose contents are tight in BOTH dimensions. The rectangular query
+    box (user slice × day window) is answered by enumerating the cells
+    intersecting the box driver-side (O(cells), the z-index range
+    decomposition) and pushing the cell list as a partition IN filter —
+    directories outside the box are never listed or read (partition
+    pruning, visible in the plan as PartitionFilters) — then applying
+    the exact residual predicate. The aggregate must match the oracle
+    over the ORIGINAL unclustered parquet, so a layout that drops,
+    duplicates, or mis-cells rows goes red; an under-enumerated cell
+    list loses rows and goes red too."""
+    from aristoteles_spark.functions.layout import cells_for_box, zcell
+
+    path = _scratch("zorder", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    origin = F.lit("2024-01-01").cast("date")
+    x = F.pmod(F.col("user_id"), F.lit(256)).cast("int")
+    y = F.pmod(F.datediff(F.to_date("ts"), origin), F.lit(256)).cast("int")
+    (
+        ev.filter(F.col("user_id").isNotNull())
+        .withColumn("zc", zcell(x, y))
+        .repartition("zc")  # one task per cell group: clustered files
+        .write.mode("overwrite")
+        .partitionBy("zc")
+        .parquet(path)
+    )
+
+    # query box: users with (user_id % 256) in [32, 95], days 8..23
+    X_LO, X_HI, Y_LO, Y_HI = 32, 95, 8, 23
+    cells = cells_for_box(X_LO, X_HI, Y_LO, Y_HI)
+    back = spark.read.parquet(path)
+    xb = F.pmod(F.col("user_id"), F.lit(256))
+    yb = F.pmod(F.datediff(F.to_date("ts"), origin), F.lit(256))
+    boxed = back.filter(F.col("zc").isin(cells)).filter(
+        xb.between(X_LO, X_HI) & yb.between(Y_LO, Y_HI)
+    )
+    return (
+        boxed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_malformed_csv(spark, sf_dir):
     """Dirty-ingest robustness: a CSV landing file where a
     deterministic subset of rows is CORRUPTED (event_id % 13 == 3 gets
@@ -705,6 +759,7 @@ QUERIES = {
     "io5_schema_evolution": q_schema_evolution,
     "io10_avro_roundtrip": q_avro_roundtrip,
     "io11_warc_roundtrip": q_warc_roundtrip,
+    "io12_zorder_pruning": q_zorder_pruning,
 }
 
 ORACLE = {
@@ -773,6 +828,16 @@ FROM merged GROUP BY event_type ORDER BY event_type
         "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
         "FROM documents GROUP BY source ORDER BY source"
+    ),
+    "io12_zorder_pruning": (
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+        "count(DISTINCT user_id) AS n_users, max(ts) AS max_ts "
+        "FROM events WHERE user_id IS NOT NULL "
+        "AND (user_id % 256) BETWEEN 32 AND 95 "
+        "AND (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256) "
+        "BETWEEN 8 AND 23 "
+        "GROUP BY event_type ORDER BY event_type"
     ),
     "io5_schema_evolution": (
         "SELECT CAST(ts AS DATE) AS d, count(*) AS n, "

@@ -132,6 +132,24 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!Exchange hashpartitioning\([^)]*content",
          "shard blobs never shuffle — only the per-doc stats aggregate"),
     ],
+    "io10_avro_roundtrip": [
+        (r"MapInPandas|ArrowEvalPython",
+         "avro decode runs in the Arrow-batched Python seam"),
+        (r"!Exchange hashpartitioning\([^)]*content",
+         "container blobs never shuffle — only the daily aggregate"),
+    ],
+    "io11_warc_roundtrip": [
+        (r"MapInPandas|ArrowEvalPython",
+         "warc member parse runs in the Arrow-batched Python seam"),
+        (r"!Exchange hashpartitioning\([^)]*content",
+         "warc blobs never shuffle — only the per-source stats"),
+    ],
+    "io12_zorder_pruning": [
+        (r"PartitionFilters: \[[^\]]*zc",
+         "z-cell IN list pushed as a PARTITION filter — out-of-box cells never listed or read"),
+        (r"PushedFilters: \[[^\]]*IsNotNull",
+         "residual predicate still pushed to the parquet scan"),
+    ],
     "p8_leakage_free_split": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate",
          "split rollup partial-aggregates before its shuffle"),
