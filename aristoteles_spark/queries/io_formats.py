@@ -465,8 +465,10 @@ def q_zorder_pruning(spark, sf_dir):
         .parquet(path)
     )
 
-    # query box: users with (user_id % 256) in [32, 95], days 8..23
-    X_LO, X_HI, Y_LO, Y_HI = 32, 95, 8, 23
+    # query box: users with (user_id % 256) in [4, 95], days 8..23
+    # (x_lo=4 keeps the box non-empty at sf0.001's 15 users — a vacuous
+    # 0-row oracle match would prove nothing)
+    X_LO, X_HI, Y_LO, Y_HI = 4, 95, 8, 23
     cells = cells_for_box(X_LO, X_HI, Y_LO, Y_HI)
     back = spark.read.parquet(path)
     xb = F.pmod(F.col("user_id"), F.lit(256))
@@ -834,7 +836,7 @@ FROM merged GROUP BY event_type ORDER BY event_type
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
         "count(DISTINCT user_id) AS n_users, max(ts) AS max_ts "
         "FROM events WHERE user_id IS NOT NULL "
-        "AND (user_id % 256) BETWEEN 32 AND 95 "
+        "AND (user_id % 256) BETWEEN 4 AND 95 "
         "AND (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256) "
         "BETWEEN 8 AND 23 "
         "GROUP BY event_type ORDER BY event_type"
