@@ -42,3 +42,77 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .otherwise((F.lit(k - 1)) * F.lit(H32_RANGE) / F.col("kth_min_hash"))
         .alias("est_distinct"),
     )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    col: str,
+    items: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates for ``items`` over the
+    stream ``df[col]``.
+
+    The sketch is a depth×width counter grid: every value increments
+    one bucket per row, bucket = h32(value, seed=row) mod width; the
+    estimate for an item is the MIN of its depth counters — an
+    OVERESTIMATE by construction (collisions only add), within εN
+    (ε = e/width) with probability 1 − e^−depth. Built over the
+    portable md5-derived h32, the grid — and therefore every estimate —
+    is bit-deterministic and reproducible in any engine, the property
+    the oracle gate needs (same design point as KMV above).
+
+    Scale: the explode is ×depth (a constant), the grid aggregation is
+    a map-side-combined groupBy onto depth×width cells (tiny, skew-
+    free: heavy hitters are exactly what the partial agg absorbs), and
+    the probe side joins the broadcast grid — the stream is scanned
+    once and never shuffled by value. ``items`` carries the queried
+    values (must be distinct).
+
+    Returns (item, cms_n) — the estimate only; callers join exact
+    counts alongside when they want the error visible.
+    """
+    val = F.col(col).cast("string")
+    cells = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            (h32(val, s) % width).alias("b"),
+                        )
+                        for s in range(depth)
+                    ]
+                )
+            ).alias("sb")
+        )
+        .groupBy(F.col("sb.s").alias("s"), F.col("sb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ival = F.col("item").cast("string")
+    probes = items.select(F.col(items.columns[0]).alias("item")).select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        (h32(ival, s) % width).alias("b"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("sb"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("sb.s") == F.col("s")) & (F.col("sb.b") == F.col("b")),
+            "left",
+        )
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
+    )

@@ -704,6 +704,47 @@ BLOOM_BITS = 256  # 8 words x 32 bits (32-bit words stay positive in BIGINT)
 PROBE_MOD = 97  # probe token set = tokens of docs with doc_id % 97 == 0
 
 
+CMS_D, CMS_W = 4, 256
+
+
+def q_countmin(spark, sf_dir):
+    """Count-Min sketch heavy-hitter frequency estimation over the
+    event stream (operators/sketches.py:countmin_estimates): a 4x256
+    counter grid over md5-derived hashes, probed for every 7th user.
+    Because the hash family is engine-portable, the ESTIMATES themselves
+    hash-match the oracle bit-for-bit (not a tolerance check), and the
+    overestimate_ok column pins CMS's one-sided-error guarantee as a
+    literal TRUE. One stream scan, grid is depth x width cells with
+    map-side combine (heavy hitters absorbed before the shuffle),
+    broadcast-joined probes — the stream never shuffles by value."""
+    from aristoteles_spark.operators.sketches import countmin_estimates
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    items = (
+        e.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    )
+    exact = (
+        e.join(F.broadcast(items), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = countmin_estimates(e, "user_id", items, depth=CMS_D, width=CMS_W)
+    return (
+        exact.join(
+            est.withColumnRenamed("item", "user_id"), "user_id"
+        )
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("overestimate_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter sketch as a first-class aggregate — the pre-filter a
     100 TB anti-join/decontamination pass ships to every executor
@@ -986,6 +1027,7 @@ QUERIES = {
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
     "sk2_bloom_filter": q_bloom_filter,
+    "sk3_countmin_freq": q_countmin,
     "g12_equidepth_histogram": q_equidepth_histogram,
     "dq2_gap_report": q_gap_report,
     "ml1_linear_trend": q_linear_trend,
@@ -1129,6 +1171,34 @@ SELECT user_id, count(*) AS n_intervals,
             AS BIGINT) AS silent_us
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id ORDER BY user_id
+""",
+    "sk3_countmin_freq": f"""
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+seeds AS (SELECT unnest(range({CMS_D})) AS s),
+cells AS (
+  SELECT s, CAST(concat('0x', substr(md5(concat(s, ':',
+           CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {CMS_W} AS b,
+         count(*) AS c
+  FROM e CROSS JOIN seeds GROUP BY s, b
+),
+items AS (
+  SELECT user_id, count(*) AS exact_n FROM e
+  WHERE user_id % 7 = 0 GROUP BY user_id
+),
+probes AS (
+  SELECT i.user_id, i.exact_n, s.s,
+         CAST(concat('0x', substr(md5(concat(s.s, ':',
+           CAST(i.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {CMS_W} AS b
+  FROM items i CROSS JOIN seeds s
+),
+est AS (
+  SELECT p.user_id, p.exact_n, min(c.c) AS cms_n
+  FROM probes p JOIN cells c ON c.s = p.s AND c.b = p.b
+  GROUP BY p.user_id, p.exact_n
+)
+SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+       cms_n >= exact_n AS overestimate_ok
+FROM est ORDER BY user_id
 """,
     "sk2_bloom_filter": f"""
 WITH vocab AS (
