@@ -116,3 +116,77 @@ def countmin_estimates(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
     )
+
+
+def kmv_set_overlap(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 64
+) -> DataFrame:
+    """KMV set-operation estimates between two value sets — the
+    dataset-overlap primitive (train/eval contamination, audience
+    overlap) at sketch cost.
+
+    Each side keeps its k minimum h32 hashes; the union sketch is the k
+    minima of the merged sketches (a valid KMV of A∪B — the classic
+    mergeability property), |A∪B| follows the KMV formula, the Jaccard
+    estimate is the fraction of union-sketch hashes present in BOTH
+    side sketches, and |A∩B| = J * |A∪B|. Deterministic over the
+    portable hash, so every output value is oracle-checkable
+    bit-for-bit; when a side has fewer than k distinct values its
+    estimate degrades to the exact count.
+
+    Scale: per-side distinct + TakeOrdered top-k (partition-local heaps,
+    no global sort); everything after operates on <= k rows.
+
+    Returns one row: (est_a, est_b, est_union, n_both, est_jaccard,
+    est_intersection).
+    """
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(h32(F.col(col).cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    def estimate(sk: DataFrame, est_name: str) -> DataFrame:
+        return sk.agg(
+            F.count("*").alias("used"), F.max("h").alias("kth")
+        ).select(
+            F.when(F.col("used") < k, F.col("used").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(H32_RANGE) / F.col("kth"))
+            .alias(est_name),
+            F.col("used").alias(f"{est_name}_used"),
+        )
+
+    ka = sketch(df_a).persist()
+    kb = sketch(df_b).persist()
+    ku = ka.union(kb).distinct().orderBy("h").limit(k).persist()
+    n_both = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    est_a = estimate(ka, "est_a").select("est_a")
+    est_b = estimate(kb, "est_b").select("est_b")
+    est_u = estimate(ku, "est_union")
+    return (
+        est_u.crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(n_both)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / F.col("est_union_used").cast("double")
+            ).alias("est_jaccard"),
+            (
+                F.col("n_both").cast("double")
+                / F.col("est_union_used").cast("double")
+                * F.col("est_union")
+            ).alias("est_intersection"),
+        )
+    )

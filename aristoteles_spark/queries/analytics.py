@@ -704,6 +704,28 @@ BLOOM_BITS = 256  # 8 words x 32 bits (32-bit words stay positive in BIGINT)
 PROBE_MOD = 97  # probe token set = tokens of docs with doc_id % 97 == 0
 
 
+KMV_OVERLAP_K = 64  # < sf0.01's ~150 users: the SKETCH branch runs
+# at the driver's check scale, not just the exact-fallback branch
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimation via mergeable KMV sketches
+    (operators/sketches.py:kmv_set_overlap): how much do the 'click'
+    and 'purchase' user populations overlap? The sketch-union/Jaccard/
+    intersection estimates are deterministic over the portable hash, so
+    all five estimates hash-match the oracle exactly — the
+    contamination-estimation primitive (train vs eval overlap) at
+    sketch cost instead of an exact distinct-join."""
+    from aristoteles_spark.operators.sketches import kmv_set_overlap
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return kmv_set_overlap(a, b, "user_id", k=KMV_OVERLAP_K)
+
+
 CMS_D, CMS_W = 4, 256
 
 
@@ -1028,6 +1050,7 @@ QUERIES = {
     "an5_attribution": q_attribution,
     "sk2_bloom_filter": q_bloom_filter,
     "sk3_countmin_freq": q_countmin,
+    "sk4_kmv_overlap": q_kmv_overlap,
     "g12_equidepth_histogram": q_equidepth_histogram,
     "dq2_gap_report": q_gap_report,
     "ml1_linear_trend": q_linear_trend,
@@ -1171,6 +1194,42 @@ SELECT user_id, count(*) AS n_intervals,
             AS BIGINT) AS silent_us
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id ORDER BY user_id
+""",
+    "sk4_kmv_overlap": f"""
+WITH a AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(concat('0:',
+    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+), b AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(concat('0:',
+    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {KMV_OVERLAP_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_OVERLAP_K}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT {KMV_OVERLAP_K}),
+ea AS (SELECT CASE WHEN count(*) < {KMV_OVERLAP_K}
+         THEN CAST(count(*) AS DOUBLE)
+         ELSE {KMV_OVERLAP_K - 1} * 4294967296.0 / max(h) END AS est_a
+       FROM ka),
+eb AS (SELECT CASE WHEN count(*) < {KMV_OVERLAP_K}
+         THEN CAST(count(*) AS DOUBLE)
+         ELSE {KMV_OVERLAP_K - 1} * 4294967296.0 / max(h) END AS est_b
+       FROM kb),
+eu AS (SELECT CASE WHEN count(*) < {KMV_OVERLAP_K}
+         THEN CAST(count(*) AS DOUBLE)
+         ELSE {KMV_OVERLAP_K - 1} * 4294967296.0 / max(h) END AS est_union,
+         count(*) AS used
+       FROM ku),
+nb AS (SELECT count(*) AS n_both FROM ku
+       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+SELECT ea.est_a, eb.est_b, eu.est_union,
+       CAST(nb.n_both AS BIGINT) AS n_both,
+       CAST(nb.n_both AS DOUBLE) / CAST(eu.used AS DOUBLE) AS est_jaccard,
+       (CAST(nb.n_both AS DOUBLE) / CAST(eu.used AS DOUBLE)) * eu.est_union
+         AS est_intersection
+FROM ea, eb, eu, nb
 """,
     "sk3_countmin_freq": f"""
 WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
