@@ -1,0 +1,192 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training.
+
+The real thing, not a regex approximation (tx7 covers that as an
+oracle-checked query): iterative highest-frequency adjacent-pair
+merging over the corpus, trained DISTRIBUTED —
+
+1. the corpus collapses to a (word, count) frequency table (one
+   shuffle; vocabulary is orders of magnitude smaller than the corpus,
+   and every later iteration works on the vocab table only);
+2. each iteration counts weighted adjacent symbol pairs (in-row
+   zip_with over the symbol array, explode, map-side-combined groupBy)
+   and picks the argmax with a deterministic (count DESC, pair ASC)
+   tie-break via a single TakeOrdered(1);
+3. the winning pair is merged into the symbol arrays IN-ROW with a
+   Catalyst ``aggregate`` scan (pending-symbol accumulator — the
+   classic left-to-right non-overlapping merge), no Python in the loop;
+4. ``localCheckpoint`` every few rounds truncates the growing lineage
+   (the same discipline as the connected-components loop).
+
+Training cost: n_merges × (one explode+groupBy over the VOCAB + one
+1-row TakeOrdered). Applying a trained merge table to new text uses
+the same in-row merge expression chain (pure codegen) — or, for long
+merge lists, the Arrow-batched ``bpe_encode_pandas`` seam.
+
+The trained merges are exactly classic BPE (Sennrich et al. 2016,
+published algorithm): ``tests/test_bpe.py`` pins equality against an
+independent pure-Python reference on the same corpus.
+
+The reference has no tokenizer (weather floats only); this serves the
+engine's text-pipeline surface (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_END = "</w>"  # word-end marker, per the published algorithm
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) into a+b
+    over a symbol array — a single Catalyst aggregate() scan with a
+    (output, pending) accumulator; '' marks no pending symbol."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            (acc["pend"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit("").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["pend"] == F.lit(""), acc["out"]
+                ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))).alias(
+                    "out"
+                ),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc["pend"] == F.lit(""), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over whitespace-split lowercased words — the only
+    corpus-sized shuffle in training."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges; returns them in training order."""
+    words = word_freq_table(df, text_col).select(
+        F.concat(
+            F.split(F.col("word"), ""),  # characters
+            F.array(F.lit(_END)),
+        ).alias("syms"),
+        "cnt",
+    )
+    words = words.persist()
+    words.count()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "cnt",
+        ).groupBy("p").agg(F.sum("cnt").alias("n"))
+        best = pairs.orderBy(
+            F.col("n").desc(), F.col("p.a"), F.col("p.b")
+        ).first()
+        if best is None or best["n"] < min_pair_count:
+            break
+        a, b = best["p"]["a"], best["p"]["b"]
+        merges.append((a, b))
+        prev = words
+        words = words.select(
+            _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+        )
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()  # truncate lineage
+        else:
+            words = words.persist()
+        words.count()
+        prev.unpersist()
+    words.unpersist()
+    return merges
+
+
+def bpe_tokens_expr(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize one (lowercased, whitespace-split) text column with a
+    trained merge list — a pure expression chain (one aggregate() scan
+    per merge), suitable for short merge lists; flattens per-word
+    symbol arrays into one token array."""
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
+    )
+    syms = F.transform(
+        words, lambda w: F.concat(F.split(w, ""), F.array(F.lit(_END)))
+    )
+    for a, b in merges:
+        syms = F.transform(syms, lambda s: _merge_pair_expr(s, a, b))
+    return F.flatten(syms)
+
+
+def bpe_encode_pandas(merges: list[tuple[str, str]]):
+    """Arrow-batched tokenizer for LONG merge lists: returns a
+    mapInPandas-compatible ``(iterator of pdf with 'text') -> iterator
+    of pdf with 'tokens'`` function. Applies merges SEQUENTIALLY in
+    training order — the same semantics as ``bpe_tokens_expr``'s
+    expression chain by construction, so the two seams are
+    interchangeable (pinned by tests). The seam mirrors the multimodal
+    codec stages."""
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [_END]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            toks = [
+                [
+                    t
+                    for w in str(x).lower().split()
+                    for t in encode_word(w)
+                ]
+                for x in pdf["text"]
+            ]
+            yield pd.DataFrame({"tokens": toks})
+
+    return fn

@@ -1,0 +1,126 @@
+"""BPE trainer/tokenizer tests: the distributed trainer must produce
+EXACTLY the merges of an independent pure-Python reference
+implementation of the published algorithm on the same corpus, and the
+two application seams (expression chain vs Arrow-batched Python) must
+tokenize identically."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from aristoteles_spark.operators.bpe import (
+    _END,
+    bpe_encode_pandas,
+    bpe_tokens_expr,
+    train_bpe,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats eat the fish",
+    "low lower lowest",
+    "newer newest new news",
+    "the the the banana bandana",
+    "low low low low",
+]
+
+
+def _reference_train(texts: list[str], n_merges: int, min_count: int = 2):
+    """Independent reference: classic BPE (frequency table of words,
+    argmax adjacent pair with (count DESC, pair ASC) tie-break,
+    left-to-right non-overlapping merge)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                vocab[tuple(list(w) + [_END])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab: Counter = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], "text string")
+
+
+class TestTraining:
+    def test_matches_reference_implementation(self, spark, corpus_df):
+        got = train_bpe(corpus_df, "text", n_merges=12)
+        want = _reference_train(CORPUS, 12)
+        assert got == want
+
+    def test_min_pair_count_stops_early(self, spark, corpus_df):
+        got = train_bpe(corpus_df, "text", n_merges=500, min_pair_count=3)
+        want = _reference_train(CORPUS, 500, min_count=3)
+        assert got == want
+        assert len(got) < 500
+
+    def test_merges_on_real_documents_table(self, spark):
+        """Smoke at realistic shape: trains on the sf0.001 documents
+        corpus and agrees with the reference."""
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        texts = [r.text for r in df.select("text").collect()]
+        got = train_bpe(df, "text", n_merges=8)
+        want = _reference_train(texts, 8)
+        assert got == want
+
+
+class TestApplication:
+    def test_expression_and_pandas_seams_agree(self, spark, corpus_df):
+        merges = train_bpe(corpus_df, "text", n_merges=10)
+        via_expr = corpus_df.select(
+            bpe_tokens_expr(F.col("text"), merges).alias("tokens")
+        ).collect()
+        via_pandas = (
+            corpus_df.select("text")
+            .mapInPandas(bpe_encode_pandas(merges), "tokens array<string>")
+            .collect()
+        )
+        assert [r.tokens for r in via_expr] == [r.tokens for r in via_pandas]
+
+    def test_tokens_reconstruct_text(self, spark, corpus_df):
+        merges = train_bpe(corpus_df, "text", n_merges=10)
+        rows = corpus_df.select(
+            "text", bpe_tokens_expr(F.col("text"), merges).alias("tokens")
+        ).collect()
+        for r in rows:
+            rebuilt = "".join(r.tokens).replace(_END, " ").strip()
+            assert rebuilt == " ".join(r.text.lower().split())
+
+    def test_trained_merges_compress(self, spark, corpus_df):
+        """More merges -> no more tokens (monotone non-increasing)."""
+        merges = train_bpe(corpus_df, "text", n_merges=12)
+        n0 = corpus_df.select(
+            F.size(bpe_tokens_expr(F.col("text"), [])).alias("n")
+        ).agg(F.sum("n")).first()[0]
+        n1 = corpus_df.select(
+            F.size(bpe_tokens_expr(F.col("text"), merges)).alias("n")
+        ).agg(F.sum("n")).first()[0]
+        assert n1 < n0
