@@ -490,6 +490,97 @@ def q_zorder_pruning(spark, sf_dir):
     )
 
 
+def q_protobuf_log(spark, sf_dir):
+    """Length-delimited protobuf event-log ingest (formats/protowire.py
+    — the Kafka/gRPC landing convention, implemented from the public
+    wire spec since the container's google.protobuf is broken). Each of
+    8 hash partitions serializes its rows as varint-length-prefixed
+    wire messages written straight from the task; read back via
+    binaryFile + Arrow-batched decode. Nullable fields travel as
+    proto3 field-omission; the daily aggregate against the original
+    parquet pins varint int64 encoding, double bit-patterns, UTF-8 and
+    the framing."""
+    import pandas as pd
+
+    from aristoteles_spark.formats.protowire import read_log, write_log
+
+    path = _scratch("pblog", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_files = 8
+
+    def write_files(it):
+        recs = []
+        for pdf in it:
+            micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for eid, us, uid, et, val, pr in zip(
+                pdf["event_id"], micros, pdf["user_id"],
+                pdf["event_type"], pdf["value"], pdf["props"],
+            ):
+                recs.append(
+                    {
+                        "event_id": int(eid),
+                        "ts_micros": int(us),
+                        "user_id": None if pd.isna(uid) else int(uid),
+                        "event_type": None if et is None else str(et),
+                        "value": None if pd.isna(val) else float(val),
+                        "props": None if pr is None else str(pr),
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame(
+                {
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+            return
+        recs.sort(key=lambda r: r["event_id"])
+        fpath = os.path.join(
+            path, f"part-{recs[0]['event_id'] % n_files:05d}.pb"
+        )
+        tmp = fpath + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(write_log(recs))
+        os.replace(tmp, fpath)
+        yield pd.DataFrame({"n_rows": [len(recs)], "path": [fpath]})
+
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.endswith((".pb", ".inprogress")):
+            os.remove(os.path.join(path, stale))
+    manifest = (
+        ev.repartition(n_files, F.col("event_id") % n_files)
+        .mapInPandas(write_files, "n_rows long, path string")
+        .collect()
+    )
+    assert sum(r.n_rows for r in manifest) > 0, "empty protobuf write"
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def decode(it):
+        for pdf in it:
+            frames = []
+            for blob in pdf["content"]:
+                recs = read_log(bytes(blob))
+                df = pd.DataFrame.from_records(
+                    recs,
+                    columns=["event_id", "ts_micros", "user_id",
+                             "event_type", "value", "props"],
+                )
+                df["ts"] = pd.to_datetime(df["ts_micros"], unit="us")
+                frames.append(
+                    df[["event_id", "ts", "user_id", "event_type",
+                        "value", "props"]]
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["event_id", "ts", "user_id", "event_type",
+                         "value", "props"]
+            )
+
+    back = raw.select("content").mapInPandas(decode, _EVENTS_DDL)
+    return _daily_agg(back)
+
+
 def q_malformed_csv(spark, sf_dir):
     """Dirty-ingest robustness: a CSV landing file where a
     deterministic subset of rows is CORRUPTED (event_id % 13 == 3 gets
@@ -762,6 +853,7 @@ QUERIES = {
     "io10_avro_roundtrip": q_avro_roundtrip,
     "io11_warc_roundtrip": q_warc_roundtrip,
     "io12_zorder_pruning": q_zorder_pruning,
+    "io13_protobuf_log": q_protobuf_log,
 }
 
 ORACLE = {
@@ -805,6 +897,7 @@ FROM merged GROUP BY event_type ORDER BY event_type
 """,
     "io1_orc_roundtrip": _DAILY_AGG_SQL,
     "io10_avro_roundtrip": _DAILY_AGG_SQL,
+    "io13_protobuf_log": _DAILY_AGG_SQL,
     "io2_csv_roundtrip": _DAILY_AGG_SQL,
     "io3_jsonl_roundtrip": _DAILY_AGG_SQL,
     "io7_gzip_jsonl": _DAILY_AGG_SQL,
