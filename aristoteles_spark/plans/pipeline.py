@@ -168,11 +168,12 @@ def batch_write_days(
     granularity for throughput; state advances once at the end.
 
     Returns ``(rows_written, days_written)`` counted from THIS job's
-    output frame — not from a readback of the whole [first, last] span,
-    which would also count rows that pre-existed in the archive (a forced
-    re-run, or a day whose source went empty so dynamic overwrite left
-    the old partition) and overstate the run's metrics relative to the
-    per-day loop.
+    output frame via the Observation API (metrics ride the write job —
+    no second ingest pass) — not from a readback of the whole
+    [first, last] span, which would also count rows that pre-existed in
+    the archive (a forced re-run, or a day whose source went empty so
+    dynamic overwrite left the old partition) and overstate the run's
+    metrics relative to the per-day loop.
     """
     import pyspark.sql.functions as F
 
@@ -193,12 +194,6 @@ def batch_write_days(
         # read (WviewReader.pushFilters); also prunes day partitions
         .filter((F.col("dateTime") >= lo) & (F.col("dateTime") <= hi))
     )
-    if df.isEmpty():
-        # nothing to write for the whole span — still advance the
-        # watermark (the loop path advances per skipped day; without this
-        # an all-empty span would be re-scanned on every subsequent run)
-        S.write_state(conf.state_path, last)
-        return 0, 0
     converted = convert_dataframe(df, strict=conf.strict_units)
     ts = F.to_timestamp(F.col("dateTime"))
     out = (
@@ -213,19 +208,29 @@ def batch_write_days(
         .repartition("acq", "date")
         .sortWithinPartitions("station", "dateTime")
     )
+    # metrics ride the WRITE job via the Observation API — the source is
+    # scanned exactly once (an after-the-fact agg on `out` would re-run
+    # the whole ingest; a span readback would double-count pre-existing
+    # partitions the dynamic overwrite didn't touch). An all-empty span
+    # writes nothing (dynamic overwrite touches no partitions) and the
+    # watermark still advances, matching the loop path's skip behavior.
+    from pyspark.sql import Observation
+
+    obs = Observation("batch_write_metrics")
+    observed = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.size(F.collect_set("date")).alias("days"),
+    )
     (
-        out.write.mode("overwrite")
+        observed.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("acq", "date")
         .parquet(conf.archive)
     )
-    for day in {D.month_floor(d) for d in D.span_range(first, last)}:
-        _write_sidecar(conf.archive, acq_name(day, conf.instrument), conf.instrument, conf.stations)
+    rows, days = int(obs.get["rows"]), int(obs.get["days"])
+    if rows > 0:
+        for day in {D.month_floor(d) for d in D.span_range(first, last)}:
+            _write_sidecar(conf.archive, acq_name(day, conf.instrument), conf.instrument, conf.stations)
     S.write_state(conf.state_path, last)
-    # metrics from this job's own output frame (one extra agg job over the
-    # tiny per-day source; a span readback would double-count pre-existing
-    # partitions the dynamic overwrite didn't touch)
-    rows, days = out.agg(
-        F.count(F.lit(1)), F.count_distinct("date")
-    ).first()
-    return int(rows), int(days)
+    return rows, days
