@@ -112,6 +112,64 @@ def q_triangles(spark, sf_dir):
 
 K_HOPS = 3
 SEED_MOD = 100  # seed set = vec_id % 100 == 0
+SSSP_HOPS = 3
+
+
+def q_weighted_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (bounded Bellman-Ford, 3
+    relaxation rounds) from the seed set over the near-dup graph with
+    edge weight 1 − cosine — "how semantically FAR is everything within
+    the contamination blast radius", the weighted refinement of gr1's
+    reachability. Each round is one equi-join of the persisted edge
+    list against the current distance frame + a min-groupBy — O(edges)
+    per round, a fixed number of shuffles, the textbook distributed
+    Bellman-Ford. The DP is BIT-exact against the oracle's full path
+    enumeration (recursive CTE): IEEE addition is monotone, so the
+    min-reduced prefix always extends to the minimal full path — no
+    tolerance needed, the doubles hash-match."""
+    v = _load(spark, sf_dir)
+    p = neardup_pairs(v, PLANES, threshold=TRI_T)
+    e = p.select(
+        "vec_a", "vec_b", (F.lit(1.0) - F.col("cos_sim")).alias("w")
+    )
+    edges = (
+        e.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "w")
+        .unionByName(
+            e.select(
+                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "w"
+            )
+        )
+        .persist()
+    )
+    edges.count()  # materialize the LSH subtree once (see q_khop_bfs)
+    dist = (
+        v.filter(F.col("vec_id") % SEED_MOD == 0)
+        .select(F.col("vec_id").alias("node"), F.lit(0.0).alias("dist"))
+        .persist()
+    )
+    temps = [dist]
+    for _ in range(SSSP_HOPS):
+        relax = dist.join(
+            edges, dist["node"] == edges["src"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        temps.append(dist)
+    out = dist.select(
+        "node", F.col("dist").alias("min_dist")
+    ).orderBy("node")
+    out = out.localCheckpoint()  # cut lineage before freeing the caches
+    for t in temps:
+        t.unpersist()
+    edges.unpersist()
+    return out
 
 
 def q_khop_bfs(spark, sf_dir):
@@ -229,6 +287,7 @@ def q_pagerank(spark, sf_dir):
 QUERIES = {
     "tc1_triangles": q_triangles,
     "gr1_khop_bfs": q_khop_bfs,
+    "gr3_weighted_sssp": q_weighted_sssp,
     "gr2_pagerank": q_pagerank,
     "sim1_knn_brute": q_knn_brute,
     "sim2_knn_lsh": q_knn_lsh,
@@ -292,6 +351,31 @@ ORDER BY query_id, neighbor_id
 """
 
 ORACLE = {
+    "gr3_weighted_sssp": f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})
+), e0 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CASE WHEN a.nrm * b.nrm > 0
+              THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+              ELSE 0.0 END AS cs
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+), ef AS (
+  SELECT va, vb, cs FROM e0 WHERE cs >= {TRI_T}
+), edges AS (
+  SELECT va AS src, vb AS dst, 1.0 - cs AS w FROM ef
+  UNION ALL SELECT vb, va, 1.0 - cs FROM ef
+), walk(node, dist, hops) AS (
+  SELECT vec_id AS node, CAST(0.0 AS DOUBLE) AS dist, 0 AS hops
+  FROM v WHERE vec_id % {SEED_MOD} = 0
+  UNION ALL
+  SELECT e.dst, w.dist + e.w, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {SSSP_HOPS}
+)
+SELECT node, min(dist) AS min_dist FROM walk
+GROUP BY node ORDER BY node
+""",
     "tc1_triangles": f"""
 WITH v AS (
   SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})

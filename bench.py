@@ -82,6 +82,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "notes": {
+                    "suite_growth": (
+                        "round 3 grew the suite 179 -> 188 queries "
+                        "(mm13, io10-io13, st12, sk3, sk4, gr3); compare "
+                        "totals per-query or on the common subset, not "
+                        "raw (round-3 common-179 subset runs ~8% faster "
+                        "than round 2 after the table-cache + minhash "
+                        "strategy fixes)."
+                    ),
                     "g9_approx_stats": (
                         "gate query: computes exact count_distinct + exact "
                         "percentile ALONGSIDE the sketches to bound them "
