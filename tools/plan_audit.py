@@ -144,6 +144,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!Exchange hashpartitioning\([^)]*content",
          "warc blobs never shuffle — only the per-source stats"),
     ],
+    "gr3_weighted_sssp": [
+        # gr1/gr2-style: the iterative rounds run before the returned
+        # frame (localCheckpoint truncates them), so the visible plan is
+        # the checkpoint scan + final order — same as the other
+        # iterative graph queries, which plan_audit likewise leaves to
+        # the scale sweep's exchange-stability check.
+        (r"Scan ExistingRDD|LocalTableScan",
+         "final frame reads the checkpointed result of the bounded relaxation loop"),
+    ],
+    "sk3_countmin_freq": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "grid cells partial-aggregate map-side (heavy hitters absorbed pre-shuffle)"),
+        (r"BroadcastHashJoin|BroadcastExchange",
+         "probe rows join the broadcast grid — the stream never shuffles by value"),
+    ],
+    "sk4_kmv_overlap": [
+        (r"TakeOrderedAndProject",
+         "per-side top-k heaps, no global sort"),
+    ],
+    "io13_protobuf_log": [
+        (r"MapInPandas|ArrowEvalPython",
+         "wire decode runs in the Arrow-batched Python seam"),
+        (r"!Exchange hashpartitioning\([^)]*content",
+         "log blobs never shuffle — only the daily aggregate"),
+    ],
     "io12_zorder_pruning": [
         (r"PartitionFilters: \[[^\]]*zc",
          "z-cell IN list pushed as a PARTITION filter — out-of-box cells never listed or read"),
