@@ -57,6 +57,16 @@ HEADLINERS = [
     "fs1_feature_snapshot",
     "sk2_bloom_filter",
     "mm10_real_jpeg",
+    # round-3 additions
+    "sk3_countmin_freq",
+    "sk4_kmv_overlap",
+    "gr3_weighted_sssp",
+    "io10_avro_roundtrip",
+    "io11_warc_roundtrip",
+    "io12_zorder_pruning",
+    "io13_protobuf_log",
+    "st12_stream_cdc_upsert",
+    "mm13_progressive_jpeg",
 ]
 
 
