@@ -31,6 +31,7 @@ _MODULES = [
     "relational",
     "tpch_shapes",
     "io_formats",
+    "retrieval",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the
