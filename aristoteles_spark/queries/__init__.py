@@ -32,6 +32,7 @@ _MODULES = [
     "tpch_shapes",
     "io_formats",
     "retrieval",
+    "web",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the

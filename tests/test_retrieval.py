@@ -80,3 +80,40 @@ def test_hybrid_both_legs_contribute(spark):
     has_vec_only = any(r["rank_vec"] and not r["rank_text"] for r in rows)
     has_both = any(r["rank_text"] and r["rank_vec"] for r in rows)
     assert has_text_only and has_vec_only and has_both
+
+
+def test_html_extract_roundtrip_and_no_leak(spark):
+    """hx1: every document round-trips through the page template and no
+    chrome (script/nav/footer) text leaks into the extraction."""
+    from aristoteles_spark.queries.web import q_html_extract
+    from pyspark.sql import functions as F
+
+    agg = (
+        q_html_extract(spark, SF_ORACLE)
+        .agg(
+            F.min("roundtrip_ok").alias("rt"),
+            F.max("leaked_boilerplate").alias("leak"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert agg["rt"] == 1 and agg["leak"] == 0 and agg["n"] > 0
+
+
+def test_html_extract_handles_hostile_markup(spark):
+    from pyspark.sql import functions as F
+
+    """The extractor on markup the template never produces: nested
+    blocks, attributes with '>', entities, multiline scripts."""
+    from aristoteles_spark.functions.html import html_to_text
+
+    page = (
+        "<html><head><style>a{color:red}\n.b{}</style></head><body>"
+        "<nav class='x'>Home | About</nav>"
+        "<p>alpha &amp;&lt;tag&gt; beta</p>\n\n"
+        "<script type='text/javascript'>\nif (a < b) { hide(); }\n</script>"
+        "<div data-x='1'>gamma</div><footer>fine print</footer></body>"
+    )
+    df = spark.createDataFrame([(page,)], "page string")
+    out = df.select(html_to_text(F.col("page")).alias("t")).collect()[0]["t"]
+    assert out == "alpha &<tag> beta gamma"
