@@ -346,6 +346,23 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin", "the tiny per-source model broadcasts back — document rows never shuffle for the join"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "token totals and selection stats partial-aggregated before their shuffles"),
     ],
+    "ir1_bm25_search": [
+        (r"BroadcastNestedLoopJoin", "one-row corpus stats (N, sum_dl, per-term df) broadcast back — documents never shuffle for scoring"),
+        (r"WindowGroupLimit", "per-query top-k is a partial (map-side) rank — only ~k rows per scan partition reach the exchange"),
+        (r"!\(\d+\) Generate[^\n]*explode\(split", "tf comes from in-row size(filter(...)), not a token explode — no (doc,token) shuffle exists"),
+        (r"!PythonUDF", "BM25 scoring is pure codegen"),
+    ],
+    "ir2_hybrid_rrf": [
+        (r"BroadcastHashJoin", "query vocabulary broadcast — token stream pruned before the (doc,token) aggregation"),
+        (r"WindowGroupLimit", "both legs take partial top-k before their single exchange"),
+        (r"BroadcastNestedLoopJoin", "vector-leg query side broadcast; corpus embeddings never shuffled in full"),
+        (r"!PythonUDF", "BM25, cosine, and RRF fusion are all pure codegen"),
+    ],
+    "hx1_html_extract": [
+        (r"!Exchange hashpartitioning", "page build + extraction is per-row codegen — the only exchanges are the explicit fan_out and the output ordering"),
+        (r"!\(\d+\) Window", "no ranking/window anywhere — scan-speed pipeline"),
+        (r"!PythonUDF", "the whole extractor is regexp/replace codegen"),
+    ],
 }
 
 
