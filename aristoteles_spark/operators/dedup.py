@@ -293,12 +293,19 @@ def _jaccard_pairs_bitset(
     return cross.unionByName(intra)
 
 
-def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 4096):
+def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 256):
     """If the corpus vocabulary fits ``max_vocab``, return a token->h32
     lookup backed by a literal map (hashes computed driver-side — Python
     md5 is bit-identical to the engine's md5, see functions/text.py:h32).
     Replaces per-token md5 inside interpreted higher-order lambdas, which
-    dominates signature cost. Returns None for large vocabularies."""
+    dominates signature cost. Returns None for large vocabularies.
+
+    The cap is deliberately SMALL: Spark's GetMapValue on a map literal
+    is a LINEAR SCAN per lookup, so an n-entry map costs O(n) per token
+    — at the 100x sweep a ~3000-entry map (the replica's suffixed
+    vocabulary still fit the old 4096 cap) turned the signature stage
+    into ~1.5e11 comparisons (~3 min); the md5 fallback is flat per
+    token and beats the map well before a few hundred entries."""
     import hashlib
 
     rows = (
@@ -347,11 +354,16 @@ def _minhash_sig_pairs(
     ``minhash_cluster_edges`` (strategy notes on the former)."""
     rows_per_band = num_hashes // bands
     n_uniq = uniq.count()
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    # position-agreement count as a FLAT codegen sum (element_at chain),
+    # not F.aggregate: higher-order lambdas evaluate interpreted per
+    # candidate pair, and the banded path streams O(sum bucket^2) pairs
+    # through this expression — at the 100x sweep the interpreted form
+    # was a measurable slice of a 997s runtime. Null propagation is
+    # identical (any null position nulls the sum -> pair filtered).
+    matches = None
+    for i in range(1, num_hashes + 1):
+        m = (F.element_at("sig_a", i) == F.element_at("sig_b", i)).cast("int")
+        matches = m if matches is None else matches + m
     if n_uniq <= max_allpairs_sigs:
         a = uniq.select(F.col("sig").alias("sig_a"))
         b_ = uniq.select(F.col("sig").alias("sig_b"))
@@ -363,9 +375,23 @@ def _minhash_sig_pairs(
             band_match = eq if band_match is None else (band_match | eq)
         cand = a.join(b_, (F.col("sig_a") < F.col("sig_b")) & band_match)
     else:
+        # Banded equi-join with EMIT-ON-FIRST-MATCHING-BAND dedup. The
+        # former shape shuffled the joined pair stream (sum of
+        # bucket-size^2 rows, each carrying TWO full signature arrays)
+        # through a .distinct() — on a low-entropy corpus whose band
+        # buckets are huge (this synthetic vocab puts ~45% of docs in
+        # one bucket; candidate pairs grow linearly but number ~1.2e9
+        # at the 100x sweep) that exchange was the whole runtime
+        # (336x measured at 100x data, vs ~linear after this change).
+        # Instead each pair is emitted exactly once, at its FIRST
+        # colliding band: the join output is consumed by in-row codegen
+        # predicates (earlier-band slice equality + est_sim) and only
+        # final pairs ever reach an exchange. Candidate-pair mass
+        # itself is the LSH tuning knob (dd11 makes it visible) — this
+        # keeps the per-candidate cost at a few dozen codegen ops.
         banded = uniq.select(
             "sig",
-            F.explode(
+            F.posexplode(
                 F.array(
                     *[
                         F.xxhash64(
@@ -374,15 +400,23 @@ def _minhash_sig_pairs(
                         for bi in range(bands)
                     ]
                 )
-            ).alias("band_digest"),
+            ).alias("band", "band_digest"),
         )
-        x = banded.select(F.col("sig").alias("sig_a"), "band_digest")
-        y = banded.select(F.col("sig").alias("sig_b"), "band_digest")
+        x = banded.select(F.col("sig").alias("sig_a"), "band", "band_digest")
+        y = banded.select(F.col("sig").alias("sig_b"), "band", "band_digest")
+        earlier = None  # an earlier band ALSO collides -> emitted there
+        for bi in range(bands - 1):
+            eq = (F.col("band") > bi) & (
+                F.slice("sig_a", bi * rows_per_band + 1, rows_per_band)
+                == F.slice("sig_b", bi * rows_per_band + 1, rows_per_band)
+            )
+            earlier = eq if earlier is None else (earlier | eq)
+        if earlier is None:  # bands == 1: every pair joins exactly once
+            earlier = F.lit(False)
         cand = (
-            x.join(y, "band_digest")
-            .filter(F.col("sig_a") < F.col("sig_b"))
+            x.join(y, ["band", "band_digest"])
+            .filter((F.col("sig_a") < F.col("sig_b")) & ~earlier)
             .select("sig_a", "sig_b")
-            .distinct()  # a pair may collide in several bands
         )
     return (
         cand.withColumn("est_sim", matches / F.lit(float(num_hashes)))
