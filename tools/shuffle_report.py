@@ -67,6 +67,10 @@ HEADLINERS = [
     "io13_protobuf_log",
     "st12_stream_cdc_upsert",
     "mm13_progressive_jpeg",
+    # round-3b additions
+    "ir1_bm25_search",
+    "ir2_hybrid_rrf",
+    "hx1_html_extract",
 ]
 
 
