@@ -33,6 +33,7 @@ _MODULES = [
     "io_formats",
     "retrieval",
     "web",
+    "clustering",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the

@@ -1,0 +1,145 @@
+"""Distributed k-means queries over the embeddings table + duckdb oracles.
+
+km1/km2 run genuine Lloyd iterations *inside the engine* — unlike sim4's
+IVF coarse quantizer (which trains on a collected tiny sample), the
+centroid state here never touches the driver: assignment is a broadcast
+in-row argmin and the update is a (k x dim)-key partial aggregate. This
+is the clustering primitive a 100 TB corpus needs for semantic dedup /
+domain discovery / IVF training (reference scope check:
+/root/reference/aristoteles/aristoteles.py:229-346 — scalar weather ETL,
+no vector ops; SURVEY §7.4 extension).
+
+Determinism: all arithmetic after the one quantization step
+(floor(x * 1e6) -> int64) is integer — squared-L2 folds, lexicographic
+argmin, floor-mean, decimal inertia sums — so Spark and duckdb agree
+bit-for-bit with no float-accumulation or cast-rounding caveats. (The
+double->DECIMAL(38,18) route was measured to differ between the engines
+in the last ~2 digits — per-term cast rounding — which is why the
+fixed-point formulation is load-bearing, not a style choice.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aristoteles_spark.operators.clustering import (
+    SCALE,
+    assign,
+    pack_centroids,
+    quantize,
+    update,
+)
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
+
+DIM = 64
+# deterministic k-means++-free init: every ~101st vector is a seed
+# centroid (5 seeds at sf0.01) — same literal predicate in both engines
+CENT_MOD = 101
+CENT_OFF = 3
+
+
+def _vq(spark, sf_dir):
+    # fan_out: the per-row argmin fold is compute-bound (k * dim integer
+    # ops per vector); single-row-group scans would pin it to one core
+    v = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return v.select("vec_id", quantize(F.col("embedding")).alias("xq"))
+
+
+def _init_cents(vq):
+    return vq.filter(F.col("vec_id") % CENT_MOD == CENT_OFF).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+
+
+def q_kmeans_centroids(spark, sf_dir):
+    """One full Lloyd iteration; returns the updated centroid table
+    (cluster_id, dim, centroid_q) tall, dim 1-based.
+
+    Plan: corpus scan -> in-row argmin (broadcast centroid array, zero
+    shuffle) -> posexplode to (cid, dim) -> partial-agg floor-mean. The
+    single exchange carries k*64 keys' partial sums."""
+    vq = _vq(spark, sf_dir)
+    a1 = assign(vq, _init_cents(vq))
+    return (
+        update(a1)
+        .select(F.col("cid").alias("cluster_id"), "dim", F.col("cq").alias("centroid_q"))
+        .orderBy("cluster_id", "dim")
+    )
+
+
+def q_kmeans_lloyd(spark, sf_dir):
+    """Two Lloyd iterations, then the per-cluster census
+    (cluster_id, n_members, inertia_q): the convergence-tracking readout
+    (inertia = exact integer sum of quantized squared distances, carried
+    through DECIMAL(38,0) so it cannot overflow at any corpus size).
+
+    Plan: two zero-shuffle assignment passes over the corpus, one tiny
+    (k x dim) update exchange between them, one k-key final aggregate."""
+    vq = _vq(spark, sf_dir)
+    a1 = assign(vq, _init_cents(vq))
+    c1 = pack_centroids(update(a1))
+    a2 = assign(vq, c1)
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("d2q").cast("decimal(38,0)")).alias("inertia_q"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_PREFIX = f"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {SCALE!r}) AS BIGINT)) AS xq
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, xq AS cq FROM vq WHERE vec_id % {CENT_MOD} = {CENT_OFF}
+), s1 AS (
+  SELECT v.vec_id, v.xq, c.cid,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) AS BIGINT) AS d2q
+  FROM vq v CROSS JOIN c0 c
+), a1 AS (
+  SELECT vec_id, xq, cid, d2q FROM s1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) = 1
+), u1 AS (
+  SELECT cid, i AS dim,
+         CAST(floor(CAST(sum(xq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM a1, range(1, {DIM + 1}) t(i)
+  GROUP BY cid, i
+)"""
+
+QUERIES = {
+    "km1_kmeans_centroids": q_kmeans_centroids,
+    "km2_kmeans_lloyd": q_kmeans_lloyd,
+}
+
+ORACLE = {
+    "km1_kmeans_centroids": _PREFIX
+    + """
+SELECT cid AS cluster_id, dim, cq AS centroid_q
+FROM u1 ORDER BY cluster_id, dim
+""",
+    "km2_kmeans_lloyd": _PREFIX
+    + f"""
+, c1 AS (
+  SELECT cid, list(cq ORDER BY dim) AS cq FROM u1 GROUP BY cid
+), s2 AS (
+  SELECT v.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) AS BIGINT) AS d2q
+  FROM vq v CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, cid, d2q FROM s2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) = 1
+)
+SELECT cid AS cluster_id, count(*) AS n_members,
+       CAST(CAST(sum(d2q) AS DECIMAL(38,0)) AS DOUBLE) AS inertia_q
+FROM a2 GROUP BY cid ORDER BY cluster_id
+""",
+}
