@@ -34,6 +34,7 @@ _MODULES = [
     "retrieval",
     "web",
     "clustering",
+    "quality",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the

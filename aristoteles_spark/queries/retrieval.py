@@ -411,12 +411,79 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+TOP_DOCS = 10
+
+
+def q_inverted_index(spark, sf_dir):
+    """ir3 — posting-list construction: per term, document frequency,
+    collection frequency, and the tf-ranked top-10 posting head. The
+    index build behind ir1's search (an explicit materialized inverted
+    index is what a production BM25 serves from; reference scope check:
+    /root/reference/aristoteles/aristoteles.py:229-346 — no text ops).
+
+    Plan (100 TB shape): explode -> (term, doc_id) partial-agg count
+    (map-side combined, the standard shuffle of an index build);
+    df/cf are a second partial agg on term alone; the posting head is a
+    per-term rank window that Spark 3.5+ executes as WindowGroupLimit
+    (each scan partition forwards only its local top-10 per term), so a
+    degenerate stop-word term ships ~10 rows per partition, not its
+    whole posting list — the skew cap that keeps the build alive at
+    scale. Final join is tiny-key term==term between two aggregates of
+    the SAME shuffle output (exchange reuse)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_DOCS)
+        .groupBy("term")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda s: s["doc_id"],
+            ).alias("top_docs")
+        )
+    )
+    return stats.join(top, "term").orderBy("term")
+
+
+def _ir3_sql() -> str:
+    from aristoteles_spark.queries.text import _TOKENS
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY term, doc_id
+), stats AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+), top AS (
+  SELECT term, list(doc_id ORDER BY tf DESC, doc_id) AS top_docs
+  FROM (SELECT * FROM tf
+        QUALIFY row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) <= {TOP_DOCS})
+  GROUP BY term
+)
+SELECT s.term, df, cf, top_docs
+FROM stats s JOIN top USING (term) ORDER BY term
+"""
+
+
 QUERIES = {
     "ir1_bm25_search": q_bm25_search,
     "ir2_hybrid_rrf": q_hybrid_rrf,
+    "ir3_inverted_index": q_inverted_index,
 }
 
 ORACLE = {
     "ir1_bm25_search": _ir1_sql(),
     "ir2_hybrid_rrf": _ir2_sql(),
+    "ir3_inverted_index": _ir3_sql(),
 }
