@@ -190,3 +190,71 @@ def kmv_set_overlap(
             ).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------- HLL
+# HyperLogLog (Flajolet et al. 2007) with p=8 (256 registers) over the
+# portable h32 hash. Register math is INTEGER end-to-end: rank = 25 -
+# bitlength(w) (exact, via the engine's bin() string — no log2), and the
+# harmonic denominator is kept scaled by 2^25 as an exact BIGINT sum, so
+# every engine produces the identical sketch. The estimate is then ONE
+# double division by a precomputed literal numerator. The standard
+# small-range linear-counting correction needs ln() — banned by the
+# transcendental-free rule (px1) — so the query emits the zero-register
+# count alongside the raw estimate and leaves the monotone correction to
+# the consumer.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 32 - HLL_P            # 24-bit suffix
+HLL_RMAX = HLL_W_BITS + 1          # rank range [1, 25]; empty register = 0
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: single-literal numerator: alpha_m * m^2 * 2^25 (the 2^25 cancels the
+#: scaled denominator); computed once here, inlined in BOTH engines
+HLL_C = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RMAX)
+
+
+def hll_distinct_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row (m_used, n_zero_registers, s_scaled, est_distinct) HLL
+    distinct-count sketch of ``col``.
+
+    Scale: one corpus scan; the only exchange carries at most m=256
+    (idx, max-rank) partial rows per task (map-side combined max)."""
+    h = h32(F.col(col).cast("string"))
+    regs = (
+        df.select(
+            F.shiftright(h, HLL_W_BITS).alias("idx"),
+            h.bitwiseAND((1 << HLL_W_BITS) - 1).alias("w"),
+        )
+        .select(
+            "idx",
+            F.when(F.col("w") == 0, F.lit(HLL_RMAX))
+            .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.col("w"))))
+            .cast("int")
+            .alias("r"),
+        )
+        .groupBy("idx")
+        .agg(F.max("r").alias("rmax"))
+    )
+    agg = regs.agg(
+        F.count("*").alias("m_used"),
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - rmax) AS BIGINT)"
+            )
+        ).alias("s_used"),
+    )
+    return agg.select(
+        "m_used",
+        (F.lit(HLL_M) - F.col("m_used")).cast("long").alias("n_zero_registers"),
+        (
+            F.col("s_used")
+            + (F.lit(HLL_M) - F.col("m_used")) * F.lit(1 << HLL_RMAX)
+        ).cast("long").alias("s_scaled"),
+        (
+            F.lit(HLL_C)
+            / (
+                F.col("s_used")
+                + (F.lit(HLL_M) - F.col("m_used")) * F.lit(1 << HLL_RMAX)
+            )
+        ).alias("est_distinct"),
+    )

@@ -42,6 +42,19 @@ def q_kmv(spark, sf_dir):
     return kmv_distinct_estimate(lf, "l_orderkey", k=KMV_K)
 
 
+def q_hll(spark, sf_dir):
+    """sk5 — HyperLogLog distinct-orderkey sketch (p=8): the
+    mergeable-register counterpart to sk1's KMV, bit-deterministic by
+    integer register math (operators/sketches.py:hll_distinct_estimate).
+    One scan, one <=256-key partial-agg exchange — at 100 TB this is the
+    sketch you actually run (and merge across shards) instead of an
+    exact count_distinct."""
+    from aristoteles_spark.operators.sketches import hll_distinct_estimate
+
+    lf = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct_estimate(lf, "l_orderkey")
+
+
 def q_json_extract(spark, sf_dir):
     """JSON scalar extraction from the events props column (string JSON).
     get_json_object is a codegen'd path expression — no Python, no parse
@@ -1062,6 +1075,7 @@ QUERIES = {
     "g4_rollup": q_rollup,
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
+    "sk5_hll_distinct": q_hll,
     "jx1_json_extract": q_json_extract,
     "p5_hash_sample": q_hash_sample,
     "wb4_multires_rollup": q_multires_rollup,
@@ -1077,6 +1091,14 @@ QUERIES = {
     "g8_grouped_lists": q_grouped_lists,
     "g9_approx_stats": q_approx_stats,
 }
+
+from aristoteles_spark.operators.sketches import (
+    HLL_C as _HLL_C,
+    HLL_M as _HLL_M,
+    HLL_RMAX as _HLL_RMAX,
+    HLL_W_BITS as _HLL_W_BITS,
+)
+_HLL_MASK = (1 << _HLL_W_BITS) - 1
 
 _H32_KEY = (
     "CAST(concat('0x', substr(md5(concat('0:', CAST(l_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)"
@@ -1418,6 +1440,25 @@ FROM hashed GROUP BY source ORDER BY source
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
         "ORDER BY g_level, l_returnflag, l_linestatus"
     ),
+    "sk5_hll_distinct": f"""
+WITH h AS (
+  SELECT DISTINCT {_H32_KEY} AS h FROM lineitem
+), regs AS (
+  SELECT h >> {_HLL_W_BITS} AS idx,
+         max(CASE WHEN (h & {_HLL_MASK}) = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(h & {_HLL_MASK})) END) AS rmax
+  FROM h GROUP BY idx
+), agg AS (
+  SELECT count(*) AS m_used,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RMAX} - rmax)) AS BIGINT) AS s_used
+  FROM regs
+)
+SELECT m_used,
+       CAST({_HLL_M} - m_used AS BIGINT) AS n_zero_registers,
+       CAST(s_used + ({_HLL_M} - m_used) * {1 << _HLL_RMAX} AS BIGINT) AS s_scaled,
+       {_HLL_C!r} / (s_used + ({_HLL_M} - m_used) * {1 << _HLL_RMAX}) AS est_distinct
+FROM agg
+""",
     "sk1_kmv_distinct": f"""
 WITH h AS (
   SELECT DISTINCT {_H32_KEY} AS h FROM lineitem

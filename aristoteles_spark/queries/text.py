@@ -707,7 +707,83 @@ def q_bloom_decontamination(spark, sf_dir):
     )
 
 
+# Shipped-tokenizer artifact: 12 merges trained once by
+# operators/bpe.train_bpe(documents, "text", n_merges=12) on the sf0.01
+# corpus (deterministic: count-desc / pair-asc tie-break). Fixed literals
+# — exactly how a production pipeline applies a tokenizer (the merge
+# table ships with the model; training it is operators/bpe.py, pinned
+# against a pure-Python reference in tests/test_bpe.py).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """tx14 — apply a trained BPE merge table to the whole corpus: the
+    tokenizer-apply pass every pretraining pipeline runs before packing.
+
+    Plan (100 TB shape): pure per-row codegen — whitespace word split,
+    char explode IN-ROW, one aggregate() merge scan per merge rule —
+    zero shuffles before the final sort; runs at scan speed with the
+    merge table inlined as literals (a long merge list would switch to
+    the Arrow-batched bpe_encode_pandas seam, same semantics).
+
+    Determinism: tokens are exact strings; the digest is md5 of the
+    space-joined token stream — no floats anywhere."""
+    from aristoteles_spark.operators.bpe import bpe_tokens_expr
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", bpe_tokens_expr(F.col("text"), _BPE_MERGES).alias("toks")
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ").cast("binary")).alias("digest"),
+    ).orderBy("doc_id")
+
+
+def _bpe_oracle_sql() -> str:
+    """Mirror of the merge chain: each word becomes a \x01-wrapped
+    \x01\x01-joined symbol string; one left-to-right non-overlapping
+    merge pass == one replace() of the wrapped pair (both engines\'
+    replace consumes matches left-to-right without re-scanning the
+    replacement, exactly the pending-accumulator fold\'s semantics).
+    The corpus contains no \x01 bytes (checked), so the sentinel is
+    collision-free."""
+    X = "\x01"
+    X = chr(1)
+    s = (
+        "('" + X + "' || array_to_string(list_concat(string_split(w, ''),"
+        " ['</w>']), '" + X + X + "') || '" + X + "')"
+    )
+    for a, b in _BPE_MERGES:
+        s = (
+            "replace(" + s + ", '" + X + a + X + X + b + X + "', '"
+            + X + a + b + X + "')"
+        )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         flatten(list_transform(ws,
+             w -> string_split(trim({s}, '{X}'), '{X}{X}'))) AS toks
+  FROM words
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       md5(array_to_string(toks, ' ')) AS digest
+FROM enc ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "tx14_bpe_encode": q_bpe_encode,
     "tx13_sentence_stats": q_sentence_stats,
     "pk2_length_buckets": q_length_buckets,
     "ct2_bloom_decontamination": q_bloom_decontamination,
@@ -774,6 +850,7 @@ def _ct2_h(seed: int, expr: str = "g") -> str:
 
 
 ORACLE = {
+    "tx14_bpe_encode": _bpe_oracle_sql(),
     "ct2_bloom_decontamination": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS t FROM documents
