@@ -646,3 +646,69 @@ def simhash_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def minhash_index_probe(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a NEW batch of documents against an EXISTING corpus's LSH
+    index: (batch_doc, index_doc, est_sim) for every banded-LSH
+    candidate above ``threshold``. The incremental-ingest shape of
+    near-dup dedup — at 100 TB you never re-pair the historical corpus;
+    the index side's (band, digest) explosion IS the stored index (in
+    production, materialized once and bucketed on the digest so daily
+    batches hash-join straight into it with no index-side shuffle).
+
+    Same banded equi-join + emit-on-first-matching-band discipline as
+    ``_minhash_sig_pairs``' scale path (each candidate pair is emitted at
+    its FIRST colliding band and consumed entirely by in-row codegen
+    predicates); asymmetric sides, so no a<b dedup is needed. Cost:
+    O(batch x bands) probe rows against the bucketed index."""
+    rpb = num_hashes // bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        s = minhash_signatures(df, text_col, id_col, num_hashes)
+        return s.select(
+            F.col("doc").alias(f"doc_{side}"),
+            F.col("sig").alias(f"sig_{side}"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(F.lit(bi), F.slice("sig", bi * rpb + 1, rpb))
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("band", "digest"),
+        )
+
+    xi = banded(index, "i")
+    xb = banded(batch, "b")
+    earlier = None
+    for bi in range(bands - 1):
+        eq = (F.col("band") > bi) & (
+            F.slice("sig_i", bi * rpb + 1, rpb) == F.slice("sig_b", bi * rpb + 1, rpb)
+        )
+        earlier = eq if earlier is None else (earlier | eq)
+    if earlier is None:
+        earlier = F.lit(False)
+    matches = None
+    for i in range(1, num_hashes + 1):
+        m = (F.element_at("sig_i", i) == F.element_at("sig_b", i)).cast("int")
+        matches = m if matches is None else matches + m
+    return (
+        xb.join(xi, ["band", "digest"])
+        .filter(~earlier)
+        .withColumn("est_sim", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_sim") >= threshold)
+        .select(
+            F.col("doc_b").alias("batch_doc"),
+            F.col("doc_i").alias("index_doc"),
+            "est_sim",
+        )
+    )

@@ -47,6 +47,42 @@ def q_normalized(spark, sf_dir):
     return normalized_dedup_groups(d).orderBy("digest")
 
 
+NDSPLIT_MOD = 10  # ~10% of docs form the "new batch"; the rest are the index
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """nd1 — incremental near-dup check: a new ingest batch (content-hash
+    ~10% slice) probed against the existing corpus's banded LSH index
+    (operators/dedup.py:minhash_index_probe). Per batch doc: how many
+    index near-dups it has, the closest estimated similarity, and the
+    novelty flag a filter stage would gate on. The production dedup
+    shape — daily batches never re-pair the historical corpus."""
+    from aristoteles_spark.functions.text import h32
+    from aristoteles_spark.operators.dedup import minhash_index_probe
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    is_batch = h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD == 0
+    batch = d.filter(is_batch)
+    index = d.filter(~is_batch)
+    m = minhash_index_probe(
+        index, batch, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    per = m.groupBy("batch_doc").agg(
+        F.count("*").alias("n_matches"), F.max("est_sim").alias("max_est_sim")
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_doc"))
+        .join(per, "batch_doc", "left")
+        .select(
+            "batch_doc",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("max_est_sim", F.lit(0.0)).alias("max_est_sim"),
+            F.col("n_matches").isNull().cast("int").alias("is_novel"),
+        )
+        .orderBy("batch_doc")
+    )
+
+
 # The pair-generating operators emit O(cluster^2) rows on a dup-heavy
 # corpus; materializing all pairs to the driver is exactly what a 100 TB
 # dedup job must NOT do. The declared queries therefore aggregate the pair
@@ -368,6 +404,7 @@ QUERIES = {
     "dd2_normalized_groups": q_normalized,
     "dd3_jaccard_pairs": q_jaccard,
     "dd4_minhash_lsh_pairs": q_minhash,
+    "nd1_incremental_neardup": q_incremental_neardup,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
     "dd7_dup_clusters": q_dup_clusters,
@@ -512,6 +549,36 @@ WITH toks AS (
 )
 SELECT doc_a, count(*) AS n_dups, max(jaccard) AS max_jaccard
 FROM pairs GROUP BY doc_a ORDER BY doc_a
+""",
+    "nd1_incremental_neardup": f"""
+WITH hashed AS (
+  SELECT doc_id AS doc, list_transform({_DTOKENS}, t -> {_h32('t')}) AS base_h
+  FROM documents
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT *,
+    {_band_cols}
+  FROM sigs
+), cls AS (
+  SELECT *, ({_h32("CAST(doc AS VARCHAR)")} % {NDSPLIT_MOD} = 0) AS is_batch
+  FROM banded
+), m AS (
+  SELECT b.doc AS batch_doc, a.doc AS index_doc, {_est_sim} AS est_sim
+  FROM cls a JOIN cls b ON NOT a.is_batch AND b.is_batch AND ({_band_match})
+  WHERE {_est_sim} >= 0.5
+), per AS (
+  SELECT batch_doc, count(*) AS n_matches, max(est_sim) AS max_est_sim
+  FROM m GROUP BY batch_doc
+)
+SELECT doc AS batch_doc,
+       coalesce(n_matches, 0) AS n_matches,
+       coalesce(max_est_sim, 0.0) AS max_est_sim,
+       CASE WHEN n_matches IS NULL THEN 1 ELSE 0 END AS is_novel
+FROM (SELECT doc FROM cls WHERE is_batch) LEFT JOIN per ON doc = per.batch_doc
+ORDER BY batch_doc
 """,
     "dd4_minhash_lsh_pairs": f"""
 WITH hashed AS (
