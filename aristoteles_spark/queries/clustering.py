@@ -114,12 +114,131 @@ WITH vq AS (
   GROUP BY cid, i
 )"""
 
+# ---------------------------------------------------------------- PQ
+
+N_SUB = 4
+SUB_DIM = DIM // N_SUB  # 16 dims per subspace
+
+
+def q_product_quantize(spark, sf_dir):
+    """pq1 — product quantization: split each embedding into 4
+    subvectors, train a per-subspace codebook with one Lloyd iteration,
+    encode every vector as 4 codeword ids + its exact quantization
+    error. The compression step behind IVF-PQ ANN indexes (what a 100 TB
+    vector corpus actually stores: 4 small ints instead of 64 floats).
+
+    Plan: codebook training is 4 subspace-sliced Lloyd passes (each =
+    zero-shuffle assign + (k x 16)-key update); the 4 trained codebooks
+    union into ONE ~20-row broadcast; encoding is a single corpus scan
+    with 4 in-row argmins — no shuffle. (A production run would train on
+    a sample rather than the full corpus; the plan shape is unchanged.)
+
+    Determinism: same fixed-point integer arithmetic as km1/km2."""
+    from functools import reduce
+
+    vq = _vq(spark, sf_dir)
+    cbs = []
+    for s in range(N_SUB):
+        sub = vq.select(
+            "vec_id", F.slice("xq", s * SUB_DIM + 1, SUB_DIM).alias("xq")
+        )
+        cb = pack_centroids(update(assign(sub, _init_cents(sub))))
+        cbs.append(cb.withColumn("sub", F.lit(s)))
+    allcb = reduce(lambda a, b: a.unionByName(b), cbs)
+    packed = F.broadcast(
+        allcb.select(F.struct("sub", "cid", "cq").alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cbs"))
+    )
+
+    def best_for(s):
+        from aristoteles_spark.operators.clustering import dist2q
+
+        sub_xq = F.slice("xq", s * SUB_DIM + 1, SUB_DIM)
+        entries = F.filter("cbs", lambda b: b["sub"] == F.lit(s))
+        return F.array_min(
+            F.transform(
+                entries,
+                lambda b: F.struct(
+                    dist2q(sub_xq, b["cq"]).alias("d2q"), b["cid"].alias("cid")
+                ),
+            )
+        )
+
+    enc = vq.crossJoin(packed)
+    bests = [best_for(s) for s in range(N_SUB)]
+    err = bests[0]["d2q"]
+    for b in bests[1:]:
+        err = err + b["d2q"]
+    return enc.select(
+        "vec_id",
+        *[b["cid"].alias(f"code{s}") for s, b in enumerate(bests)],
+        err.alias("err_q"),
+    ).orderBy("vec_id")
+
+
+def _pq_sub_ctes(s: int) -> str:
+    """One subspace's train+encode CTE chain (mirrors km's oracle with
+    the subvector slice as the vector)."""
+    off = s * SUB_DIM
+    d2 = (
+        f"CAST(list_sum(list_transform(range(1, {SUB_DIM + 1}),"
+        f" i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) AS BIGINT)"
+    )
+    return f"""sub{s} AS (
+  SELECT vec_id, list_transform(range(1, {SUB_DIM + 1}), i -> xq[i + {off}]) AS xq
+  FROM vq
+), c0_{s} AS (
+  SELECT vec_id AS cid, xq AS cq FROM sub{s} WHERE vec_id % {CENT_MOD} = {CENT_OFF}
+), s1_{s} AS (
+  SELECT v.vec_id, v.xq, c.cid, {d2} AS d2q
+  FROM sub{s} v CROSS JOIN c0_{s} c
+), a1_{s} AS (
+  SELECT vec_id, xq, cid FROM s1_{s}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) = 1
+), u1_{s} AS (
+  SELECT cid, i AS dim,
+         CAST(floor(CAST(sum(xq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM a1_{s}, range(1, {SUB_DIM + 1}) t(i)
+  GROUP BY cid, i
+), c1_{s} AS (
+  SELECT cid, list(cq ORDER BY dim) AS cq FROM u1_{s} GROUP BY cid
+), s2_{s} AS (
+  SELECT v.vec_id, c.cid, {d2} AS d2q
+  FROM sub{s} v CROSS JOIN c1_{s} c
+), a2_{s} AS (
+  SELECT vec_id, cid AS code{s}, d2q AS e{s} FROM s2_{s}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) = 1
+)"""
+
+
+def _pq_oracle_sql() -> str:
+    ctes = ",\n".join(_pq_sub_ctes(s) for s in range(N_SUB))
+    joins = " ".join(f"JOIN a2_{s} USING (vec_id)" for s in range(1, N_SUB))
+    codes = ", ".join(f"code{s}" for s in range(N_SUB))
+    err = " + ".join(f"e{s}" for s in range(N_SUB))
+    return f"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {SCALE!r}) AS BIGINT)) AS xq
+  FROM embeddings
+),
+{ctes}
+SELECT vec_id, {codes}, CAST({err} AS BIGINT) AS err_q
+FROM a2_0 {joins}
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "km1_kmeans_centroids": q_kmeans_centroids,
     "km2_kmeans_lloyd": q_kmeans_lloyd,
+    "pq1_product_quantize": q_product_quantize,
 }
 
 ORACLE = {
+    "pq1_product_quantize": _pq_oracle_sql(),
     "km1_kmeans_centroids": _PREFIX
     + """
 SELECT cid AS cluster_id, dim, cq AS centroid_q
