@@ -363,6 +363,36 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!\(\d+\) Window", "no ranking/window anywhere — scan-speed pipeline"),
         (r"!PythonUDF", "the whole extractor is regexp/replace codegen"),
     ],
+    "km2_kmeans_lloyd": [
+        (r"BroadcastNestedLoopJoin", "centroids attach as ONE broadcast array-of-structs row — assignment is zero-shuffle in-row argmin"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "the (k x dim) centroid update partial-aggregates map-side before its tiny exchange"),
+        (r"!PythonUDF", "quantize, distance folds, argmin, floor-mean are all codegen"),
+    ],
+    "pq1_product_quantize": [
+        (r"BroadcastNestedLoopJoin", "the unioned ~20-row codebook broadcasts; encoding is one corpus scan with 4 in-row argmins"),
+        (r"!PythonUDF", "subspace slicing + argmin folds are codegen"),
+    ],
+    "qc1_quality_classifier": [
+        (r"!Exchange hashpartitioning", "scoring is per-row codegen — no exchange except fan_out/order"),
+        (r"!\(\d+\) Generate", "bigram features built by in-row transform over an index sequence, not explode"),
+        (r"!PythonUDF", "hashing and the weight fold are codegen"),
+    ],
+    "ir3_inverted_index": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "(term,doc) tf counts partial-aggregate map-side before the index shuffle"),
+        (r"WindowGroupLimit", "the posting head is a partial (map-side) rank — a stop-word term ships ~10 rows per partition, not its posting list"),
+    ],
+    "nd1_incremental_neardup": [
+        (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "batch probes hash-join into the banded index on (band, digest) — no quadratic compare"),
+        (r"!PythonUDF", "signature + band digests + agreement count are codegen"),
+    ],
+    "sk5_hll_distinct": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "register maxima partial-aggregate map-side; the exchange carries <=256 keys' partials"),
+        (r"!PythonUDF", "register math is integer codegen (bin() bitlength, shifts)"),
+    ],
+    "tx14_bpe_encode": [
+        (r"!Exchange hashpartitioning", "the merge chain is per-row codegen — no exchange except fan_out/order"),
+        (r"!PythonUDF", "every merge pass is an aggregate() expression scan"),
+    ],
 }
 
 
