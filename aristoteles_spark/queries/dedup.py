@@ -83,6 +83,82 @@ def q_incremental_neardup(spark, sf_dir):
     )
 
 
+SPAN_W = 8  # non-overlapping block width (tokens)
+
+
+def q_span_dedup(spark, sf_dir):
+    """ln1 — cross-document span dedup (the CCNet/RefinedWeb "remove
+    duplicated lines across the corpus" curation step, over token blocks
+    since this corpus has no newlines): split every document into
+    non-overlapping 8-token blocks, keep each distinct block's GLOBAL
+    first occurrence (min (doc_id, idx)), rebuild every document from
+    its surviving blocks. Output: per doc, block counts before/after and
+    the digest of the cleaned text.
+
+    Plan (100 TB shape): blocks are built in-row (transform over an
+    index sequence, no per-token explode); ONE corpus shuffle keyed by
+    block hash computes first-occurrences as a min(struct) partial agg
+    (map-side combined); keepers join back on the same key; the rebuild
+    groupBy(doc_id) carries only SURVIVING block text. No window over
+    the corpus, no driver state."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(toks, i * SPAN_W + 1, SPAN_W), " "
+            ).alias("block"),
+        ),
+    )
+    b = (
+        d.select("doc_id", F.explode(blocks).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.idx").alias("idx"),
+            F.col("b.block").alias("block"),
+            F.md5(F.col("b.block").cast("binary")).alias("bh"),
+        )
+    )
+    keepers = b.groupBy("bh").agg(
+        F.min(F.struct("doc_id", "idx")).alias("keep")
+    )
+    kept = (
+        b.join(keepers, "bh")
+        .withColumn(
+            "is_kept",
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("idx") == F.col("keep.idx")),
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((~F.col("is_kept")).cast("long")).alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_kept"),
+                                    F.struct("idx", "block"),
+                                )
+                            )
+                        ),
+                        lambda s: s["block"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The pair-generating operators emit O(cluster^2) rows on a dup-heavy
 # corpus; materializing all pairs to the driver is exactly what a 100 TB
 # dedup job must NOT do. The declared queries therefore aggregate the pair
@@ -405,6 +481,7 @@ QUERIES = {
     "dd3_jaccard_pairs": q_jaccard,
     "dd4_minhash_lsh_pairs": q_minhash,
     "nd1_incremental_neardup": q_incremental_neardup,
+    "ln1_span_dedup": q_span_dedup,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
     "dd7_dup_clusters": q_dup_clusters,
@@ -549,6 +626,27 @@ WITH toks AS (
 )
 SELECT doc_a, count(*) AS n_dups, max(jaccard) AS max_jaccard
 FROM pairs GROUP BY doc_a ORDER BY doc_a
+""",
+    "ln1_span_dedup": f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(toks[i * {SPAN_W} + 1 : i * {SPAN_W} + {SPAN_W}], ' ') AS block
+  FROM t, LATERAL unnest(range(CAST(ceil(len(toks) / {float(SPAN_W)}) AS BIGINT))) u(i)
+), h AS (
+  SELECT doc_id, idx, block, md5(block) AS bh FROM b
+), marked AS (
+  SELECT doc_id, idx, block,
+         row_number() OVER (PARTITION BY bh ORDER BY doc_id, idx) = 1 AS is_kept
+  FROM h
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(list(CASE WHEN is_kept THEN block END ORDER BY idx)
+           FILTER (WHERE is_kept), ' '), '')) AS clean_digest
+FROM marked GROUP BY doc_id ORDER BY doc_id
 """,
     "nd1_incremental_neardup": f"""
 WITH hashed AS (
