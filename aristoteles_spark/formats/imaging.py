@@ -247,6 +247,8 @@ def sniff(data: bytes) -> str | None:
         return "gif"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -270,6 +272,10 @@ def decode(data: bytes) -> np.ndarray:
         from aristoteles_spark.formats.tiff import decode_tiff
 
         return decode_tiff(data)
+    if fmt == "webp":
+        from aristoteles_spark.formats.webp import decode_webp
+
+        return decode_webp(data)
     raise ValueError("unrecognized image format")
 
 

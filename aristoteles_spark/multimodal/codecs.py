@@ -35,10 +35,11 @@ def decode_image(payload: bytes):
     Dispatches to Pillow when installed (anything PIL reads); otherwise
     falls back to the self-contained pure-Python codecs in
     ``formats/imaging.py`` (PNG / BMP / PPM / GIF / TIFF / baseline AND
-    progressive JPEG — real decoders, no C library; JPEG via
-    ``formats/jpeg.py`` + ``formats/jpeg_progressive.py``). Raises
-    NotImplementedError only for formats neither path can handle
-    (e.g. WebP without Pillow)."""
+    progressive JPEG / lossless WebP — real decoders, no C library;
+    JPEG via ``formats/jpeg.py`` + ``formats/jpeg_progressive.py``,
+    VP8L via ``formats/webp.py``). Raises NotImplementedError only for
+    formats neither path can handle (e.g. lossy-VP8 WebP without
+    Pillow)."""
     try:
         import io
 
@@ -52,7 +53,16 @@ def decode_image(payload: bytes):
 
     if sniff(payload) is None:
         raise NotImplementedError(
-            "payload is not PNG/BMP/PPM/GIF/TIFF/JPEG and Pillow is not "
-            "installed; formats like WebP need Pillow"
+            "payload is not PNG/BMP/PPM/GIF/TIFF/JPEG/VP8L-WebP and Pillow "
+            "is not installed; lossy (VP8) WebP needs Pillow"
         )
-    return decode(payload)
+    try:
+        return decode(payload)
+    except Exception as e:
+        from aristoteles_spark.formats.webp import WebpError
+
+        if isinstance(e, WebpError) and "lossy" in str(e):
+            raise NotImplementedError(
+                "lossy (VP8) WebP needs Pillow; only VP8L decodes pure-Python"
+            ) from e
+        raise

@@ -518,3 +518,41 @@ def real_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
     ).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def real_webp_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WebP-lossless (VP8L) codec stage (formats/webp.py): digest
+    -> 4x4 gray image -> VP8L encode (color-indexed for even doc_ids,
+    subtract-green literal for odd ones, so both transform paths are
+    driver-checked) -> decode -> features. Lossless, so mean_px ==
+    mean(digest bytes)/255 — the oracle therefore checks the real
+    prefix-code writer/reader, transform inverses and RIFF framing."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.webp import decode_webp, encode_webp
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                px = np.frombuffer(bytes.fromhex(hexd), dtype=np.uint8)
+                img = px.reshape(4, 4)
+                if int(did) % 2 == 0:
+                    payload = encode_webp(img, palette=True)
+                else:
+                    payload = encode_webp(img, subtract_green=True)
+                back = decode_webp(payload)
+                assert back.shape == (4, 4, 3)
+                assert np.array_equal(back[:, :, 0], img)
+                rows.append(
+                    (did, 4, 4, 1, float(img.mean()) / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, FEATURE_SCHEMA)

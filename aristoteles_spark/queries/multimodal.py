@@ -146,12 +146,27 @@ def q_real_tiff(spark, sf_dir):
     return real_tiff_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_real_webp(spark, sf_dir):
+    """REAL WebP lossless (VP8L) encode->decode inside the mapInPandas
+    seam (formats/webp.py): RIFF framing, prefix codes, color-indexing
+    (even ids) and subtract-green (odd ids) transforms; lossless
+    round-trip keeps mean_px SQL-stateable. The decoder additionally
+    handles predictor/cross-color transforms, color cache, LZ77 with
+    the 2D distance map, and meta prefix groups (pinned by
+    tests/test_webp.py incl. a real libwebp-encoded alpha stream)."""
+    from aristoteles_spark.multimodal.features import real_webp_features
+
+    return real_webp_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
     "mm10_real_jpeg": q_real_jpeg,
     "mm11_real_gif": q_real_gif,
     "mm12_real_tiff": q_real_tiff,
     "mm13_progressive_jpeg": q_real_progressive_jpeg,
+    "mm14_real_webp": q_real_webp,
     "mm2_decode_features": q_decode_features,
     "mm3_frame_sample": q_frame_sample,
     "mm4_perceptual_buckets": q_perceptual_buckets,
@@ -199,6 +214,11 @@ ORACLE = {
         "AS mean_px FROM documents ORDER BY doc_id"
     ),
     "mm11_real_gif": (
+        "SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, "
+        f"{_byte_mean(list(range(16)))} AS mean_px "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "mm14_real_webp": (
         "SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, "
         f"{_byte_mean(list(range(16)))} AS mean_px "
         "FROM documents ORDER BY doc_id"

@@ -75,7 +75,7 @@ class TestDispatch:
         assert sniff(encode_ppm(img)) == "ppm"
         assert sniff(b"\xff\xd8\xff") == "jpeg"  # baseline JPEG: formats/jpeg.py
         assert sniff(b"GIF89a") == "gif"  # formats/gif.py
-        assert sniff(b"RIFF\x00\x00\x00\x00WEBP") is None  # WebP: needs Pillow
+        assert sniff(b"RIFF\x00\x00\x00\x00WEBP") == "webp"  # formats/webp.py (VP8L)
         for enc in (encode_png, encode_bmp, encode_ppm):
             assert decode(enc(img)).shape[:2] == (3, 3)
 
@@ -92,7 +92,9 @@ class TestDispatch:
         out = decode_image(encode_png(img))
         assert np.array_equal(np.asarray(out), img)
         with pytest.raises(NotImplementedError):
-            # WebP magic: neither Pillow nor a pure decoder here
+            # LOSSY WebP (VP8 chunk): the VP8L decoder handles lossless
+            # only; the seam translates it to its NotImplementedError
+            # contract (lossy needs Pillow)
             decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 24)
 
 
