@@ -190,3 +190,42 @@ def bpe_encode_pandas(merges: list[tuple[str, str]]):
             yield pd.DataFrame({"tokens": toks})
 
     return fn
+
+
+# sentinels for the replace-chain tokenizer; absent from any text corpus
+# that survived curation (control bytes) — callers on untrusted bytes
+# should strip \x00-\x08 first (hx1's extractor already does for HTML)
+_S = "\x01"   # symbol boundary
+_W = "\x02"  # word boundary
+_T = "\x03"  # transient symbol separator for the final split
+
+
+def bpe_tokens_replace_expr(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize with a trained merge table as a REPLACE CHAIN — the
+    scale path. ``bpe_tokens_expr``'s per-word ``aggregate()`` scans
+    evaluate as interpreted higher-order lambdas (12 chained per-word
+    folds measured 35x at the 10x sweep); this formulation is the same
+    algorithm as a flat string pipeline in whole-stage codegen:
+
+    each word becomes ``\x01 c1 \x01\x01 c2 ... \x01\x01 </w> \x01``
+    (every symbol wrapped in sentinels), one merge pass == one
+    ``replace`` of the wrapped pair (left-to-right non-overlapping ==
+    the pending-accumulator fold's semantics, and exactly what the SQL
+    oracle does), then the sentinels collapse into one split.
+
+    Equality with ``bpe_tokens_expr`` is pinned in tests/test_bpe.py."""
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    wrapped = F.transform(
+        words,
+        lambda w: F.concat(
+            F.lit(_S),
+            F.regexp_replace(w, "(?<=.)(?=.)", _S + _S),
+            F.lit(_S + _S + _END + _S),
+        ),
+    )
+    s = F.array_join(wrapped, _W)
+    for a, b in merges:
+        s = F.replace(s, F.lit(_S + a + _S + _S + b + _S), F.lit(_S + a + b + _S))
+    s = F.replace(s, F.lit(_S + _S), F.lit(_T))
+    s = F.replace(s, F.lit(_S), F.lit(""))
+    return F.filter(F.split(s, f"[{_W}{_T}]"), lambda t: t != F.lit(""))

@@ -32,10 +32,15 @@ from aristoteles_spark.operators.clustering import (
 from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 DIM = 64
-# deterministic k-means++-free init: every ~101st vector is a seed
-# centroid (5 seeds at sf0.01) — same literal predicate in both engines
+# deterministic k-means++-free init: every ~101st vector among the
+# first SEED_CAP ids is a seed centroid (5 at sf0.01, 20 from sf0.1 up)
+# — same literal predicate in both engines. The id cap is load-bearing
+# for scale: without it k grows WITH the corpus and the O(n*k)
+# assignment turns quadratic (the 10x sweep measured pq1 at 69x before
+# the cap; k must be a constant of the ALGORITHM, not the data size).
 CENT_MOD = 101
 CENT_OFF = 3
+SEED_CAP = 2000
 
 
 def _vq(spark, sf_dir):
@@ -46,9 +51,9 @@ def _vq(spark, sf_dir):
 
 
 def _init_cents(vq):
-    return vq.filter(F.col("vec_id") % CENT_MOD == CENT_OFF).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
-    )
+    return vq.filter(
+        (F.col("vec_id") % CENT_MOD == CENT_OFF) & (F.col("vec_id") < SEED_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
 
 
 def q_kmeans_centroids(spark, sf_dir):
@@ -98,7 +103,7 @@ WITH vq AS (
                         x -> CAST(floor(x * {SCALE!r}) AS BIGINT)) AS xq
   FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS cid, xq AS cq FROM vq WHERE vec_id % {CENT_MOD} = {CENT_OFF}
+  SELECT vec_id AS cid, xq AS cq FROM vq WHERE vec_id % {CENT_MOD} = {CENT_OFF} AND vec_id < {SEED_CAP}
 ), s1 AS (
   SELECT v.vec_id, v.xq, c.cid,
          CAST(list_sum(list_transform(range(1, {DIM + 1}),
@@ -189,7 +194,7 @@ def _pq_sub_ctes(s: int) -> str:
   SELECT vec_id, list_transform(range(1, {SUB_DIM + 1}), i -> xq[i + {off}]) AS xq
   FROM vq
 ), c0_{s} AS (
-  SELECT vec_id AS cid, xq AS cq FROM sub{s} WHERE vec_id % {CENT_MOD} = {CENT_OFF}
+  SELECT vec_id AS cid, xq AS cq FROM sub{s} WHERE vec_id % {CENT_MOD} = {CENT_OFF} AND vec_id < {SEED_CAP}
 ), s1_{s} AS (
   SELECT v.vec_id, v.xq, c.cid, {d2} AS d2q
   FROM sub{s} v CROSS JOIN c0_{s} c

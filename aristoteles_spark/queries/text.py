@@ -724,19 +724,20 @@ def q_bpe_encode(spark, sf_dir):
     """tx14 — apply a trained BPE merge table to the whole corpus: the
     tokenizer-apply pass every pretraining pipeline runs before packing.
 
-    Plan (100 TB shape): pure per-row codegen — whitespace word split,
-    char explode IN-ROW, one aggregate() merge scan per merge rule —
-    zero shuffles before the final sort; runs at scan speed with the
-    merge table inlined as literals (a long merge list would switch to
-    the Arrow-batched bpe_encode_pandas seam, same semantics).
+    Plan (100 TB shape): pure per-row codegen — the sentinel-wrapped
+    replace chain (operators/bpe.py:bpe_tokens_replace_expr; one
+    replace per merge rule, whole-stage codegen) — zero shuffles before
+    the final sort. The higher-order aggregate() formulation evaluates
+    interpreted and measured 35x at the 10x sweep; a long merge list
+    would switch to the Arrow-batched bpe_encode_pandas seam.
 
     Determinism: tokens are exact strings; the digest is md5 of the
     space-joined token stream — no floats anywhere."""
-    from aristoteles_spark.operators.bpe import bpe_tokens_expr
+    from aristoteles_spark.operators.bpe import bpe_tokens_replace_expr
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     base = d.select(
-        "doc_id", bpe_tokens_expr(F.col("text"), _BPE_MERGES).alias("toks")
+        "doc_id", bpe_tokens_replace_expr(F.col("text"), _BPE_MERGES).alias("toks")
     )
     return base.select(
         "doc_id",

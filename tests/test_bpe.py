@@ -124,3 +124,24 @@ class TestApplication:
             F.size(bpe_tokens_expr(F.col("text"), merges)).alias("n")
         ).agg(F.sum("n")).first()[0]
         assert n1 < n0
+
+
+def test_replace_chain_matches_aggregate_fold(spark):
+    """The codegen scale path (sentinel-wrapped replace chain) must
+    tokenize EXACTLY like the aggregate() pending-accumulator fold for
+    any merge table, including same-symbol merges (aaa -> [aa, a])."""
+    from pyspark.sql import functions as F
+
+    from aristoteles_spark.operators.bpe import (
+        bpe_tokens_expr,
+        bpe_tokens_replace_expr,
+    )
+
+    texts = CORPUS + ["aaa aaaa baaab", "x", "", "  ", "low lowest slow"]
+    merges = [("a", "a"), ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("low", "</w>")]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    bad = df.select(
+        bpe_tokens_expr(F.col("text"), merges).alias("a"),
+        bpe_tokens_replace_expr(F.col("text"), merges).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert bad.count() == 0
