@@ -391,7 +391,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "tx14_bpe_encode": [
         (r"!Exchange hashpartitioning", "the merge chain is per-row codegen — no exchange except fan_out/order"),
-        (r"!PythonUDF", "every merge pass is an aggregate() expression scan"),
+        (r"!PythonUDF", "every merge pass is a codegen replace()"),
+        (r"!\(\d+\) Generate", "no explode anywhere — the token stream never leaves the row"),
+    ],
+    "ln1_span_dedup": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "first-occurrence min(struct) partial-aggregates map-side before the block-hash shuffle"),
+        (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "keepers join back on the block-hash key"),
+        (r"!PythonUDF", "block building + digests are codegen"),
     ],
 }
 
