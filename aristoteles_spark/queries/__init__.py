@@ -35,6 +35,7 @@ _MODULES = [
     "web",
     "clustering",
     "quality",
+    "release",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the

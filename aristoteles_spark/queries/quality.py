@@ -44,29 +44,39 @@ def _weight(bucket):
     return ((bucket % N_BUCKETS) * KNUTH) % WMOD - WOFF
 
 
-def q_quality_classifier(spark, sf_dir):
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    base = d.select("doc_id", tokens("text").alias("toks"))
-    n = F.size("toks")
-    # bigrams keep duplicates (term frequency weighs the score, as in
-    # fastText's feature bag); 0-based F.get over an index sequence
+def classifier_features(toks):
+    """unigram + bigram feature bag over a token-array column; bigrams
+    keep duplicates (term frequency weighs the score, as in fastText's
+    feature bag); 0-based F.get over an index sequence — in-row."""
+    n = F.size(toks)
     bigrams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat(F.get("toks", i), F.lit("_"), F.get("toks", i + 1)),
+            lambda i: F.concat(F.get(toks, i), F.lit("_"), F.get(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(F.col("toks"), bigrams)
-    score = F.aggregate(
-        F.transform(feats, lambda x: _weight(h32(x))),
+    return F.concat(toks, bigrams)
+
+
+def classifier_score(toks):
+    """Integer classifier score of a token-array column (in-row fold);
+    reused by rl1's release pipeline as its quality gate."""
+    return F.aggregate(
+        F.transform(classifier_features(toks), lambda x: _weight(h32(x))),
         F.lit(0).cast("long"),
         lambda acc, p: acc + p,
     )
+
+
+def q_quality_classifier(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    feats = classifier_features(F.col("toks"))
     scored = base.select(
         "doc_id",
         F.size(feats).alias("n_feats"),
-        score.alias("score_q"),
+        classifier_score(F.col("toks")).alias("score_q"),
     )
     return scored.select(
         "doc_id",
@@ -82,6 +92,20 @@ def q_quality_classifier(spark, sf_dir):
 
 
 _H32 = "CAST(concat('0x', substr(md5(concat('0', ':', x)), 1, 8)) AS BIGINT)"
+
+
+def score_sql(toks_expr: str) -> str:
+    """SQL mirror of classifier_score over a token-list expression."""
+    feats = (
+        f"list_concat({toks_expr}, CASE WHEN len({toks_expr}) >= 2 "
+        f"THEN list_transform(range(1, len({toks_expr})), "
+        f"i -> {toks_expr}[i] || '_' || {toks_expr}[i + 1]) ELSE [] END)"
+    )
+    return (
+        f"COALESCE(CAST(list_sum(list_transform({feats}, "
+        f"x -> (({_H32} % {N_BUCKETS}) * {KNUTH}) % {WMOD} - {WOFF}"
+        f")) AS BIGINT), 0)"
+    )
 
 QUERIES = {"qc1_quality_classifier": q_quality_classifier}
 

@@ -1,0 +1,184 @@
+"""End-to-end pretraining-data release pipeline (rl1).
+
+The full curation chain a data-release run executes, composed from the
+engine's own operators into ONE DataFrame DAG — quality gate (qc1's
+classifier), language gate (tx3's langid), exact dedup (first
+occurrence per content digest), near-dup filter (dd4's banded minhash,
+earlier-doc-wins), eval-set decontamination (ct1's 8-gram overlap), and
+content-hash shard assignment (sh1's coordination-free sharding) — with
+a per-shard release manifest as the output. This is the "a user of the
+reference could run their whole pipeline here" composition query; every
+stage reuses the already-oracle-checked building block rather than a
+re-implementation. (Reference scope: aristoteles/aristoteles.py is
+weather ETL with no text surface; SURVEY §7.4 extension.)
+
+Scale shape per stage (nothing here is new machinery — see the donor
+operators' docstrings): gates are in-row codegen on the scan; exact
+dedup is one digest-keyed partial agg; the near-dup filter is the
+banded equi-join as a SEMI join (only "has an earlier match" is needed
+— no pair materialization, no transitivity, the standard curation
+filter); decontamination is a gram-hash semi-join (eval grams are the
+small side); the shard manifest is a tiny-key partial agg. Integer
+outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aristoteles_spark.functions.text import h32, langid_predict, tokens
+from aristoteles_spark.queries.quality import classifier_score, score_sql
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
+
+EVAL_MOD = 7  # doc_id % 7 == 0 is the held-out eval set (as ct1)
+N_SHARDS = 8
+NUM_HASHES = 16
+BANDS = 4
+
+
+def q_release_pipeline(spark, sf_dir):
+    from aristoteles_spark.operators.dedup import minhash_signatures
+    from aristoteles_spark.queries.text import _gram_hashes
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    evald = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+
+    # 1+2: quality + language gates — pure codegen on the scan
+    cand = train.filter(
+        (classifier_score(tokens("text")) > 0)
+        & (langid_predict(tokens("text")) == "en")
+    )
+
+    # 3: exact dedup — keep the first occurrence per content digest
+    firsts = (
+        cand.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    c2 = cand.join(firsts, "doc_id")
+
+    # 4: near-dup filter — drop any doc with a banded-LSH match of
+    # smaller doc_id (semi-join shape: no pair stream materialized)
+    rpb = NUM_HASHES // BANDS
+    sigs = minhash_signatures(c2, "text", "doc_id", NUM_HASHES)
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(bi), F.slice("sig", bi * rpb + 1, rpb))
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("digest"),
+    )
+    matches = None
+    for i in range(1, NUM_HASHES + 1):
+        m = (F.element_at("sig_a", i) == F.element_at("sig_b", i)).cast("int")
+        matches = m if matches is None else matches + m
+    x = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "digest")
+    y = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "digest")
+    later_dups = (
+        y.join(x, "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("est_sim", matches / F.lit(float(NUM_HASHES)))
+        .filter(F.col("est_sim") >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    c3 = c2.join(later_dups, "doc_id", "left_anti")
+
+    # 5: decontamination — any shared 8-gram with the eval set drops it
+    eval_grams = (
+        evald.select(F.explode(_gram_hashes(tokens("text"))).alias("g")).distinct()
+    )
+    contaminated = (
+        c3.select("doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g"))
+        .join(eval_grams, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = c3.join(contaminated, "doc_id", "left_anti")
+
+    # 6: shard manifest — content-hash sharding, tiny-key partial agg
+    return (
+        clean.select(
+            (h32(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard"),
+            F.size(tokens("text")).alias("n_toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _rl1_sql() -> str:
+    from aristoteles_spark.queries.dedup import (
+        _band_cols,
+        _band_match,
+        _est_sim,
+        _h32,
+        _sig_cols,
+    )
+    from aristoteles_spark.queries.text import _GRAM, _PRED, _TOKENS
+
+    grams = (
+        f"list_distinct(list_transform(range(1, len(toks) - {_GRAM - 2}), s -> "
+        f"md5(array_to_string(list_slice(toks, s, s + {_GRAM - 1}), ' '))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+), cand AS (
+  SELECT doc_id, text, toks FROM base
+  WHERE doc_id % {EVAL_MOD} <> 0
+    AND {score_sql('toks')} > 0
+    AND {_PRED} = 'en'
+), firsts AS (
+  SELECT min(doc_id) AS doc_id FROM cand GROUP BY md5(text)
+), c2 AS (
+  SELECT cand.* FROM cand JOIN firsts USING (doc_id)
+), hashed AS (
+  SELECT doc_id AS doc, list_transform(list_distinct(toks), t -> {_h32('t')}) AS base_h
+  FROM c2
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT *,
+    {_band_cols}
+  FROM sigs
+), dup AS (
+  SELECT DISTINCT b.doc AS doc_id
+  FROM banded a JOIN banded b ON a.doc < b.doc AND ({_band_match})
+  WHERE {_est_sim} >= 0.5
+), c3 AS (
+  SELECT * FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+), eg AS (
+  SELECT DISTINCT unnest({grams}) AS g
+  FROM base WHERE doc_id % {EVAL_MOD} = 0 AND len(toks) >= {_GRAM}
+), contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({grams}) AS g
+        FROM c3 WHERE len(toks) >= {_GRAM}) dg
+  JOIN eg USING (g)
+), clean AS (
+  SELECT * FROM c3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT {_h32("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+FROM clean GROUP BY shard ORDER BY shard
+"""
+
+
+QUERIES = {"rl1_release_pipeline": q_release_pipeline}
+
+ORACLE = {"rl1_release_pipeline": _rl1_sql()}
