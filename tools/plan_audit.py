@@ -394,6 +394,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!PythonUDF", "every merge pass is a codegen replace()"),
         (r"!\(\d+\) Generate", "no explode anywhere — the token stream never leaves the row"),
     ],
+    "rl1_release_pipeline": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "exact-dedup digest groupBy and the shard manifest partial-aggregate map-side"),
+        (r"LeftAnti", "near-dup and contamination filters are anti joins — no pair stream materialized"),
+        (r"!PythonUDF", "all six stages are codegen expressions"),
+    ],
     "ln1_span_dedup": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "first-occurrence min(struct) partial-aggregates map-side before the block-hash shuffle"),
         (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "keepers join back on the block-hash key"),
