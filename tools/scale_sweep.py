@@ -78,6 +78,14 @@ HEADLINE = [
     "iv1_interval_coalesce",
     "uf4_grouped_map_deltas",
     "io4_bucketed_join",
+    # late round-3 additions with corpus-wide joins/iteration
+    "km2_kmeans_lloyd",
+    "pq1_product_quantize",
+    "ir3_inverted_index",
+    "nd1_incremental_neardup",
+    "qc1_quality_classifier",
+    "tx14_bpe_encode",
+    "sk5_hll_distinct",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]
