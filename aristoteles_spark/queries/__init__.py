@@ -36,6 +36,7 @@ _MODULES = [
     "clustering",
     "quality",
     "release",
+    "importance",
 ]
 
 # Declaration order matters: the driver's correctness gate checks the

@@ -94,6 +94,105 @@ def q_kmeans_lloyd(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- SemDeDup
+
+# sd1 parameters: tau = 0.35 cosine (the corpus has no planted
+# near-identical pairs — max pairwise cosine is ~0.51 — so the gate uses
+# the same loose threshold the sim3 near-dup census does to stay
+# non-vacuous); tau^2 * 1e4 = 1225 keeps the comparison integer-exact.
+SEM_T2_E4 = 1225
+SEM_W = 4  # sorted-neighborhood window width
+
+
+def _dotq(a, b):
+    """Exact integer dot product of two quantized vectors (in-row fold).
+
+    |xq| <= ~6e5 for these unit-ish embeddings, so per-term products are
+    < 4e11 and the 64-term sum < 3e13 — far inside int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """sd1 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-
+    space semantic dedup. Cluster the corpus with k-means, then inside
+    each cluster drop every vector whose cosine to an earlier-kept
+    member exceeds tau. The reference has no vector surface (scope
+    check: /root/reference/aristoteles/aristoteles.py:229-346); SURVEY
+    §7.4 extension.
+
+    The paper's within-cluster step is all-pairs (O(m^2) per cluster,
+    with k chosen so m stays bounded). Here the comparison set is made
+    *linear by construction* with the sorted-neighborhood method: rank
+    cluster members by (distance-to-centroid, id) and compare each
+    member only to its SEM_W predecessors in that order. True
+    near-duplicates have near-equal centroid distances, so they land on
+    adjacent ranks; candidate pairs are exactly n*SEM_W regardless of
+    cluster size — the skew-proof form of the paper's step.
+
+    Plan: zero-shuffle broadcast argmin assignment (operators/
+    clustering.assign) -> one exchange on cid for the in-cluster
+    rank window -> the predecessor probe is an EQUI-join on
+    (cid, rank - j), j in 1..SEM_W (offsets exploded on the probe side,
+    so no range-join residual) -> per-cluster census aggregate.
+
+    Determinism: the duplicate test is pure integer arithmetic on the
+    quantized coordinates — drop x iff dot(x,y) > 0 and
+    (100*dot)^2 >= 1225 * |x|^2 * |y|^2 (i.e. cos >= 0.35), evaluated
+    in DECIMAL(38,0) (~4e35 max term; HUGEINT on the duckdb side) — so
+    no sqrt, no division, no float comparison anywhere."""
+    from pyspark.sql import Window
+
+    vq = _vq(spark, sf_dir)
+    a = assign(vq, _init_cents(vq))  # (vec_id, xq, cid, d2q)
+    w = Window.partitionBy("cid").orderBy("d2q", "vec_id")
+    r = a.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "nrm", _dotq(F.col("xq"), F.col("xq"))
+    )
+    probes = (
+        r.select("cid", "rnk", "vec_id", "xq", "nrm")
+        .withColumn(
+            "prev", F.explode(F.sequence(F.col("rnk") - SEM_W, F.col("rnk") - 1))
+        )
+        .filter(F.col("prev") >= 1)
+    )
+    prev = r.select(
+        "cid",
+        F.col("rnk").alias("prev"),
+        F.col("xq").alias("xq_y"),
+        F.col("nrm").alias("nrm_y"),
+    )
+    pairs = probes.join(prev, ["cid", "prev"])
+    d100 = (_dotq(F.col("xq"), F.col("xq_y")) * 100).cast("decimal(38,0)")
+    dup = (d100 > 0) & (
+        d100 * d100
+        >= F.lit(SEM_T2_E4).cast("decimal(38,0)")
+        * F.col("nrm").cast("decimal(38,0)")
+        * F.col("nrm_y").cast("decimal(38,0)")
+    )
+    dropped = (
+        pairs.filter(dup)
+        .groupBy("cid")
+        .agg(F.count_distinct("vec_id").alias("n_dropped"))
+    )
+    members = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(dropped, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _PREFIX = f"""
@@ -240,9 +339,44 @@ QUERIES = {
     "km1_kmeans_centroids": q_kmeans_centroids,
     "km2_kmeans_lloyd": q_kmeans_lloyd,
     "pq1_product_quantize": q_product_quantize,
+    "sd1_semdedup": q_semdedup,
 }
 
+_SD1_DOT = (
+    f"CAST(list_sum(list_transform(range(1, {DIM + 1}),"
+    f" i -> x.xq[i] * y.xq[i])) AS BIGINT)"
+)
+
 ORACLE = {
+    "sd1_semdedup": _PREFIX
+    + f"""
+, r AS (
+  SELECT vec_id, xq, cid, d2q,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> xq[i] * xq[i])) AS BIGINT) AS nrm,
+         row_number() OVER (PARTITION BY cid ORDER BY d2q, vec_id) AS rnk
+  FROM a1
+), pr AS (
+  SELECT x.cid, x.vec_id AS vid_x,
+         CAST(100 AS HUGEINT) * {_SD1_DOT} AS d100,
+         x.nrm AS nx, y.nrm AS ny
+  FROM r x JOIN r y
+    ON x.cid = y.cid AND y.rnk BETWEEN x.rnk - {SEM_W} AND x.rnk - 1
+), dropped AS (
+  SELECT cid, count(DISTINCT vid_x) AS n_dropped
+  FROM pr
+  WHERE d100 > 0
+    AND d100 * d100 >= CAST({SEM_T2_E4} AS HUGEINT) * CAST(nx AS HUGEINT) * CAST(ny AS HUGEINT)
+  GROUP BY cid
+), members AS (
+  SELECT cid, count(*) AS n_members FROM a1 GROUP BY cid
+)
+SELECT m.cid AS cluster_id, m.n_members,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(m.n_members - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM members m LEFT JOIN dropped d USING (cid)
+ORDER BY cluster_id
+""",
     "pq1_product_quantize": _pq_oracle_sql(),
     "km1_kmeans_centroids": _PREFIX
     + """

@@ -32,6 +32,12 @@ from aristoteles_spark.functions.html import (
     sql_title,
     sql_to_text,
 )
+from aristoteles_spark.functions.url import (
+    canonical_url,
+    sql_canonical_url,
+    sql_url_host,
+    url_host,
+)
 from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 _PRE = (
@@ -102,5 +108,122 @@ SELECT doc_id, title,
 FROM staged ORDER BY doc_id
 """
 
-QUERIES = {"hx1_html_extract": q_html_extract}
-ORACLE = {"hx1_html_extract": _HX1_SQL}
+def _messy_url():
+    """Deterministic messy-URL synthesis from (doc_id, source) — the
+    crawl-side noise canonical_url must normalize away: mixed-case
+    scheme/host, sporadic `www.`, default and non-default ports,
+    duplicate and trailing slashes, shuffled query parameters, utm_*
+    tracking params, fragments. The construction is plain concat/CASE,
+    mirrored literally in the oracle SQL (the hx1 pattern: the
+    *canonicalizer* is what's under test, not a fixture)."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = F.concat(
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 3 == 0, F.lit(".Example.COM")).otherwise(F.lit(".example.com")),
+    )
+    port = (
+        F.when((did % 5 == 0) & (did % 2 == 0), F.lit(":443"))
+        .when(did % 5 == 0, F.lit(":80"))
+        .when(did % 10 == 7, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.when(did % 9 == 0, F.lit("/a//")).otherwise(F.lit("/a/")),
+        (did % 50).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    base = F.concat(F.lit("id="), (did % 25).cast("string"))
+    utm = F.concat(F.lit("utm_source=feed&utm_campaign=c"), (did % 3).cast("string"))
+    query = F.concat(
+        F.when(did % 4 == 1, F.concat(utm, F.lit("&"), base))
+        .when(did % 2 == 1, F.concat(base, F.lit("&"), utm))
+        .otherwise(base),
+        F.when(did % 11 == 0, F.lit("&ref=rss")).otherwise(F.lit("")),
+    )
+    frag = F.when(did % 13 == 0, F.concat(F.lit("#s"), (did % 6).cast("string"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"), query, frag)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """url1 — canonical-URL dedup census per domain: documents get a
+    deterministic messy URL, the canonicalizer collapses the noise, and
+    the census counts how many raw variants fold into how many
+    canonical pages per (canonical) host.
+
+    Scale shape: the synthesis + canonicalization chain is pure per-row
+    codegen over the scan (regexp/split/sort/join — no UDF); the census
+    is one partial aggregate keyed by (domain, canonical_url) then one
+    keyed by domain — both map-side combinable. At 100 TB this is the
+    cheapest dedup key available and the standard first pass before
+    content-level dedup (dd1/dd4)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = d.select(
+        url_host(_messy_url()).alias("domain"),
+        canonical_url(_messy_url()).alias("curl"),
+    )
+    per_page = u.groupBy("domain", "curl").agg(F.count(F.lit(1)).alias("n_variants"))
+    return (
+        per_page.groupBy("domain")
+        .agg(
+            F.sum("n_variants").cast("long").alias("n_raw"),
+            F.count(F.lit(1)).alias("n_canonical"),
+            (F.sum("n_variants") - F.count(F.lit(1))).cast("long").alias("n_dup_rows"),
+            F.max(F.col("n_variants")).cast("long").alias("max_variants"),
+            F.min("curl").alias("sample_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://'"
+    " || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || source"
+    " || CASE WHEN doc_id % 3 = 0 THEN '.Example.COM' ELSE '.example.com' END"
+    " || CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 0 THEN ':443'"
+    "         WHEN doc_id % 5 = 0 THEN ':80'"
+    "         WHEN doc_id % 10 = 7 THEN ':8080' ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN '/a//' ELSE '/a/' END"
+    " || CAST(doc_id % 50 AS VARCHAR)"
+    " || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END || '?'"
+    " || CASE WHEN doc_id % 4 = 1 THEN"
+    "      'utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)"
+    "      || '&id=' || CAST(doc_id % 25 AS VARCHAR)"
+    "    WHEN doc_id % 2 = 1 THEN"
+    "      'id=' || CAST(doc_id % 25 AS VARCHAR)"
+    "      || '&utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)"
+    "    ELSE 'id=' || CAST(doc_id % 25 AS VARCHAR) END"
+    " || CASE WHEN doc_id % 11 = 0 THEN '&ref=rss' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN '#s' || CAST(doc_id % 6 AS VARCHAR)"
+    "    ELSE '' END)"
+)
+
+_URL1_SQL = f"""
+WITH u AS (
+  SELECT {sql_url_host(_URL_SQL)} AS domain,
+         {sql_canonical_url(_URL_SQL)} AS curl
+  FROM documents
+), per_page AS (
+  SELECT domain, curl, CAST(count(*) AS BIGINT) AS n_variants
+  FROM u GROUP BY domain, curl
+)
+SELECT domain,
+       CAST(sum(n_variants) AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_canonical,
+       CAST(sum(n_variants) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n_variants) AS BIGINT) AS max_variants,
+       min(curl) AS sample_url
+FROM per_page GROUP BY domain ORDER BY domain
+"""
+
+QUERIES = {
+    "hx1_html_extract": q_html_extract,
+    "url1_url_canonicalize": q_url_canonicalize,
+}
+ORACLE = {
+    "hx1_html_extract": _HX1_SQL,
+    "url1_url_canonicalize": _URL1_SQL,
+}

@@ -1,0 +1,129 @@
+"""Round-3 curation operators: URL canonicalization unit cases, SemDeDup
+pinned against an in-test pure-Python reference, DSIR invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- url
+
+CASES = [
+    # fragment stripped, utm dropped, params sorted, scheme/host lowered
+    (
+        "HTTPS://WWW.News.Example.COM/a/7?utm_source=feed&id=3&b=2#frag",
+        "https://news.example.com/a/7?b=2&id=3",
+    ),
+    # default port stripped per scheme
+    ("http://x.example.com:80/a/1?id=1", "http://x.example.com/a/1?id=1"),
+    ("https://x.example.com:443/a/1?id=1", "https://x.example.com/a/1?id=1"),
+    # non-default port kept
+    ("http://x.example.com:8080/a/1?id=1", "http://x.example.com:8080/a/1?id=1"),
+    # duplicate slashes collapsed, trailing slash dropped
+    ("http://x.example.com/a//b///c/?id=1", "http://x.example.com/a/b/c?id=1"),
+    # empty path -> '/', all-utm query -> no '?'
+    ("http://www.x.example.com?utm_source=a&utm_campaign=b", "http://x.example.com/"),
+    # root stays root
+    ("http://x.example.com/", "http://x.example.com/"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from aristoteles_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame([(raw,) for raw, _ in CASES], "raw string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_url_sql_mirror_agrees(spark):
+    """The duckdb transliteration must produce byte-identical canonical
+    forms on the same inputs (the oracle-parity guarantee)."""
+    import duckdb
+
+    from aristoteles_spark.functions.url import sql_canonical_url
+
+    con = duckdb.connect()
+    sql = (
+        "SELECT " + sql_canonical_url("raw")
+        + " FROM (SELECT CAST(? AS VARCHAR) AS raw)"
+    )
+    for raw, want in CASES:
+        got = con.execute(sql, [raw]).fetchone()[0]
+        assert got == want, raw
+
+
+# ---------------------------------------------------------------- sd1
+
+def test_semdedup_matches_pure_python(spark):
+    """Full query result pinned against an independent numpy/pure-int
+    reference of the same algorithm (assignment, SNM window, integer
+    cosine gate) on the sf0.001 embeddings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from aristoteles_spark.queries.clustering import (
+        CENT_MOD,
+        CENT_OFF,
+        SEED_CAP,
+        SEM_T2_E4,
+        SEM_W,
+        q_semdedup,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    X = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    XQ = np.floor(X * 1e6).astype(np.int64)
+    cm = (ids % CENT_MOD == CENT_OFF) & (ids < SEED_CAP)
+    C, cids = XQ[cm], ids[cm]
+    d2 = ((XQ[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    best = cids[np.argmin(d2, axis=1)]  # cids sorted asc -> min-cid ties
+    bd2 = d2[np.arange(len(ids)), np.argmin(d2, axis=1)]
+
+    expect = {}
+    for c in np.unique(best):
+        m = best == c
+        order = np.lexsort((ids[m], bd2[m]))
+        sub = XQ[m][order].astype(object)
+        nrm = [int((v * v).sum()) for v in sub]
+        dropped = 0
+        for i in range(len(sub)):
+            for j in range(max(0, i - SEM_W), i):
+                dot = int((sub[i] * sub[j]).sum())
+                if dot > 0 and (100 * dot) ** 2 >= SEM_T2_E4 * nrm[i] * nrm[j]:
+                    dropped += 1
+                    break
+        expect[int(c)] = (int(m.sum()), dropped)
+
+    got = {
+        r["cluster_id"]: (r["n_members"], r["n_dropped"], r["n_kept"])
+        for r in q_semdedup(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for c, (n, nd) in expect.items():
+        assert got[c] == (n, nd, n - nd)
+    assert sum(nd for _, nd in expect.values()) > 0  # non-vacuous
+
+
+# ---------------------------------------------------------------- ds1
+
+def test_dsir_invariants(spark):
+    from aristoteles_spark.queries.importance import q_dsir_select
+
+    rows = q_dsir_select(spark, SF_DIR).collect()
+    assert len(rows) == 20  # one per source
+    total = sum(r["n_docs"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        assert r["sum_wn"] > 0  # every doc's weight is load-bearing
+        if r["n_selected"] == 0:
+            assert r["sum_wn_selected"] == 0
+        else:
+            assert r["sum_wn_selected"] > 1_000_000 * (r["n_selected"] - 1)
