@@ -133,10 +133,70 @@ _QUANT_CTE = (
 )
 
 
+_GRAM_DIM = 64
+_GRAM_SCALE = 1_000_000.0  # fixed-point rule shared with operators/clustering.py
+
+
+def q_gram_matrix(spark, sf_dir):
+    """ar4 — distributed Gram matrix: the one-pass reduction behind
+    big-data PCA / whitening / covariance analysis (G = X^T X fits any
+    driver at 64x64; X does not at 100 TB). Reference scope check:
+    /root/reference/aristoteles/aristoteles.py:229-346 has no vector
+    types; SURVEY §7.4 extension.
+
+    Plan (the 100 TB shape): one corpus scan through an Arrow-batched
+    mapInPandas that emits each batch's PARTIAL upper-triangle X^T X
+    (2080 tall rows per batch, computed by one numpy int64 matmul) —
+    the only exchange is the final groupBy over <=2080 (i, j) keys,
+    partial-aggregated map-side. Data rows never shuffle; per-batch
+    output size is constant in the batch's row count.
+
+    Determinism: coordinates are fixed-point quantized (floor(x*1e6));
+    per-batch products |x_i*x_j| < 4e11 sum to < 4e15 per 10k-row Arrow
+    batch (int64-safe), and the global sum is carried in DECIMAL(38,0)
+    then emitted as BIGINT (exact at any test scale; production keeps
+    the decimal). A pytest pins driver-side PCA (numpy eigh on the
+    assembled matrix) against direct full-data PCA."""
+    from aristoteles_spark.sources.parquet_source import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(_GRAM_SCALE)).cast("long"),
+        ).alias("xq")
+    )
+
+    def partial_gram(it):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(_GRAM_DIM)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "s": g[iu],
+                }
+            )
+
+    return (
+        d.mapInPandas(partial_gram, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).cast("long").alias("gram_q"))
+        .orderBy("i", "j")
+    )
+
+
 QUERIES = {
     "ar1_embedding_stats": q_embedding_stats,
     "ar2_vector_quantize": q_vector_quantize,
     "ar3_random_projection": q_random_projection,
+    "ar4_gram_matrix": q_gram_matrix,
 }
 
 ORACLE = {
@@ -166,4 +226,16 @@ ORACLE = {
         )
         + " AS INT) AS bucket FROM q ORDER BY vec_id"
     ),
+    "ar4_gram_matrix": f"""
+WITH vq AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_GRAM_SCALE!r}) AS BIGINT)) AS xq
+  FROM embeddings
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(CAST(sum(xq[i] * xq[j]) AS DECIMAL(38,0)) AS BIGINT) AS gram_q
+FROM vq, range(1, {_GRAM_DIM + 1}) ti(i), range(1, {_GRAM_DIM + 1}) tj(j)
+WHERE j >= i
+GROUP BY i, j ORDER BY i, j
+""",
 }

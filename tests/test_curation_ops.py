@@ -111,6 +111,35 @@ def test_semdedup_matches_pure_python(spark):
     assert sum(nd for _, nd in expect.values()) > 0  # non-vacuous
 
 
+# ---------------------------------------------------------------- ar4
+
+def test_gram_matrix_enables_pca(spark):
+    """The distributed Gram matrix must equal X^T X exactly, and the
+    PCA it enables (driver-side eigh on 64x64) must agree with direct
+    full-data SVD to within quantization error."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from aristoteles_spark.queries.arrays import _GRAM_DIM, q_gram_matrix
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    X = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    XQ = np.floor(X * 1e6).astype(np.int64)
+
+    G = np.zeros((_GRAM_DIM, _GRAM_DIM), dtype=np.int64)
+    for r in q_gram_matrix(spark, SF_DIR).collect():
+        G[r["i"] - 1, r["j"] - 1] = r["gram_q"]
+        G[r["j"] - 1, r["i"] - 1] = r["gram_q"]
+    assert np.array_equal(G, XQ.T @ XQ)  # exact, not approximate
+
+    # top principal direction from the distributed gram vs direct SVD
+    w, v = np.linalg.eigh(G.astype(np.float64))
+    top_gram = v[:, -1]
+    _, _, vt = np.linalg.svd(X, full_matrices=False)
+    top_direct = vt[0]
+    assert abs(float(top_gram @ top_direct)) > 0.999
+
+
 # ---------------------------------------------------------------- ds1
 
 def test_dsir_invariants(spark):

@@ -385,6 +385,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "batch probes hash-join into the banded index on (band, digest) — no quadratic compare"),
         (r"!PythonUDF", "signature + band digests + agreement count are codegen"),
     ],
+    "sd1_semdedup": [
+        (r"BroadcastNestedLoopJoin", "centroid row broadcast — assignment is zero-shuffle in-row argmin"),
+        (r"(SortMergeJoin|ShuffledHashJoin)", "SNM predecessor probe is an EQUI-join on (cid, rank-j) — no range-join residual, no per-cluster cartesian"),
+        (r"\(\d+\) Window", "in-cluster rank window keyed by cid (the one cid exchange)"),
+        (r"!PythonUDF", "quantization, dot products and the cosine gate are integer codegen"),
+    ],
+    "ds1_dsir_select": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "bucket counts partial-aggregate map-side; the exchange carries <=512 keys' partials"),
+        (r"BroadcastNestedLoopJoin", "512-entry score array attached as a broadcast single-row — per-doc scoring is an in-row fold"),
+        (r"!\(\d+\) Window", "selection threshold is data-independent — no global ranking window anywhere"),
+        (r"!PythonUDF", "hashing and the weight fold are codegen"),
+    ],
+    "url1_url_canonicalize": [
+        (r"ReadSchema: struct<doc_id:[^\n]*source", "scan reads only (doc_id, source)"),
+        (r"!ReadSchema: [^\n]*text", "the text column is never read — URL dedup costs metadata IO only"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "census partial-aggregates map-side before the (domain,curl) exchange"),
+        (r"!PythonUDF", "the whole canonicalizer chain is regexp/split/sort codegen"),
+        (r"!\(\d+\) Generate", "query-param sort is in-row array_sort, not explode"),
+    ],
+    "ar4_gram_matrix": [
+        (r"MapInPandas", "per-batch partial X^T X through the Arrow seam — constant-size output per batch"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "global gram sum partial-aggregates map-side; the exchange carries <=2080 (i,j) keys"),
+        (r"!\(\d+\) Generate", "no explode of data rows — the tall triangle is emitted per BATCH, not per row"),
+        (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "single-table reduction, no join"),
+    ],
     "sk5_hll_distinct": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "register maxima partial-aggregate map-side; the exchange carries <=256 keys' partials"),
         (r"!PythonUDF", "register math is integer codegen (bin() bitlength, shifts)"),

@@ -86,6 +86,11 @@ HEADLINE = [
     "qc1_quality_classifier",
     "tx14_bpe_encode",
     "sk5_hll_distinct",
+    # round-3 curation additions: cluster-window join, broadcast-fold
+    # scoring, and regexp-chain census
+    "sd1_semdedup",
+    "ds1_dsir_select",
+    "url1_url_canonicalize",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]
