@@ -134,10 +134,14 @@ def q_semdedup(spark, sf_dir):
     cluster size — the skew-proof form of the paper's step.
 
     Plan: zero-shuffle broadcast argmin assignment (operators/
-    clustering.assign) -> one exchange on cid for the in-cluster
-    rank window -> the predecessor probe is an EQUI-join on
-    (cid, rank - j), j in 1..SEM_W (offsets exploded on the probe side,
-    so no range-join residual) -> per-cluster census aggregate.
+    clustering.assign) -> ONE exchange on cid; the W predecessors are
+    fetched as lag(struct(xq, nrm), j) columns of the SAME rank window
+    — no self-join, no second corpus pass (the first formulation
+    equi-joined the ranked frame to itself: that join flipped
+    broadcast->SortMergeJoin with input size in the 10x sweep, and
+    re-shuffled the corpus; the lag form is exchange-stable by
+    construction) -> in-row integer cosine gate -> one per-cluster
+    census aggregate (n_members and n_dropped from the same groupBy).
 
     Determinism: the duplicate test is pure integer arithmetic on the
     quantized coordinates — drop x iff dot(x,y) > 0 and
@@ -149,45 +153,39 @@ def q_semdedup(spark, sf_dir):
     vq = _vq(spark, sf_dir)
     a = assign(vq, _init_cents(vq))  # (vec_id, xq, cid, d2q)
     w = Window.partitionBy("cid").orderBy("d2q", "vec_id")
-    r = a.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "nrm", _dotq(F.col("xq"), F.col("xq"))
-    )
-    probes = (
-        r.select("cid", "rnk", "vec_id", "xq", "nrm")
-        .withColumn(
-            "prev", F.explode(F.sequence(F.col("rnk") - SEM_W, F.col("rnk") - 1))
-        )
-        .filter(F.col("prev") >= 1)
-    )
-    prev = r.select(
+    r = a.withColumn("nrm", _dotq(F.col("xq"), F.col("xq"))).select(
         "cid",
-        F.col("rnk").alias("prev"),
-        F.col("xq").alias("xq_y"),
-        F.col("nrm").alias("nrm_y"),
+        "xq",
+        "nrm",
+        *[
+            F.lag(F.struct("xq", "nrm"), j).over(w).alias(f"y{j}")
+            for j in range(1, SEM_W + 1)
+        ],
     )
-    pairs = probes.join(prev, ["cid", "prev"])
-    d100 = (_dotq(F.col("xq"), F.col("xq_y")) * 100).cast("decimal(38,0)")
-    dup = (d100 > 0) & (
-        d100 * d100
-        >= F.lit(SEM_T2_E4).cast("decimal(38,0)")
-        * F.col("nrm").cast("decimal(38,0)")
-        * F.col("nrm_y").cast("decimal(38,0)")
-    )
-    dropped = (
-        pairs.filter(dup)
-        .groupBy("cid")
-        .agg(F.count_distinct("vec_id").alias("n_dropped"))
-    )
-    members = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+
+    def _dup_vs(yj):
+        d100 = (_dotq(F.col("xq"), yj["xq"]) * 100).cast("decimal(38,0)")
+        return (
+            yj.isNotNull()
+            & (d100 > 0)
+            & (
+                d100 * d100
+                >= F.lit(SEM_T2_E4).cast("decimal(38,0)")
+                * F.col("nrm").cast("decimal(38,0)")
+                * yj["nrm"].cast("decimal(38,0)")
+            )
+        )
+
+    dup = None
+    for j in range(1, SEM_W + 1):
+        c = _dup_vs(F.col(f"y{j}"))
+        dup = c if dup is None else (dup | c)
     return (
-        members.join(dropped, "cid", "left")
-        .select(
-            F.col("cid").alias("cluster_id"),
-            "n_members",
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
+        r.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(dup.cast("long")).cast("long").alias("n_dropped"),
+            F.sum((~dup).cast("long")).cast("long").alias("n_kept"),
         )
         .orderBy("cluster_id")
     )

@@ -387,8 +387,9 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "sd1_semdedup": [
         (r"BroadcastNestedLoopJoin", "centroid row broadcast — assignment is zero-shuffle in-row argmin"),
-        (r"(SortMergeJoin|ShuffledHashJoin)", "SNM predecessor probe is an EQUI-join on (cid, rank-j) — no range-join residual, no per-cluster cartesian"),
-        (r"\(\d+\) Window", "in-cluster rank window keyed by cid (the one cid exchange)"),
+        (r"\(\d+\) Window", "the ONE cid exchange: predecessors arrive as lag(struct) columns of the rank window"),
+        (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "no self-join — the lag form replaced the probe join that flipped broadcast->SMJ with input size (10x sweep catch)"),
+        (r"!\(\d+\) Generate", "no probe-side explode either — W candidates are W lag columns"),
         (r"!PythonUDF", "quantization, dot products and the cosine gate are integer codegen"),
     ],
     "ds1_dsir_select": [
