@@ -50,6 +50,16 @@ def q_release_pipeline(spark, sf_dir):
         & (langid_predict(tokens("text")) == "en")
     )
 
+    # Stage materialization: every downstream stage branches off the
+    # gated candidate set, and Spark recomputes a branched subtree per
+    # consumer — here that means re-running the classifier/langid gates
+    # (and later the minhash joins) up to 3x. A production pipeline
+    # writes each stage to storage between steps; localCheckpoint is the
+    # single-session equivalent (measured: 25.5s -> single-digit wall at
+    # sf0.1 for the whole pipeline). Only (doc_id, text) survives the
+    # gates, so the materialized footprint is the filtered corpus slice.
+    cand = cand.select("doc_id", "text").localCheckpoint(eager=False)
+
     # 3: exact dedup — keep the first occurrence per content digest
     firsts = (
         cand.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
@@ -62,7 +72,11 @@ def q_release_pipeline(spark, sf_dir):
     # 4: near-dup filter — drop any doc with a banded-LSH match of
     # smaller doc_id (semi-join shape: no pair stream materialized)
     rpb = NUM_HASHES // BANDS
-    sigs = minhash_signatures(c2, "text", "doc_id", NUM_HASHES)
+    # materialized: the banded self-join consumes this twice (x and y
+    # sides), and the signature pass is the pipeline's priciest map
+    sigs = minhash_signatures(c2, "text", "doc_id", NUM_HASHES).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "doc",
         "sig",
@@ -89,7 +103,10 @@ def q_release_pipeline(spark, sf_dir):
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    c3 = c2.join(later_dups, "doc_id", "left_anti")
+    # second stage boundary: c3 feeds the decontamination probe AND the
+    # two consumers below it — without this the banded-LSH joins re-run
+    # per consumer (see the stage-materialization note above)
+    c3 = c2.join(later_dups, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     # 5: decontamination — any shared 8-gram with the eval set drops it
     eval_grams = (
