@@ -71,6 +71,12 @@ HEADLINERS = [
     "ir1_bm25_search",
     "ir2_hybrid_rrf",
     "hx1_html_extract",
+    # round-3c additions (curation + linear algebra)
+    "sd1_semdedup",
+    "ds1_dsir_select",
+    "url1_url_canonicalize",
+    "ar4_gram_matrix",
+    "rl1_release_pipeline",
 ]
 
 
