@@ -55,6 +55,84 @@ def q_hll(spark, sf_dir):
     return hll_distinct_estimate(lf, "l_orderkey")
 
 
+SK6_K = 64
+
+
+def q_kmv_per_source(spark, sf_dir):
+    """sk6 — per-group KMV: distinct-users-per-event-type estimate
+    (the "cardinality per segment" query). sk1's global orderBy+limit
+    cannot be keyed; the group-wise form ranks hashes inside a
+    per-group window, which Spark executes as WindowGroupLimit — every
+    partition forwards at most k rows PER GROUP, so the exchange is
+    O(groups * k) no matter how many distinct users a segment has.
+    k=64 sits between the test scales on purpose: sf0.001 (15 users)
+    exercises the exact under-k branch, sf0.01+ (150+) the estimator."""
+    from aristoteles_spark.functions.text import h32
+    from aristoteles_spark.operators.sketches import kmv_distinct_per_group
+
+    e = load_table(spark, sf_dir, "events")
+    return kmv_distinct_per_group(
+        e, "event_type", h32(F.col("user_id").cast("string")), k=SK6_K
+    ).orderBy("event_type")
+
+
+DRIFT_B = 256
+
+
+def q_distribution_drift(spark, sf_dir):
+    """dr1 — corpus drift monitor: exact L1 / total-variation distance
+    between the token-bucket distributions of two corpus halves (even-
+    vs odd-numbered sources here; old-vs-new snapshot in production —
+    the standard alarm for "this month's crawl looks different").
+
+    Scale shape: ONE pass over the token stream into a 256-key partial
+    aggregate with two conditional sums; the drift arithmetic runs on
+    the 256-row result against a broadcast 1-row total. Determinism:
+    the summand is the cross-multiplied integer |ca*tb - cb*ta|
+    (order-independent exact sum, carried in DECIMAL(38,0)); the single
+    double division happens once at the end (operands < 2^53)."""
+    from aristoteles_spark.functions.text import h32, tokens
+    from aristoteles_spark.sources.parquet_source import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    is_a = F.substring("source", 4, 10).cast("int") % 2 == 0
+    tok = d.select(is_a.alias("is_a"), F.explode(tokens("text")).alias("t"))
+    counts = (
+        tok.groupBy((h32(F.col("t")) % DRIFT_B).alias("b"))
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("ta"), F.sum("cb").cast("long").alias("tb")
+    )
+    num = F.abs(
+        F.col("ca").cast("decimal(38,0)") * F.col("tb").cast("decimal(38,0)")
+        - F.col("cb").cast("decimal(38,0)") * F.col("ta").cast("decimal(38,0)")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .agg(
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+            F.sum(num).cast("long").alias("l1_num"),
+        )
+        .select(
+            "ta",
+            "tb",
+            "l1_num",
+            F.floor(
+                F.col("l1_num").cast("double")
+                * F.lit(1.0e6)
+                / (F.lit(2) * F.col("ta") * F.col("tb")).cast("double")
+            )
+            .cast("long")
+            .alias("tv_ppm"),
+        )
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """JSON scalar extraction from the events props column (string JSON).
     get_json_object is a codegen'd path expression — no Python, no parse
@@ -1076,6 +1154,8 @@ QUERIES = {
     "g5_cube": q_cube,
     "sk1_kmv_distinct": q_kmv,
     "sk5_hll_distinct": q_hll,
+    "sk6_kmv_per_group": q_kmv_per_source,
+    "dr1_distribution_drift": q_distribution_drift,
     "jx1_json_extract": q_json_extract,
     "p5_hash_sample": q_hash_sample,
     "wb4_multires_rollup": q_multires_rollup,
@@ -1469,6 +1549,46 @@ SELECT count(*) AS k_used, max(h) AS kth_min_hash,
   CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
        ELSE {KMV_K - 1} * 4294967296.0 / max(h) END AS est_distinct
 FROM topk
+""",
+    "sk6_kmv_per_group": f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(concat('0', ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events
+), topk AS (
+  SELECT event_type, h FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {SK6_K}
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_min_hash,
+  CASE WHEN count(*) < {SK6_K} THEN CAST(count(*) AS DOUBLE)
+       ELSE {SK6_K - 1} * 4294967296.0 / max(h) END AS est_distinct
+FROM topk GROUP BY event_type ORDER BY event_type
+""",
+    "dr1_distribution_drift": f"""
+WITH tok AS (
+  SELECT CAST(substr(source, 4, 10) AS INT) % 2 = 0 AS is_a,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), counts AS (
+  SELECT CAST(concat('0x', substr(md5(concat('0', ':', t)), 1, 8)) AS BIGINT)
+           % {DRIFT_B} AS b,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tok GROUP BY b
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM counts
+), agg AS (
+  SELECT max(ta) AS ta, max(tb) AS tb,
+         CAST(sum(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))
+              AS BIGINT) AS l1_num
+  FROM counts, tot
+)
+SELECT ta, tb, l1_num,
+       CAST(floor(CAST(l1_num AS DOUBLE) * 1e6
+                  / CAST(2 * ta * tb AS DOUBLE)) AS BIGINT) AS tv_ppm
+FROM agg
 """,
     "jx1_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "

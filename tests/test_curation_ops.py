@@ -140,6 +140,44 @@ def test_gram_matrix_enables_pca(spark):
     assert abs(float(top_gram @ top_direct)) > 0.999
 
 
+# ---------------------------------------------------------------- sk6 / dr1
+
+def test_kmv_per_group_exact_branch(spark):
+    """At sf0.001 every event type has 15 distinct users (< k=64): the
+    under-k branch must return the EXACT count, not an estimate."""
+    from aristoteles_spark.queries.analytics import q_kmv_per_source
+
+    rows = q_kmv_per_source(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["k_used"] == 15
+        assert r["est_distinct"] == 15.0
+
+
+def test_kmv_per_group_estimator_branch(spark):
+    """At sf0.01 (150 users per type) the estimator branch must fire and
+    land within the standard KMV error envelope (~1/sqrt(k) ~ 12.5%)."""
+    from aristoteles_spark.queries.analytics import q_kmv_per_source
+
+    rows = q_kmv_per_source(spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        assert r["k_used"] == 64
+        assert 0.6 * 150 <= r["est_distinct"] <= 1.4 * 150
+
+
+def test_distribution_drift_invariants(spark):
+    from aristoteles_spark.queries.analytics import q_distribution_drift
+
+    r = q_distribution_drift(spark, SF_DIR).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["ta"] > 0 and r["tb"] > 0
+    assert 0 <= r["tv_ppm"] <= 1_000_000
+    assert r["tv_ppm"] > 0  # the two halves genuinely differ
+    # L1 numerator bound: sum |ca*tb - cb*ta| <= 2 * ta * tb
+    assert r["l1_num"] <= 2 * r["ta"] * r["tb"]
+
+
 # ---------------------------------------------------------------- ds1
 
 def test_dsir_invariants(spark):

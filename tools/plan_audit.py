@@ -411,6 +411,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!\(\d+\) Generate", "no explode of data rows — the tall triangle is emitted per BATCH, not per row"),
         (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "single-table reduction, no join"),
     ],
+    "sk6_kmv_per_group": [
+        (r"WindowGroupLimit", "per-group k smallest hashes rank map-side — each partition ships <=k rows PER GROUP"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "distinct (group, hash) partial-aggregates before its exchange"),
+        (r"!PythonUDF", "hashing and the estimator are codegen"),
+    ],
+    "dr1_distribution_drift": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "bucket counts partial-aggregate map-side; the exchange carries <=256 keys' partials"),
+        (r"BroadcastNestedLoopJoin", "1-row totals broadcast back onto the 256-row bucket frame"),
+        (r"!(SortMergeJoin|ShuffledHashJoin)", "no keyed join anywhere — drift is two aggregates"),
+        (r"!PythonUDF", "cross-multiplied integer L1 is codegen decimal math"),
+    ],
     "sk5_hll_distinct": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "register maxima partial-aggregate map-side; the exchange carries <=256 keys' partials"),
         (r"!PythonUDF", "register math is integer codegen (bin() bitlength, shifts)"),

@@ -91,6 +91,8 @@ HEADLINE = [
     "sd1_semdedup",
     "ds1_dsir_select",
     "url1_url_canonicalize",
+    "sk6_kmv_per_group",
+    "dr1_distribution_drift",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -77,6 +77,8 @@ HEADLINERS = [
     "url1_url_canonicalize",
     "ar4_gram_matrix",
     "rl1_release_pipeline",
+    "sk6_kmv_per_group",
+    "dr1_distribution_drift",
 ]
 
 
