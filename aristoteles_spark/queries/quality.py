@@ -107,9 +107,147 @@ def score_sql(toks_expr: str) -> str:
         f")) AS BIGINT), 0)"
     )
 
-QUERIES = {"qc1_quality_classifier": q_quality_classifier}
+# Gopher rule constants (Rae et al. 2021, arXiv:2112.11446 §A.1.1):
+# word count in [50, 100k]; mean word length in [3, 10]; >80% of words
+# contain an alphabetic char; symbol-to-word ratio (# and ...) < 0.1;
+# <90% bullet lines; <30% ellipsis-ending lines; >=2 distinct stop words.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+# The paper's exact list (the, be, to, of, and, that, have, with) has
+# zero presence in this synthetic corpus's 31-word vocabulary — the rule
+# would be a constant. Same rule, the engine's EN function-word markers
+# (functions/text.py LANG_MARKERS) as the list; swap the paper's list
+# back in for a real crawl.
+GOPHER_STOPS = ["the", "a", "of", "and", "to", "in", "is", "that"]
+
+
+def q_gopher_rules(spark, sf_dir):
+    """qr1 — the Gopher quality-rule census: every rule of the published
+    filter applied per document, aggregated per source as pass counts
+    plus one failure count per rule (the pipeline-tuning readout: which
+    rule is doing the cutting on which source).
+
+    Every ratio rule is evaluated as a CROSS-MULTIPLIED integer
+    comparison (mean word length in [3,10] becomes
+    3*n_words <= n_chars <= 10*n_words; symbol ratio < 0.1 becomes
+    10*(3*n_hash + 3*n_dots) <= 3*n_words) — no division, no float, so
+    both engines agree bit-for-bit. All per-doc work is in-row codegen
+    over the scan (token folds, line filters, one array_intersect);
+    the census is one partial aggregate keyed by source. On this
+    synthetic single-line corpus the line-shape rules (bullet/ellipsis)
+    and symbol rule structurally pass — they are live code paths that
+    activate on real crawl text; word-count, mean-word-length and
+    stop-word rules cut genuinely here."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    n_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    dots3 = F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+        )
+    )
+    n_ellip = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPS])
+        )
+    )
+    rules = {
+        "wordcount": (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        "meanwordlen": (3 * n_words <= n_chars) & (n_chars <= 10 * n_words),
+        "alphawords": 5 * n_alpha >= 4 * n_words,
+        "symbolratio": 10 * (3 * n_hash + dots3) <= 3 * n_words,
+        "bulletlines": 10 * n_bullet < 9 * n_lines,
+        "ellipsislines": 10 * n_ellip < 3 * n_lines,
+        "stopwords": n_stops >= 2,
+    }
+    all_pass = None
+    for c in rules.values():
+        all_pass = c if all_pass is None else (all_pass & c)
+    scored = d.select(
+        "source",
+        all_pass.alias("pass"),
+        *[(~c).cast("long").alias(f"fail_{k}") for k, c in rules.items()],
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass").cast("long")).cast("long").alias("n_pass"),
+            *[
+                F.sum(f"fail_{k}").cast("long").alias(f"fail_{k}")
+                for k in rules
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "qc1_quality_classifier": q_quality_classifier,
+    "qr1_gopher_rules": q_gopher_rules,
+}
+
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
 
 ORACLE = {
+    "qr1_gopher_rules": f"""
+WITH t AS (
+  SELECT source, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT source,
+    len(toks) AS n_words,
+    COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)
+      AS n_chars,
+    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    length(text) - length(replace(text, '...', '')) AS dots3,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                             OR starts_with(ltrim(l), '*'))) AS n_bullet,
+    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS n_ellip,
+    len(list_intersect(list_distinct(toks), {_GOPHER_STOPS_SQL})) AS n_stops
+  FROM t
+), r AS (
+  SELECT source,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_wordcount,
+    (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS r_meanwordlen,
+    (5 * n_alpha >= 4 * n_words) AS r_alphawords,
+    (10 * (3 * n_hash + dots3) <= 3 * n_words) AS r_symbolratio,
+    (10 * n_bullet < 9 * n_lines) AS r_bulletlines,
+    (10 * n_ellip < 3 * n_lines) AS r_ellipsislines,
+    (n_stops >= 2) AS r_stopwords
+  FROM m
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN r_wordcount AND r_meanwordlen AND r_alphawords
+                 AND r_symbolratio AND r_bulletlines AND r_ellipsislines
+                 AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(sum(CASE WHEN r_wordcount THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordcount,
+  CAST(sum(CASE WHEN r_meanwordlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_meanwordlen,
+  CAST(sum(CASE WHEN r_alphawords THEN 0 ELSE 1 END) AS BIGINT) AS fail_alphawords,
+  CAST(sum(CASE WHEN r_symbolratio THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbolratio,
+  CAST(sum(CASE WHEN r_bulletlines THEN 0 ELSE 1 END) AS BIGINT) AS fail_bulletlines,
+  CAST(sum(CASE WHEN r_ellipsislines THEN 0 ELSE 1 END) AS BIGINT) AS fail_ellipsislines,
+  CAST(sum(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords
+FROM r GROUP BY source ORDER BY source
+""",
     "qc1_quality_classifier": f"""
 WITH t AS (
   SELECT doc_id,

@@ -178,6 +178,51 @@ def test_distribution_drift_invariants(spark):
     assert r["l1_num"] <= 2 * r["ta"] * r["tb"]
 
 
+# ---------------------------------------------------------------- qr1
+
+def test_gopher_rules_pinned(spark):
+    """Rule census pinned against a pure-Python evaluation of the same
+    published rules over the raw sf0.001 parquet."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from aristoteles_spark.queries.quality import (
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+        q_gopher_rules,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    expect = {}
+    for src, text in zip(t["source"], t["text"]):
+        toks = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        nw, nc = len(toks), sum(len(w) for w in toks)
+        na = sum(1 for w in toks if _re.search("[a-z]", w))
+        nh = text.count("#")
+        nd3 = len(text) - len(text.replace("...", ""))
+        lines = text.split("\n")
+        nb = sum(1 for l in lines if l.lstrip().startswith(("-", "*")))
+        ne = sum(1 for l in lines if l.rstrip().endswith("..."))
+        ns = len(set(toks) & set(GOPHER_STOPS))
+        ok = (
+            GOPHER_MIN_WORDS <= nw <= 100_000
+            and 3 * nw <= nc <= 10 * nw
+            and 5 * na >= 4 * nw
+            and 10 * (3 * nh + nd3) <= 3 * nw
+            and 10 * nb < 9 * len(lines)
+            and 10 * ne < 3 * len(lines)
+            and ns >= 2
+        )
+        d = expect.setdefault(src, [0, 0])
+        d[0] += 1
+        d[1] += int(ok)
+    got = {r["source"]: (r["n_docs"], r["n_pass"]) for r in q_gopher_rules(spark, SF_DIR).collect()}
+    assert got == {s: (n, p) for s, (n, p) in expect.items()}
+    total_pass = sum(p for _, p in expect.values())
+    assert 0 < total_pass < sum(n for n, _ in expect.values())  # both branches live
+
+
 # ---------------------------------------------------------------- ds1
 
 def test_dsir_invariants(spark):

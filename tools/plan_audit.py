@@ -411,6 +411,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!\(\d+\) Generate", "no explode of data rows — the tall triangle is emitted per BATCH, not per row"),
         (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "single-table reduction, no join"),
     ],
+    "qr1_gopher_rules": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-source rule census partial-aggregates map-side"),
+        (r"!\(\d+\) Generate", "all seven rules are in-row token/line folds and filters — no explode"),
+        (r"!PythonUDF", "cross-multiplied integer comparisons are codegen"),
+        (r"!Join", "no join operator anywhere"),
+    ],
     "sk6_kmv_per_group": [
         (r"WindowGroupLimit", "per-group k smallest hashes rank map-side — each partition ships <=k rows PER GROUP"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "distinct (group, hash) partial-aggregates before its exchange"),
