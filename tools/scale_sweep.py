@@ -93,6 +93,7 @@ HEADLINE = [
     "url1_url_canonicalize",
     "sk6_kmv_per_group",
     "dr1_distribution_drift",
+    "qr1_gopher_rules",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]

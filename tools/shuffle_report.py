@@ -79,6 +79,7 @@ HEADLINERS = [
     "rl1_release_pipeline",
     "sk6_kmv_per_group",
     "dr1_distribution_drift",
+    "qr1_gopher_rules",
 ]
 
 
