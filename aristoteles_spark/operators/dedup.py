@@ -354,6 +354,15 @@ def _minhash_sig_pairs(
     ``minhash_cluster_edges`` (strategy notes on the former)."""
     rows_per_band = num_hashes // bands
     n_uniq = uniq.count()
+    # carry the compact signature id through the pair stream when the
+    # caller provides one (see minhash_lsh_pairs): downstream consumers
+    # can then join/expand on an 8-byte key instead of the 16-element
+    # array — and, behind an exchange, est_sim becomes a VALUE instead
+    # of a deferred expression over both arrays
+    has_sid = "sid" in uniq.columns
+    extra_a = [F.col("sid").alias("sid_a")] if has_sid else []
+    extra_b = [F.col("sid").alias("sid_b")] if has_sid else []
+    out_cols = ["sig_a", "sig_b"] + (["sid_a", "sid_b"] if has_sid else [])
     # position-agreement count as a FLAT codegen sum (element_at chain),
     # not F.aggregate: higher-order lambdas evaluate interpreted per
     # candidate pair, and the banded path streams O(sum bucket^2) pairs
@@ -365,8 +374,8 @@ def _minhash_sig_pairs(
         m = (F.element_at("sig_a", i) == F.element_at("sig_b", i)).cast("int")
         matches = m if matches is None else matches + m
     if n_uniq <= max_allpairs_sigs:
-        a = uniq.select(F.col("sig").alias("sig_a"))
-        b_ = uniq.select(F.col("sig").alias("sig_b"))
+        a = uniq.select(F.col("sig").alias("sig_a"), *extra_a)
+        b_ = uniq.select(F.col("sig").alias("sig_b"), *extra_b)
         band_match = None
         for bi in range(bands):
             eq = F.slice("sig_a", bi * rows_per_band + 1, rows_per_band) == F.slice(
@@ -391,6 +400,7 @@ def _minhash_sig_pairs(
         # keeps the per-candidate cost at a few dozen codegen ops.
         banded = uniq.select(
             "sig",
+            *(["sid"] if has_sid else []),
             F.posexplode(
                 F.array(
                     *[
@@ -402,8 +412,8 @@ def _minhash_sig_pairs(
                 )
             ).alias("band", "band_digest"),
         )
-        x = banded.select(F.col("sig").alias("sig_a"), "band", "band_digest")
-        y = banded.select(F.col("sig").alias("sig_b"), "band", "band_digest")
+        x = banded.select(F.col("sig").alias("sig_a"), *extra_a, "band", "band_digest")
+        y = banded.select(F.col("sig").alias("sig_b"), *extra_b, "band", "band_digest")
         earlier = None  # an earlier band ALSO collides -> emitted there
         for bi in range(bands - 1):
             eq = (F.col("band") > bi) & (
@@ -416,12 +426,12 @@ def _minhash_sig_pairs(
         cand = (
             x.join(y, ["band", "band_digest"])
             .filter((F.col("sig_a") < F.col("sig_b")) & ~earlier)
-            .select("sig_a", "sig_b")
+            .select(*out_cols)
         )
     return (
         cand.withColumn("est_sim", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_sim") >= threshold)
-        .select("sig_a", "sig_b", "est_sim")
+        .select(*out_cols, "est_sim")
     )
 
 
@@ -463,19 +473,46 @@ def minhash_lsh_pairs(
     """
     members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
     n_members = members.count()
-    uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
+    # sid: a compact 8-byte id per DISTINCT signature. The pair stream
+    # and the doc-expansion joins below run on sids, never on the
+    # signature arrays — without this, the candidate->doc expansion
+    # carried BOTH 16-element arrays through the broadcast joins and
+    # codegen deferred the 16-term est_sim sum to the EXPANDED stream
+    # (measured at the 100x sweep: count() of the final agg 80s, but
+    # collect() — which cannot prune est_sim — 981s, i.e. ~900s spent
+    # re-evaluating element_at chains over 581M rows). The ids are
+    # monotonically_increasing_id on a PERSISTED, eagerly-materialized
+    # frame, so every consumer reads the same mapping; they are
+    # internal-only and never reach the output. (A production run
+    # writes the id-mapped signature table to storage between stages —
+    # the rl1 stage-materialization pattern.)
+    uniq = (
+        members.groupBy("sig")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sid", F.monotonically_increasing_id())
+        .persist()
+    )
+    n_uniq = uniq.count()  # pins the sid assignment before any branch
     sig_pairs = _minhash_sig_pairs(uniq, num_hashes, bands, threshold, max_allpairs_sigs)
+    # exchange boundary: est_sim crosses as a VALUE (8B) per sig pair;
+    # the arrays never leave this stage
+    sig_pairs = sig_pairs.select("sid_a", "sid_b", "est_sim").repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "sid_a"
+    )
+    mem_id = members.join(
+        _maybe_broadcast(uniq.select("sig", "sid"), n_uniq), "sig"
+    )
     m1 = _maybe_broadcast(
-        members.select(F.col("doc").alias("da"), F.col("sig").alias("sig_a")),
+        mem_id.select(F.col("doc").alias("da"), F.col("sid").alias("sid_a")),
         n_members,
     )
     m2 = _maybe_broadcast(
-        members.select(F.col("doc").alias("db"), F.col("sig").alias("sig_b")),
+        mem_id.select(F.col("doc").alias("db"), F.col("sid").alias("sid_b")),
         n_members,
     )
     cross = (
-        sig_pairs.join(m1, "sig_a")
-        .join(m2, "sig_b")
+        sig_pairs.join(m1, "sid_a")
+        .join(m2, "sid_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
