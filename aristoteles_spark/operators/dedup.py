@@ -354,15 +354,6 @@ def _minhash_sig_pairs(
     ``minhash_cluster_edges`` (strategy notes on the former)."""
     rows_per_band = num_hashes // bands
     n_uniq = uniq.count()
-    # carry the compact signature id through the pair stream when the
-    # caller provides one (see minhash_lsh_pairs): downstream consumers
-    # can then join/expand on an 8-byte key instead of the 16-element
-    # array — and, behind an exchange, est_sim becomes a VALUE instead
-    # of a deferred expression over both arrays
-    has_sid = "sid" in uniq.columns
-    extra_a = [F.col("sid").alias("sid_a")] if has_sid else []
-    extra_b = [F.col("sid").alias("sid_b")] if has_sid else []
-    out_cols = ["sig_a", "sig_b"] + (["sid_a", "sid_b"] if has_sid else [])
     # position-agreement count as a FLAT codegen sum (element_at chain),
     # not F.aggregate: higher-order lambdas evaluate interpreted per
     # candidate pair, and the banded path streams O(sum bucket^2) pairs
@@ -374,8 +365,8 @@ def _minhash_sig_pairs(
         m = (F.element_at("sig_a", i) == F.element_at("sig_b", i)).cast("int")
         matches = m if matches is None else matches + m
     if n_uniq <= max_allpairs_sigs:
-        a = uniq.select(F.col("sig").alias("sig_a"), *extra_a)
-        b_ = uniq.select(F.col("sig").alias("sig_b"), *extra_b)
+        a = uniq.select(F.col("sig").alias("sig_a"))
+        b_ = uniq.select(F.col("sig").alias("sig_b"))
         band_match = None
         for bi in range(bands):
             eq = F.slice("sig_a", bi * rows_per_band + 1, rows_per_band) == F.slice(
@@ -383,6 +374,7 @@ def _minhash_sig_pairs(
             )
             band_match = eq if band_match is None else (band_match | eq)
         cand = a.join(b_, (F.col("sig_a") < F.col("sig_b")) & band_match)
+        barrier = False
     else:
         # Banded equi-join with EMIT-ON-FIRST-MATCHING-BAND dedup. The
         # former shape shuffled the joined pair stream (sum of
@@ -400,7 +392,6 @@ def _minhash_sig_pairs(
         # keeps the per-candidate cost at a few dozen codegen ops.
         banded = uniq.select(
             "sig",
-            *(["sid"] if has_sid else []),
             F.posexplode(
                 F.array(
                     *[
@@ -412,8 +403,8 @@ def _minhash_sig_pairs(
                 )
             ).alias("band", "band_digest"),
         )
-        x = banded.select(F.col("sig").alias("sig_a"), *extra_a, "band", "band_digest")
-        y = banded.select(F.col("sig").alias("sig_b"), *extra_b, "band", "band_digest")
+        x = banded.select(F.col("sig").alias("sig_a"), "band", "band_digest")
+        y = banded.select(F.col("sig").alias("sig_b"), "band", "band_digest")
         earlier = None  # an earlier band ALSO collides -> emitted there
         for bi in range(bands - 1):
             eq = (F.col("band") > bi) & (
@@ -426,13 +417,36 @@ def _minhash_sig_pairs(
         cand = (
             x.join(y, ["band", "band_digest"])
             .filter((F.col("sig_a") < F.col("sig_b")) & ~earlier)
-            .select(*out_cols)
+            .select("sig_a", "sig_b")
         )
-    return (
+        barrier = True
+    out = (
         cand.withColumn("est_sim", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_sim") >= threshold)
-        .select(*out_cols, "est_sim")
+        .select("sig_a", "sig_b", "est_sim")
     )
+    if barrier:
+        # materialization barrier on the SCALE path: est_sim crosses into
+        # the consumers as a VALUE. Whole-stage codegen passes a Project's
+        # output expressions to the parent as inlined CODE, evaluated at
+        # point of USE — for a downstream broadcast join that point is the
+        # build-side match loop, so the 32-element_at agreement sum gets
+        # re-evaluated per EXPANDED doc pair (measured at the 100x sweep:
+        # count() of dd4's final agg, which prunes est_sim, 80s; collect()
+        # 981s — ~900s re-evaluating element_at chains over 581M rows).
+        # A repartition() barrier does NOT survive: AQE's re-planning
+        # elides the user REPARTITION_BY_NUM exchange here (verified:
+        # sparkPlan has it, executedPlan does not), so the barrier is a
+        # persist — an InMemoryRelation is a stage boundary codegen cannot
+        # inline through, and it is the in-engine form of what a
+        # production pipeline does anyway at this seam (write the scored
+        # candidate-pair table to storage between stages — the rl1
+        # stage-materialization pattern). The all-pairs branch is exempt:
+        # u <= max_allpairs_sigs bounds its pair stream, the deferred
+        # expression is a bounded constant factor there, and the extra
+        # stage boundary measured +4.5s of pure overhead at sf0.1.
+        out = out.persist()
+    return out
 
 
 def minhash_lsh_pairs(
@@ -458,11 +472,13 @@ def minhash_lsh_pairs(
       corpora collapse to few distinct signatures; a broadcast
       nested-loop of in-row array compares beats the explode-by-bands
       shuffle and needs no candidate dedup. O(u^2) in distinct sigs —
-      MEASURED crossover is low: at u~5k the banded join already wins
-      (2.3s vs 3.1s, sf0.1) and at u~33k all-pairs is 22x slower
-      (140s vs 6.3s on the 10x scale sweep), so the default cap stays
-      small; raise it only for corpora known to collapse to a few
-      thousand distinct signatures.
+      at u~33k all-pairs is 22x slower than banded (140s vs 6.3s on
+      the 10x scale sweep), while at u~5k on THIS corpus all-pairs wins
+      4.3s vs 23s — the synthetic vocab puts ~45% of distinct sigs in
+      one band bucket, so the banded join's pair mass lands in a single
+      straggler task while the BNLJ spreads u^2/2 compares evenly. At
+      production scale that skew is AQE's job (skewed-SMJ chunk split);
+      below AQE's size thresholds the even BNLJ is the right plan.
     - **banded equi-join** (above the threshold — the 100 TB path on a
       mostly-unique corpus where u ~ n): each signature explodes into
       ``bands`` (band, xxhash64(band slice)) keys, candidates come from a
@@ -473,46 +489,19 @@ def minhash_lsh_pairs(
     """
     members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
     n_members = members.count()
-    # sid: a compact 8-byte id per DISTINCT signature. The pair stream
-    # and the doc-expansion joins below run on sids, never on the
-    # signature arrays — without this, the candidate->doc expansion
-    # carried BOTH 16-element arrays through the broadcast joins and
-    # codegen deferred the 16-term est_sim sum to the EXPANDED stream
-    # (measured at the 100x sweep: count() of the final agg 80s, but
-    # collect() — which cannot prune est_sim — 981s, i.e. ~900s spent
-    # re-evaluating element_at chains over 581M rows). The ids are
-    # monotonically_increasing_id on a PERSISTED, eagerly-materialized
-    # frame, so every consumer reads the same mapping; they are
-    # internal-only and never reach the output. (A production run
-    # writes the id-mapped signature table to storage between stages —
-    # the rl1 stage-materialization pattern.)
-    uniq = (
-        members.groupBy("sig")
-        .agg(F.count("*").alias("n"))
-        .withColumn("sid", F.monotonically_increasing_id())
-        .persist()
-    )
-    n_uniq = uniq.count()  # pins the sid assignment before any branch
+    uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
     sig_pairs = _minhash_sig_pairs(uniq, num_hashes, bands, threshold, max_allpairs_sigs)
-    # exchange boundary: est_sim crosses as a VALUE (8B) per sig pair;
-    # the arrays never leave this stage
-    sig_pairs = sig_pairs.select("sid_a", "sid_b", "est_sim").repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "sid_a"
-    )
-    mem_id = members.join(
-        _maybe_broadcast(uniq.select("sig", "sid"), n_uniq), "sig"
-    )
     m1 = _maybe_broadcast(
-        mem_id.select(F.col("doc").alias("da"), F.col("sid").alias("sid_a")),
+        members.select(F.col("doc").alias("da"), F.col("sig").alias("sig_a")),
         n_members,
     )
     m2 = _maybe_broadcast(
-        mem_id.select(F.col("doc").alias("db"), F.col("sid").alias("sid_b")),
+        members.select(F.col("doc").alias("db"), F.col("sig").alias("sig_b")),
         n_members,
     )
     cross = (
-        sig_pairs.join(m1, "sid_a")
-        .join(m2, "sid_b")
+        sig_pairs.join(m1, "sig_a")
+        .join(m2, "sig_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),

@@ -125,6 +125,19 @@ KNOWN_BENIGN = {
 # because a documented adaptive strategy flips (both strategies are
 # tested equivalent); an unexplained exchange change still fails.
 KNOWN_STRATEGY_SWITCH = {
+    "dd4_minhash_lsh_pairs": (
+        "adaptive pair-generation strategy: sf0.1 collapses to ~1.9k "
+        "distinct signatures (<= the 4096 all-pairs cap) and takes the "
+        "broadcast nested-loop compare (28 exchanges, evenly spread "
+        "u^2/2 in-row work); the 10x/100x replicas have 23k/220k "
+        "distinct sigs and take the banded equi-join whose scored pair "
+        "stream is persisted as the stage barrier (40 exchanges). "
+        "Equivalence is pytest-pinned "
+        "(test_banded_equijoin_matches_allpairs); within the banded "
+        "strategy growth is linear: 23.7s at 10x -> 179.4s at 100x "
+        "(7.6x wall on 10x data between the rungs, pair rows exactly "
+        "10x)."
+    ),
     "dd7_dup_clusters": (
         "adaptive CC strategy: the contracted edge set fits the 250k "
         "driver union-find guard at the small scale (2 exchanges) and "
