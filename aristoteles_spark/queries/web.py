@@ -219,11 +219,211 @@ SELECT domain,
 FROM per_page GROUP BY domain ORDER BY domain
 """
 
+
+
+# ---------------------------------------------------------------------------
+# dom1: domain-blocklist filtering (the crawl pipeline's first URL gate)
+# ---------------------------------------------------------------------------
+
+# deterministic multi-label host per document; the varying label (source)
+# sits LEFTMOST so the static blocklist can name the deeper suffixes.
+# (doc_id + n_chars) mixes the tld choice so per-source block rates differ.
+_HOST_SECTIONS = ["news", "ads", "blog", "shop"]
+_HOST_TLDS = ["example.com", "example.net"]
+# registrable blocklist entries (label-suffix semantics: an entry blocks
+# the exact host AND every subdomain of it). Deliberately disjoint so a
+# host matches at most one entry.
+_BLOCKLIST = ["ads.example.com", "ads.example.net", "shop.example.net"]
+
+
+def _host_col():
+    sec = _HOST_SECTIONS
+    tld = _HOST_TLDS
+    section = (
+        F.when(F.col("doc_id") % 4 == 0, sec[0])
+        .when(F.col("doc_id") % 4 == 1, sec[1])
+        .when(F.col("doc_id") % 4 == 2, sec[2])
+        .otherwise(sec[3])
+    )
+    t = F.when((F.col("doc_id") + F.col("n_chars")) % 2 == 0, tld[0]).otherwise(tld[1])
+    return F.concat_ws(".", F.col("source"), section, t)
+
+
+_HOST_SQL = (
+    "(source || '.' || CASE doc_id % 4 WHEN 0 THEN 'news' WHEN 1 THEN 'ads'"
+    " WHEN 2 THEN 'blog' ELSE 'shop' END || '.'"
+    " || CASE (doc_id + n_chars) % 2 WHEN 0 THEN 'example.com'"
+    "    ELSE 'example.net' END)"
+)
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """dom1 — URL/domain blocklist gate with subdomain-suffix semantics
+    (an entry blocks the exact host and every host under it): the first
+    filter a crawl pipeline applies, before any content is even fetched.
+
+    Scale shape: suffix matching is NOT a LIKE join (that is a cross
+    product with a per-pair string scan). Each host explodes into its
+    label suffixes IN-ROW (bounded by label count, here 3) and the
+    blocklist probe becomes a plain broadcast SEMI equi-join on the
+    suffix string — with a million-entry production blocklist the same
+    plan holds (hash join on the suffix, blocklist side broadcast or
+    shuffled by entry). The census is two map-side-combinable partial
+    aggregates joined on the tiny per-source key set.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    hosts = d.select("doc_id", "source", _host_col().alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    # label suffixes of depth >= 2 ("ads.example.com" matches the entry,
+    # "com" alone must not): slice from each start position to the end
+    sfx = hosts.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(labels) - F.lit(1)),
+                lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+            )
+        ).alias("sfx"),
+    )
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "sfx string")
+    # entries are disjoint (no entry is a suffix of another), so each
+    # host contributes at most one matching suffix row: the semi-join
+    # output IS the per-doc blocked set, no distinct needed
+    blocked = (
+        sfx.join(F.broadcast(bl), "sfx", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+    )
+    totals = hosts.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(blocked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+            (F.col("n_docs") - F.coalesce("n_blocked", F.lit(0))).alias("n_passed"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOM1_SQL = f"""
+WITH h AS (
+  SELECT source, {_HOST_SQL} AS host FROM documents
+), v AS (
+  SELECT source,
+         CASE WHEN {" OR ".join(
+             f"(host = '{e}' OR host LIKE '%.{e}')" for e in _BLOCKLIST
+         )} THEN 1 ELSE 0 END AS blocked
+  FROM h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(blocked) AS BIGINT) AS n_blocked,
+       CAST(count(*) - sum(blocked) AS BIGINT) AS n_passed
+FROM v GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# tq1: per-domain contribution cap (the C4/RefinedWeb anti-monoculture rule)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 3  # keep at most K docs per domain (tiny so sf0.001 drops too)
+
+
+def q_domain_cap(spark, sf_dir):
+    """tq1 — cap any single domain's contribution to the corpus at K
+    documents, keeping the highest-quality ones (longest first,
+    deterministic id tie-break): the standard guard against a single
+    crawler-friendly site dominating the training mixture.
+
+    Scale shape: totals come from a map-side-combinable partial agg
+    (skew-immune — a 10M-doc domain partial-aggregates like any other),
+    and the keep-set uses a rank window whose ONLY window function is
+    row_number filtered to <= K, which Spark executes as
+    WindowGroupLimit: each map partition ships at most K rows PER DOMAIN
+    into the exchange, so the hot domain never materializes in one task.
+    The two K-row-per-domain frames join on the tiny domain key set.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    dom = d.select(
+        F.concat_ws(
+            ".",
+            F.col("source"),
+            F.when((F.col("doc_id") + F.col("n_chars")) % 2 == 0,
+                   _HOST_TLDS[0]).otherwise(_HOST_TLDS[1]),
+        ).alias("domain"),
+        "doc_id",
+        "n_chars",
+    )
+    totals = dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        dom.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+    return (
+        totals.join(kept, "domain")
+        .select(
+            "domain",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "kept_chars",
+            "total_chars",
+        )
+        .orderBy("domain")
+    )
+
+
+_TQ1_SQL = f"""
+WITH dom AS (
+  SELECT source || '.' || CASE (doc_id + n_chars) % 2 WHEN 0
+           THEN 'example.com' ELSE 'example.net' END AS domain,
+         doc_id, n_chars
+  FROM documents
+), ranked AS (
+  SELECT domain, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM dom
+), totals AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM dom GROUP BY domain
+), kept AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(n_chars) AS BIGINT) AS kept_chars
+  FROM ranked WHERE rn <= {_DOMAIN_CAP} GROUP BY domain
+)
+SELECT t.domain, t.n_docs, k.n_kept,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+       k.kept_chars, t.total_chars
+FROM totals t JOIN kept k ON t.domain = k.domain
+ORDER BY t.domain
+"""
+
+
 QUERIES = {
     "hx1_html_extract": q_html_extract,
     "url1_url_canonicalize": q_url_canonicalize,
+    "dom1_domain_blocklist": q_domain_blocklist,
+    "tq1_domain_cap": q_domain_cap,
 }
 ORACLE = {
     "hx1_html_extract": _HX1_SQL,
     "url1_url_canonicalize": _URL1_SQL,
+    "dom1_domain_blocklist": _DOM1_SQL,
+    "tq1_domain_cap": _TQ1_SQL,
 }
