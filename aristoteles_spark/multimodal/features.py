@@ -225,6 +225,50 @@ def real_resize_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).mapInPandas(batches, REAL_RESIZE_SCHEMA)
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", IntegerType()),
+    ]
+)
+
+
+def real_dhash_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL perceptual difference-hash (dHash) stage: digest -> 4x4 gray
+    PNG (row filter ``doc_id % 5``) -> pure-Python PNG decode -> 12-bit
+    dHash (bit r*3+c set iff px[r,c] > px[r,c+1] — the standard
+    brightness-gradient fingerprint image dedup pipelines block on).
+    Lossless PNG means each bit is a stated comparison of two digest
+    bytes, so the SQL oracle reproduces the hash exactly and the driver
+    gate checks the REAL decoder underneath the perceptual kernel.
+    Arrow-batched mapInPandas; blobs never leave the scan task — only
+    (doc_id, 12-bit int) continues downstream."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aristoteles_spark.formats.imaging import decode_png, encode_png
+
+        for pdf in it:
+            rows = []
+            for did, hexd in zip(pdf[id_col], pdf["digest"]):
+                img = np.frombuffer(
+                    bytes.fromhex(hexd), dtype=np.uint8
+                ).reshape(4, 4)
+                px = decode_png(encode_png(img, filter_type=int(did) % 5))
+                bits = px[:, :-1] > px[:, 1:]  # 4 rows x 3 comparisons
+                h = 0
+                for b in bits.reshape(-1)[::-1]:
+                    h = (h << 1) | int(b)
+                rows.append((did, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5("payload").alias("digest")
+    ).mapInPandas(batches, DHASH_SCHEMA)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -160,8 +160,29 @@ def q_real_webp(spark, sf_dir):
 
 
 
+def q_phash_buckets(spark, sf_dir):
+    """mm15 — perceptual-hash dedup blocking over REAL decoded pixels:
+    the dHash census an image-dedup pipeline runs before any pairwise
+    compare. Decode + hash happen in the Arrow-batched mapInPandas seam
+    (real PNG codec, all five row filters); the census is one partial-
+    aggregated groupBy on the 12-bit hash — at 100 TB the image bytes
+    never shuffle, only (doc_id, int), and the bucket histogram is the
+    skew/recall readout (same role dd11 plays for text LSH)."""
+    from pyspark.sql import functions as F
+
+    from aristoteles_spark.multimodal.features import real_dhash_features
+
+    h = real_dhash_features(_docs(spark, sf_dir))
+    return (
+        h.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("dhash")
+    )
+
+
 QUERIES = {
     "mm1_binary_stats": q_binary_stats,
+    "mm15_phash_buckets": q_phash_buckets,
     "mm10_real_jpeg": q_real_jpeg,
     "mm11_real_gif": q_real_gif,
     "mm12_real_tiff": q_real_tiff,
@@ -202,7 +223,24 @@ def _jpeg_quadrant(i: int) -> str:
     return f"(64 + 2 * ({_byte_val(i)} % 64))"
 
 
+def _dhash_sql() -> str:
+    terms = []
+    for r in range(4):
+        for c in range(3):
+            left = _byte_val(4 * r + c)
+            right = _byte_val(4 * r + c + 1)
+            terms.append(
+                f"(CASE WHEN {left} > {right} THEN {1 << (r * 3 + c)} ELSE 0 END)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
 ORACLE = {
+    "mm15_phash_buckets": (
+        f"WITH h AS (SELECT doc_id, {_dhash_sql()} AS dhash FROM documents) "
+        "SELECT CAST(dhash AS INTEGER) AS dhash, count(*) AS n_docs, "
+        "min(doc_id) AS keep_id FROM h GROUP BY dhash ORDER BY dhash"
+    ),
     "mm10_real_jpeg": (
         "SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels, "
         f"(({' + '.join(_jpeg_quadrant(i) for i in range(4))}) / 4.0 / 255.0) "

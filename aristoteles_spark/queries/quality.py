@@ -195,14 +195,113 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+# qc2 threshold grid (ppm of classifier score per feature): spans the
+# measured corpus distribution (min -121M, median ~80M, max ~290M at
+# sf0.01) so every step genuinely moves the yield.
+YIELD_THRESHOLDS = [
+    -50_000_000,
+    0,
+    25_000_000,
+    50_000_000,
+    80_000_000,
+    120_000_000,
+    160_000_000,
+    200_000_000,
+]
+
+
+def q_threshold_yield(spark, sf_dir):
+    """qc2 — classifier-threshold yield curve: for each (source,
+    threshold) pair, how many documents and tokens survive the quality
+    gate. THE tuning readout for a filtered pretraining corpus ("what
+    does raising the bar cost me, and from which source?") — run before
+    committing a threshold to a 100 TB pass.
+
+    Scale design: the per-doc work is qc1's in-row codegen scoring (zero
+    shuffle); each doc then explodes into |grid| (source, thr, tiny int)
+    rows and ONE partial-aggregated groupBy folds them — map-side
+    combine collapses to |sources| x |grid| rows before the exchange, so
+    the grid costs scan-side CPU only, never shuffle volume. All outputs
+    integer counts (the cross-engine-exact currency)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("source", tokens("text").alias("toks"))
+    feats = classifier_features(F.col("toks"))
+    scored = base.select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        F.size(feats).alias("n_feats"),
+        classifier_score(F.col("toks")).alias("score_q"),
+    ).select(
+        "source",
+        "n_toks",
+        F.when(F.col("n_feats") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("score_q") * F.lit(1.0e6) / F.col("n_feats")).cast("long")
+        )
+        .alias("ppm"),
+    )
+    grid = scored.select(
+        "source",
+        "n_toks",
+        "ppm",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in YIELD_THRESHOLDS])
+        ).alias("thr_ppm"),
+    )
+    keep = F.col("ppm") >= F.col("thr_ppm")
+    return (
+        grid.groupBy("source", "thr_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_toks")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source", "thr_ppm")
+    )
+
+
 QUERIES = {
     "qc1_quality_classifier": q_quality_classifier,
+    "qc2_threshold_yield": q_threshold_yield,
     "qr1_gopher_rules": q_gopher_rules,
 }
 
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
 
+_YIELD_GRID_SQL = ", ".join(f"({t})" for t in YIELD_THRESHOLDS)
+
 ORACLE = {
+    "qc2_threshold_yield": f"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT source, len(toks) AS n_toks,
+         len(toks) + CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+           AS n_feats,
+         {score_sql('toks')} AS score_q
+  FROM t
+), s AS (
+  SELECT source, n_toks,
+         CASE WHEN n_feats = 0 THEN 0
+              ELSE CAST(floor(score_q * 1.0e6 / n_feats) AS BIGINT) END AS ppm
+  FROM f
+), g AS (
+  SELECT s.source, s.n_toks, s.ppm, v.thr_ppm
+  FROM s CROSS JOIN (VALUES {_YIELD_GRID_SQL}) v(thr_ppm)
+)
+SELECT source, CAST(thr_ppm AS BIGINT) AS thr_ppm,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ppm >= thr_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN ppm >= thr_ppm THEN n_toks ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM g GROUP BY source, thr_ppm ORDER BY source, thr_ppm
+""",
     "qr1_gopher_rules": f"""
 WITH t AS (
   SELECT source, text,

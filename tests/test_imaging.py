@@ -119,3 +119,29 @@ class TestResize:
             .reshape(2, 2, 4).mean(axis=2)
         )
         assert np.array_equal(out.astype(float), want)
+
+
+class TestDhashKernel:
+    def test_dhash_bits_match_pixel_gradients(self, rng):
+        """The mapInPandas dHash kernel's bit layout: bit r*3+c set iff
+        px[r,c] > px[r,c+1] after a lossless PNG round-trip."""
+        import hashlib
+
+        from aristoteles_spark.formats.imaging import decode_png, encode_png
+
+        for did in range(5):
+            digest = hashlib.md5(f"doc-{did}".encode()).digest()
+            img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+            px = decode_png(encode_png(img, filter_type=did % 5))
+            assert np.array_equal(px, img)
+            expect = 0
+            for r in range(4):
+                for c in range(3):
+                    if img[r, c] > img[r, c + 1]:
+                        expect |= 1 << (r * 3 + c)
+            bits = px[:, :-1] > px[:, 1:]
+            h = 0
+            for b in bits.reshape(-1)[::-1]:
+                h = (h << 1) | int(b)
+            assert h == expect
+            assert 0 <= h < 4096
