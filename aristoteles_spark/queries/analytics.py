@@ -1136,7 +1136,52 @@ def q_freshness(spark, sf_dir):
     )
 
 
+N_RANGE_SHARDS = 8
+
+
+def q_range_shards(spark, sf_dir):
+    """srt1 — range-partitioned global sort layout (the terasort shape,
+    and the way a globally-ordered 100 TB corpus is actually laid out):
+    pass 1 samples the sort key's distribution into shard boundaries;
+    pass 2 assigns every row to its range shard; the manifest (per-shard
+    count, key min/max, payload volume) is the checkable artifact. Here
+    the key is document length — the curriculum/packing order — and the
+    boundaries are exact dyadic quantiles (i/8), whose type-7 linear
+    interpolation is EXACT in float64 for integer keys (dyadic fractions
+    times <2^52 integers), so both engines state identical boundaries.
+
+    Scale design: exactly two corpus passes, like terasort — a boundary
+    pass (at 100 TB: approx_percentile or a sample, here exact dyadic
+    percentile so the oracle can state it) and an assignment pass whose
+    shard id is an in-row comparison fold against the broadcast 7-value
+    boundary array. The physical write is repartitionByRange +
+    sortWithinPartitions (pinned by tests/test_layout.py: per-file key
+    ranges must not overlap); the exchange it costs is the range shuffle
+    that IS the sort."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.col("n_chars").alias("k"))
+    qs = [i / N_RANGE_SHARDS for i in range(1, N_RANGE_SHARDS)]
+    bounds = keyed.agg(F.percentile("k", F.lit(qs)).alias("bs"))
+    g = keyed.crossJoin(F.broadcast(bounds))
+    shard = None
+    for j in range(1, N_RANGE_SHARDS):
+        term = (F.col("k") > F.element_at("bs", j)).cast("int")
+        shard = term if shard is None else shard + term
+    return (
+        g.select(shard.alias("shard"), "k")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
+    "srt1_range_shards": q_range_shards,
     "mx1_source_mixture": q_source_mixture,
     "an5_attribution": q_attribution,
     "sk2_bloom_filter": q_bloom_filter,
@@ -1212,7 +1257,28 @@ _BLOOM_WORDS_SQL = ", ".join(
     for w in range(8)
 )
 
+_SRT1_QS = ", ".join(
+    f"{i}/{N_RANGE_SHARDS}.0" for i in range(1, N_RANGE_SHARDS)
+)
+_SRT1_SHARD = " + ".join(
+    f"(CASE WHEN k > bs[{j}] THEN 1 ELSE 0 END)"
+    for j in range(1, N_RANGE_SHARDS)
+)
+
 ORACLE = {
+    "srt1_range_shards": f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS k FROM documents
+), b AS (
+  SELECT quantile_cont(k, [{_SRT1_QS}]) AS bs FROM keyed
+), a AS (
+  SELECT CAST({_SRT1_SHARD} AS INTEGER) AS shard, k FROM keyed, b
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_chars
+FROM a GROUP BY shard ORDER BY shard
+""",
     "dq3_freshness": """
 WITH per_type AS (
   SELECT event_type, max(epoch_us(ts)) AS last_us, count(*) AS n_events

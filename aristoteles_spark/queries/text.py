@@ -746,15 +746,14 @@ def q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _bpe_oracle_sql() -> str:
-    """Mirror of the merge chain: each word becomes a \x01-wrapped
-    \x01\x01-joined symbol string; one left-to-right non-overlapping
-    merge pass == one replace() of the wrapped pair (both engines\'
-    replace consumes matches left-to-right without re-scanning the
-    replacement, exactly the pending-accumulator fold\'s semantics).
-    The corpus contains no \x01 bytes (checked), so the sentinel is
-    collision-free."""
-    X = "\x01"
+def _bpe_word_merge_sql() -> str:
+    """Per-word BPE merge chain as duckdb SQL over a word variable ``w``:
+    the word becomes a \x01-wrapped \x01\x01-joined symbol string; one
+    left-to-right non-overlapping merge pass == one replace() of the
+    wrapped pair (both engines' replace consumes matches left-to-right
+    without re-scanning the replacement, exactly the pending-accumulator
+    fold's semantics). The corpus contains no \x01 bytes (checked), so
+    the sentinel is collision-free. Shared by tx14 and tv1."""
     X = chr(1)
     s = (
         "('" + X + "' || array_to_string(list_concat(string_split(w, ''),"
@@ -765,6 +764,12 @@ def _bpe_oracle_sql() -> str:
             "replace(" + s + ", '" + X + a + X + X + b + X + "', '"
             + X + a + b + X + "')"
         )
+    return s
+
+
+def _bpe_oracle_sql() -> str:
+    X = chr(1)
+    s = _bpe_word_merge_sql()
     return f"""
 WITH words AS (
   SELECT doc_id,
@@ -783,7 +788,61 @@ FROM enc ORDER BY doc_id
 """
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """tv1 — tokenizer-fit census: per (source, lang), corpus totals and
+    the two numbers that say whether a tokenizer suits a corpus —
+    fertility (BPE tokens per whitespace word) and bytes per token —
+    computed with the SHIPPED merge table actually applied (tx14's
+    sentinel-replace chain, whole-stage codegen). The readout a
+    pretraining team checks per language/source before committing a
+    tokenizer to a 100 TB run: fertility spikes mean the vocabulary
+    under-serves that slice (compute cost and effective context shrink).
+
+    Scale design: all per-doc work is in-row codegen (replace chain +
+    size/octet_length); ONE partial-aggregated groupBy on the tiny
+    (source, lang) key. Ratios come from the summed integers as
+    floor(1e6 * a / b) — a single exact double division + floor,
+    cross-engine-exact (the mx1 rule)."""
+    from aristoteles_spark.operators.bpe import bpe_tokens_replace_expr
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+            )
+        ).alias("n_words"),
+        F.size(bpe_tokens_replace_expr(F.col("text"), _BPE_MERGES)).alias(
+            "n_tokens"
+        ),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    totals = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_bytes").cast("long").alias("bytes"),
+    )
+    return totals.select(
+        "source",
+        "lang",
+        "n_docs",
+        "words",
+        "tokens",
+        "bytes",
+        F.floor(F.col("tokens") * F.lit(1.0e6) / F.col("words"))
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.floor(F.col("bytes") * F.lit(1.0e6) / F.col("tokens"))
+        .cast("long")
+        .alias("bytes_per_token_ppm"),
+    ).orderBy("source", "lang")
+
+
 QUERIES = {
+    "tv1_tokenizer_fertility": q_tokenizer_fertility,
     "tx14_bpe_encode": q_bpe_encode,
     "tx13_sentence_stats": q_sentence_stats,
     "pk2_length_buckets": q_length_buckets,
@@ -850,7 +909,38 @@ def _ct2_h(seed: int, expr: str = "g") -> str:
     return f"({h} % {CT2_BITS})"
 
 
+def _fertility_oracle_sql() -> str:
+    X = chr(1)
+    s = _bpe_word_merge_sql()
+    return f"""
+WITH words AS (
+  SELECT source, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), per_doc AS (
+  SELECT source, lang, len(ws) AS n_words,
+         len(flatten(list_transform(ws,
+             w -> string_split(trim({s}, '{X}'), '{X}{X}')))) AS n_tokens,
+         n_bytes
+  FROM words
+), totals AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS words,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         CAST(sum(n_bytes) AS BIGINT) AS bytes
+  FROM per_doc GROUP BY source, lang
+)
+SELECT source, lang, n_docs, words, tokens, bytes,
+       CAST(floor(tokens * 1.0e6 / words) AS BIGINT) AS fertility_ppm,
+       CAST(floor(bytes * 1.0e6 / tokens) AS BIGINT) AS bytes_per_token_ppm
+FROM totals ORDER BY source, lang
+"""
+
+
 ORACLE = {
+    "tv1_tokenizer_fertility": _fertility_oracle_sql(),
     "tx14_bpe_encode": _bpe_oracle_sql(),
     "ct2_bloom_decontamination": f"""
 WITH toks AS (

@@ -93,3 +93,41 @@ class TestPruning:
             F.col("x").between(0, 31) & F.col("y").between(0, 15)
         ).agg(F.sum("v")).first()[0]
         assert exact_pruned == exact_full
+
+
+class TestRangeShardLayout:
+    def test_range_partitioned_write_has_disjoint_file_ranges(
+        self, spark, tmp_path
+    ):
+        """srt1's physical side: repartitionByRange + sortWithinPartitions
+        must produce files whose (key, id) ranges are pairwise disjoint —
+        the property that makes a globally-sorted corpus layout prunable
+        and mergeable. Pinned here because the query's manifest only
+        proves the boundary math, not the writer."""
+        path = str(tmp_path / "sorted")
+        df = spark.createDataFrame(
+            [((i * 37) % 211, i) for i in range(4000)], "k int, doc_id long"
+        )
+        (
+            df.repartitionByRange(8, "k", "doc_id")
+            .sortWithinPartitions("k", "doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        assert back.count() == 4000
+        per_file = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min(F.struct("k", "doc_id")).alias("lo"),
+                F.max(F.struct("k", "doc_id")).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert len(per_file) > 1
+        spans = sorted(
+            ((r.lo.k, r.lo.doc_id), (r.hi.k, r.hi.doc_id)) for r in per_file
+        )
+        for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+            assert prev_hi < nxt_lo, (prev_hi, nxt_lo)
