@@ -472,7 +472,91 @@ def q_lsh_tuning(spark, sf_dir):
     )
 
 
+LSHQ_T = 0.5  # evaluation threshold shared by truth and candidate sides
+LSHQ_SAMPLE = 500  # fixed-SIZE evaluation sample (hash-smallest doc ids)
+
+
+def q_lsh_quality(spark, sf_dir):
+    """dd12 — LSH quality census: precision/recall of the banded MinHash
+    candidate set against exact token-set Jaccard ground truth at the
+    same threshold, measured on a FIXED-SIZE evaluation sample. THE
+    number that justifies (num_hashes, bands) before a 100 TB dedup
+    pass — dd11 shows the bucket-size/skew side, this shows the
+    accuracy side of the same trade-off.
+
+    Scale design — why the sample is load-bearing: exact Jaccard ground
+    truth is inherently superlinear on a growing corpus (the first
+    formulation measured 35x at the 10x sweep: threshold 0.5 halves the
+    AllPairs prefix filter's selectivity exactly when the replica vocab
+    forces the index-join strategy). Production never runs full-corpus
+    exact truth either — it estimates recall on a fixed-budget sample.
+    The sample here is the LSHQ_SAMPLE hash-smallest doc ids (a global
+    partial top-k: TakeOrdered, no full sort). BOTH sides then run on
+    the sample: LSH candidacy is PAIRWISE-LOCAL (a pair is a candidate
+    iff one of ITS OWN band digests matches), so restricting to the
+    sample before pair generation yields exactly (full-corpus pairs) ∩
+    (sample x sample) — the measured-first formulation that generated
+    all corpus pairs and semi-joined after was value-identical and 16x
+    at the 10x sweep (61M pairs built, 9k kept). The only corpus-size-
+    dependent cost left is the TakeOrdered scan.
+
+    Determinism: the sample is a total (h32(doc_id), doc_id) order's
+    prefix; counts are integers; precision/recall are floor(1e6*a/b) on
+    those integers (the mx1 rule)."""
+    from aristoteles_spark.functions.text import h32
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sample_ids = (
+        d.select(
+            "doc_id", h32(F.col("doc_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "doc_id")
+        .limit(LSHQ_SAMPLE)
+        .select("doc_id")
+    )
+    # materialize the 500-row sample ONCE: both pair operators issue
+    # several internal jobs (vocab/signature counts), and each would
+    # otherwise re-run the corpus scan + TakeOrdered underneath
+    # (measured 54s vs 9s at the 10x sweep)
+    sample_docs = d.join(F.broadcast(sample_ids), "doc_id").persist()
+    sample_docs.count()
+    truth = ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
+    )
+    cand = minhash_lsh_pairs(
+        sample_docs, num_hashes=NUM_HASHES, bands=BANDS, threshold=LSHQ_T
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_c"))
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    counts = j.agg(
+        F.sum("in_t").cast("long").alias("n_true"),
+        F.sum("in_c").cast("long").alias("n_lsh"),
+        F.sum(
+            (F.col("in_t").isNotNull() & F.col("in_c").isNotNull()).cast("long")
+        )
+        .cast("long")
+        .alias("n_tp"),
+    )
+    return counts.select(
+        "n_true",
+        "n_lsh",
+        "n_tp",
+        (F.col("n_lsh") - F.col("n_tp")).alias("n_fp"),
+        (F.col("n_true") - F.col("n_tp")).alias("n_fn"),
+        F.when(F.col("n_lsh") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("n_tp") * F.lit(1.0e6) / F.col("n_lsh")).cast("long")
+        )
+        .alias("precision_ppm"),
+        F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("n_tp") * F.lit(1.0e6) / F.col("n_true")).cast("long")
+        )
+        .alias("recall_ppm"),
+    )
+
+
 QUERIES = {
+    "dd12_lsh_quality": q_lsh_quality,
     "dd1_exact_groups": q_exact,
     "dd10_containment": q_containment,
     "dd11_lsh_tuning": q_lsh_tuning,
@@ -836,4 +920,60 @@ SELECT CAST(band AS INT) AS band, count(*) AS n_buckets,
        CAST(max(k) AS BIGINT) AS max_bucket,
        CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS candidate_pairs
 FROM buckets GROUP BY band ORDER BY band
+"""
+
+ORACLE["dd12_lsh_quality"] = f"""
+WITH sample AS (
+  SELECT doc_id FROM documents
+  ORDER BY {_h32("CAST(doc_id AS VARCHAR)")}, doc_id LIMIT {LSHQ_SAMPLE}
+), sdocs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN sample s USING (doc_id)
+), toks AS (
+  SELECT doc_id AS doc, unnest({_DTOKENS}) AS token FROM sdocs
+), sizes AS (
+  SELECT doc, count(*) AS sz FROM toks GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc
+             JOIN sizes sb ON inter.doc_b = sb.doc
+  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {LSHQ_T}
+), hashed AS (
+  SELECT doc_id AS doc, list_transform({_DTOKENS}, t -> {_h32('t')}) AS base_h
+  FROM sdocs
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT *,
+    {_band_cols}
+  FROM sigs
+), lsh AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b ON a.doc < b.doc AND ({_band_match})
+  WHERE {_est_sim} >= {LSHQ_T}
+), j AS (
+  SELECT coalesce(t.doc_a, l.doc_a) AS doc_a,
+         coalesce(t.doc_b, l.doc_b) AS doc_b,
+         (t.doc_a IS NOT NULL) AS in_t, (l.doc_a IS NOT NULL) AS in_c
+  FROM truth t FULL OUTER JOIN lsh l
+    ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+), c AS (
+  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+  FROM j
+)
+SELECT n_true, n_lsh, n_tp, n_lsh - n_tp AS n_fp, n_true - n_tp AS n_fn,
+       CASE WHEN n_lsh = 0 THEN 0
+            ELSE CAST(floor(n_tp * 1.0e6 / n_lsh) AS BIGINT) END
+         AS precision_ppm,
+       CASE WHEN n_true = 0 THEN 0
+            ELSE CAST(floor(n_tp * 1.0e6 / n_true) AS BIGINT) END
+         AS recall_ppm
+FROM c
 """

@@ -284,7 +284,75 @@ def q_pagerank(spark, sf_dir):
     return out
 
 
+ANN_EVAL_QUERIES = 50  # fixed recall-evaluation budget (hash-smallest)
+
+
+def q_ann_recall(spark, sf_dir):
+    """sim6 — ANN recall census: per query, recall@k of the hyperplane-LSH
+    (sim2) and IVF-nprobe (sim4) candidate paths against the exact
+    brute-force top-k (sim1). The standard ANN evaluation artifact — the
+    number that justifies an index's (planes, nprobe) before trusting it
+    on a 100 TB embedding corpus.
+
+    Scale design: candidate generation reuses the existing bucketed
+    operators; the evaluation joins three <= |queries| x k row frames on
+    (query_id, neighbor_id) — tiny regardless of corpus size. The query
+    set is a FIXED-SIZE hash sample (TakeOrdered over h32 — the dd12
+    discipline): brute-force truth is O(|queries| x corpus), so a query
+    set that grew with the corpus would make the census quadratic by
+    construction; a fixed budget keeps it one linear corpus pass.
+    recall ppm = floor(1e6 * hits / n_true) on integer counts."""
+    from aristoteles_spark.functions.text import h32
+
+    v = _load(spark, sf_dir)
+    q_ids = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            "vec_id", h32(F.col("vec_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "vec_id")
+        .limit(ANN_EVAL_QUERIES)
+        .select("vec_id")
+    )
+    q = v.join(F.broadcast(q_ids), "vec_id").persist()
+    q.count()  # materialize: three operators each issue internal jobs
+    truth = knn_brute(v, q, k=K).select("query_id", "neighbor_id")
+    lsh = knn_lsh(v, q, PLANES, k=K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_l")
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter(F.col("vec_id") % CENT_MOD == CENT_OFF)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ivf = knn_ivf(v, q, cents, k=K, nprobe=NPROBE).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_i")
+    )
+    j = truth.join(lsh, ["query_id", "neighbor_id"], "left").join(
+        ivf, ["query_id", "neighbor_id"], "left"
+    )
+    per = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("in_l", F.lit(0))).cast("long").alias("lsh_hits"),
+        F.sum(F.coalesce("in_i", F.lit(0))).cast("long").alias("ivf_hits"),
+    )
+    return per.select(
+        "query_id",
+        "n_true",
+        "lsh_hits",
+        "ivf_hits",
+        F.floor(F.col("lsh_hits") * F.lit(1.0e6) / F.col("n_true"))
+        .cast("long")
+        .alias("lsh_recall_ppm"),
+        F.floor(F.col("ivf_hits") * F.lit(1.0e6) / F.col("n_true"))
+        .cast("long")
+        .alias("ivf_recall_ppm"),
+    ).orderBy("query_id")
+
+
 QUERIES = {
+    "sim6_ann_recall": q_ann_recall,
     "tc1_triangles": q_triangles,
     "gr1_khop_bfs": q_khop_bfs,
     "gr3_weighted_sssp": q_weighted_sssp,
@@ -541,3 +609,69 @@ ORACLE["gr2_pagerank"] = ORACLE["gr2_pagerank"].format(
     vsrc=_V,
     iters="".join(_PR_STEP.format(t=t, p=t - 1) for t in range(1, PR_ITERS + 1)),
 )
+
+ORACLE["sim6_ann_recall"] = f"""
+WITH v AS ({_V}),
+vs AS (SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM v),
+qids AS (SELECT vec_id FROM vs WHERE vec_id % {QUERY_MOD} = 0
+         ORDER BY CAST(concat('0x', substr(md5(concat('0', ':', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT), vec_id
+         LIMIT {ANN_EVAL_QUERIES}),
+q AS (SELECT vs.vec_id, e, nrm, sig FROM vs JOIN qids USING (vec_id)),
+bsims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CASE WHEN q.nrm * c.nrm > 0
+         THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm) ELSE 0.0 END AS cos_sim
+  FROM q JOIN vs c ON c.vec_id <> q.vec_id
+), branked AS (
+  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         ORDER BY cos_sim DESC, neighbor_id) AS rn FROM bsims
+), btop AS (SELECT query_id, neighbor_id FROM branked WHERE rn <= {K}),
+lsims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CASE WHEN q.nrm * c.nrm > 0
+         THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm) ELSE 0.0 END AS cos_sim
+  FROM q JOIN vs c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+), lranked AS (
+  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         ORDER BY cos_sim DESC, neighbor_id) AS rn FROM lsims
+), ltop AS (SELECT query_id, neighbor_id FROM lranked WHERE rn <= {K}),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vs
+         WHERE vec_id % {CENT_MOD} = {CENT_OFF}),
+asg AS (
+  SELECT vs.vec_id, cid,
+    row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+      (CASE WHEN cn * nrm > 0 THEN list_dot_product(e, ce) / (cn * nrm)
+            ELSE 0.0 END) DESC, cid) AS rn
+  FROM vs, cent
+),
+ccell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+qcell AS (SELECT vec_id, cid AS cell FROM asg
+          WHERE rn <= {NPROBE} AND vec_id IN (SELECT vec_id FROM qids)),
+isims AS (
+  SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CASE WHEN qv.nrm * cv.nrm > 0
+         THEN list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm)
+         ELSE 0.0 END AS cos_sim
+  FROM qcell qc JOIN ccell c ON c.cell = qc.cell AND c.vec_id <> qc.vec_id
+  JOIN vs qv ON qv.vec_id = qc.vec_id
+  JOIN vs cv ON cv.vec_id = c.vec_id
+), iranked AS (
+  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         ORDER BY cos_sim DESC, neighbor_id) AS rn FROM isims
+), itop AS (SELECT query_id, neighbor_id FROM iranked WHERE rn <= {K}),
+per AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_true,
+    CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS lsh_hits,
+    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS ivf_hits
+  FROM btop b
+  LEFT JOIN ltop l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  LEFT JOIN itop i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_true, lsh_hits, ivf_hits,
+       CAST(floor(lsh_hits * 1.0e6 / n_true) AS BIGINT) AS lsh_recall_ppm,
+       CAST(floor(ivf_hits * 1.0e6 / n_true) AS BIGINT) AS ivf_recall_ppm
+FROM per ORDER BY query_id
+"""

@@ -138,6 +138,13 @@ KNOWN_STRATEGY_SWITCH = {
         "(7.6x wall on 10x data between the rungs, pair rows exactly "
         "10x)."
     ),
+    "dd12_lsh_quality": (
+        "inherits dd4's adaptive pair-generation flip on its candidate "
+        "side (all-pairs below 4096 distinct signatures, banded "
+        "equi-join with the persisted pair barrier above — equivalence "
+        "pytest-pinned); the exact-truth side is bounded to a fixed "
+        "LSHQ_SAMPLE so its cost is constant in corpus size."
+    ),
     "dd7_dup_clusters": (
         "adaptive CC strategy: the contracted edge set fits the 250k "
         "driver union-find guard at the small scale (2 exchanges) and "
