@@ -442,6 +442,36 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"LeftAnti", "near-dup and contamination filters are anti joins — no pair stream materialized"),
         (r"!PythonUDF", "all six stages are codegen expressions"),
     ],
+    "mm15_phash_buckets": [
+        (r"MapInPandas", "decode+hash in the Arrow seam — image bytes never leave the scan task"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "dhash census partial-aggregates map-side; the exchange carries (dhash, partials) only"),
+        (r"!\(\d+\) Generate", "no explode — one 12-bit int per doc"),
+    ],
+    "qc2_threshold_yield": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "yield grid partial-aggregates map-side to |sources| x |grid| rows before the exchange"),
+        (r"!PythonUDF", "classifier scoring + grid explode are codegen"),
+        (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "no join — the grid is an in-row literal array explode"),
+    ],
+    "tv1_tokenizer_fertility": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-(source,lang) totals partial-aggregate map-side"),
+        (r"!PythonUDF", "the BPE merge chain is codegen replace()"),
+        (r"!\(\d+\) Generate", "no explode — token counts are in-row folds"),
+    ],
+    "srt1_range_shards": [
+        (r"BroadcastNestedLoopJoin", "the 7-value boundary row broadcast onto the corpus — assignment is an in-row fold"),
+        (r"!PythonUDF", "boundary math and shard assignment are codegen"),
+        (r"!Exchange rangepartitioning", "the manifest needs no global sort; the physical sorted WRITE (repartitionByRange) is pinned by tests/test_layout.py"),
+    ],
+    "dd12_lsh_quality": [
+        (r"TakeOrderedAndProject", "the fixed-size evaluation sample is a partial top-k, not a full sort"),
+        (r"InMemoryTableScan", "the 500-row sample persisted — pair operators' internal jobs reuse it"),
+        (r"FullOuter", "TP/FP/FN from ONE full-outer join of the two pair streams"),
+    ],
+    "sim6_ann_recall": [
+        (r"TakeOrderedAndProject", "the fixed 50-query budget is a partial top-k over h32"),
+        (r"InMemoryTableScan", "query sample persisted across the three candidate operators"),
+        (r"WindowGroupLimit", "per-query rank<=k executes as partial (map-side) top-k in the knn operators"),
+    ],
     "ln1_span_dedup": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "first-occurrence min(struct) partial-aggregates map-side before the block-hash shuffle"),
         (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "keepers join back on the block-hash key"),
