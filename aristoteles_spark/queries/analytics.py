@@ -606,6 +606,77 @@ def q_source_mixture(spark, sf_dir):
     )
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """mx2 — temperature-weighted mixture (the multilingual/multi-source
+    up-/down-sampling rule: sampling weight ∝ tokens^α, α = 0.5): small
+    sources are up-weighted relative to their size, dominant sources
+    down-weighted — the standard alternative to mx1's hand-set weights
+    when the mixture should follow the data. Census per source: docs and
+    tokens selected under a half-corpus token budget.
+
+    Scale design (mx1's two-pass shape): one partial-agg pass for
+    per-source token totals; the tiny totals frame folds to model
+    constants broadcast back; the corpus streams once more for the
+    content-hash selection — document rows never shuffle.
+
+    Determinism of the ONE transcendental-free float chain: sqrt is
+    IEEE-correctly-rounded in both engines (unlike ln — see px1), and
+    Σ_j sqrt(t_j) is evaluated as a SORTED left fold over the collected
+    per-source array (fixed order -> identical IEEE adds; the px1
+    pattern), so thresh_ppm = floor(sqrt(t_s)·B·1e6 / (Σsqrt·t_s)) is
+    bit-identical cross-engine with both sides stating the same
+    expression tree."""
+    from aristoteles_spark.functions.text import h32, tokens
+    from aristoteles_spark.sources.parquet_source import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    totals = d.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("t_s")
+    )
+    consts = totals.agg(
+        F.sum("t_s").alias("total_tok"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "t_s"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["t_s"]),
+        ).alias("sum_sqrt"),
+    )
+    budget = F.floor(F.col("total_tok") / F.lit(2)).cast("long")
+    model = totals.crossJoin(F.broadcast(consts)).select(
+        "source",
+        "t_s",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                F.sqrt(F.col("t_s")) * budget * F.lit(1.0e6)
+                / (F.col("sum_sqrt") * F.col("t_s"))
+            ).cast("long"),
+        ).alias("thresh_ppm"),
+    )
+    keep = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    return (
+        d.join(F.broadcast(model), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep < F.col("thresh_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.sum(
+                F.when(keep < F.col("thresh_ppm"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_selected"),
+            F.min("thresh_ppm").alias("thresh_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_outliers(spark, sf_dir):
     """Statistical outlier detection (3-sigma per group): per event
     type, fit mean/stddev and count values outside mean ± 3σ — the
@@ -1183,6 +1254,7 @@ def q_range_shards(spark, sf_dir):
 QUERIES = {
     "srt1_range_shards": q_range_shards,
     "mx1_source_mixture": q_source_mixture,
+    "mx2_temperature_mixture": q_temperature_mixture,
     "an5_attribution": q_attribution,
     "sk2_bloom_filter": q_bloom_filter,
     "sk3_countmin_freq": q_countmin,
@@ -1266,6 +1338,40 @@ _SRT1_SHARD = " + ".join(
 )
 
 ORACLE = {
+    "mx2_temperature_mixture": """
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n_tok
+  FROM documents
+), totals AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s
+  FROM d GROUP BY source
+), consts AS (
+  SELECT CAST(sum(t_s) AS BIGINT) AS total_tok,
+         list_reduce(list(sqrt(t_s) ORDER BY source),
+                     (a, b) -> a + b) AS sum_sqrt
+  FROM totals
+), model AS (
+  SELECT source, t_s,
+    least(1000000, CAST(floor(
+      sqrt(t_s) * CAST(floor(total_tok / 2) AS BIGINT) * 1000000.0
+      / (sum_sqrt * t_s)) AS BIGINT)) AS thresh_ppm
+  FROM totals CROSS JOIN consts
+), hashed AS (
+  SELECT d.*, thresh_ppm,
+    CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))),
+         1, 8)) AS BIGINT) % 1000000 AS h
+  FROM d JOIN model USING (source)
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN h < thresh_ppm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_selected,
+  CAST(sum(CASE WHEN h < thresh_ppm THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_selected,
+  min(thresh_ppm) AS thresh_ppm
+FROM hashed GROUP BY source ORDER BY source
+""",
     "srt1_range_shards": f"""
 WITH keyed AS (
   SELECT doc_id, n_chars AS k FROM documents
