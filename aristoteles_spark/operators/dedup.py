@@ -674,6 +674,36 @@ def simhash_pairs(
     return cross.unionByName(intra)
 
 
+def minhash_banded(
+    df: DataFrame,
+    side: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_<side>, sig_<side>, band, digest) — the stored form of a
+    banded LSH index: each doc's signature exploded into its per-band
+    digests. In production this frame is materialized ONCE (bucketed on
+    the digest) and incremental batches hash-join straight into it; the
+    streaming probe (st13) persists it across microbatches for exactly
+    that reason."""
+    rpb = num_hashes // bands
+    s = minhash_signatures(df, text_col, id_col, num_hashes)
+    return s.select(
+        F.col("doc").alias(f"doc_{side}"),
+        F.col("sig").alias(f"sig_{side}"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(bi), F.slice("sig", bi * rpb + 1, rpb))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "digest"),
+    )
+
+
 def minhash_index_probe(
     index: DataFrame,
     batch: DataFrame,
@@ -682,6 +712,7 @@ def minhash_index_probe(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW batch of documents against an EXISTING corpus's LSH
     index: (batch_doc, index_doc, est_sim) for every banded-LSH
@@ -697,24 +728,12 @@ def minhash_index_probe(
     predicates); asymmetric sides, so no a<b dedup is needed. Cost:
     O(batch x bands) probe rows against the bucketed index."""
     rpb = num_hashes // bands
-
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        s = minhash_signatures(df, text_col, id_col, num_hashes)
-        return s.select(
-            F.col("doc").alias(f"doc_{side}"),
-            F.col("sig").alias(f"sig_{side}"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(F.lit(bi), F.slice("sig", bi * rpb + 1, rpb))
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("band", "digest"),
-        )
-
-    xi = banded(index, "i")
-    xb = banded(batch, "b")
+    xi = (
+        index_banded
+        if index_banded is not None
+        else minhash_banded(index, "i", text_col, id_col, num_hashes, bands)
+    )
+    xb = minhash_banded(batch, "b", text_col, id_col, num_hashes, bands)
     earlier = None
     for bi in range(bands - 1):
         eq = (F.col("band") > bi) & (

@@ -231,7 +231,59 @@ def q_stream_cdc_upsert(spark, sf_dir):
     )
 
 
+def q_stream_neardup(spark, sf_dir):
+    """st13 — streaming incremental near-dup filter: newly ingested
+    documents arrive as a 3-microbatch file stream and each trigger
+    probes the PERSISTED banded MinHash index of the historical corpus
+    (nd1's split, as a stream). The production dedup-at-ingest shape:
+    the index is materialized once (operators/dedup.py:minhash_banded)
+    and every microbatch hash-joins into it; per-doc results complete
+    within the doc's own trigger, so the job is state-free (no
+    watermark, no state store) and the sink is batch-keyed dynamic
+    overwrite (replay-safe). Result must equal the batch probe exactly
+    — the oracle IS nd1's SQL."""
+    import os as _os
+
+    from aristoteles_spark.operators.dedup import minhash_banded
+    from aristoteles_spark.functions.text import h32
+    from aristoteles_spark.queries.dedup import BANDS, NDSPLIT_MOD, NUM_HASHES
+    from aristoteles_spark.sources.parquet_source import fan_out, load_table
+    from aristoteles_spark.streaming.events import (
+        run_neardup_probe,
+        stream_documents_split,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    index_docs = d.filter(
+        h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD != 0
+    )
+    idx = minhash_banded(
+        index_docs, "i", num_hashes=NUM_HASHES, bands=BANDS
+    ).persist()
+    idx.count()  # materialize once; every trigger joins into it
+    root = (
+        "/dev/shm/aristoteles_spark_stream"
+        if _os.access("/dev/shm", _os.W_OK)
+        else "/tmp/aristoteles_spark_stream"
+    )
+    out_dir = _os.path.join(
+        root, f"st13_out_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = stream_documents_split(spark, sf_dir, "st13_in", NDSPLIT_MOD)
+    run_neardup_probe(docs, idx, out_dir, NUM_HASHES, BANDS, 0.5)
+    idx.unpersist()
+    return (
+        spark.read.parquet(out_dir)
+        .select("batch_doc", "n_matches", "max_est_sim", "is_novel")
+        .orderBy("batch_doc")
+    )
+
+
 QUERIES = {
+    "st13_stream_neardup": q_stream_neardup,
     "st1_stream_hourly": q_stream_hourly,
     "st10_stream_left_outer": q_stream_left_outer,
     "st11_stream_partial_mv": q_stream_partial_mv,
@@ -246,7 +298,12 @@ QUERIES = {
     "st7_stream_static_join": q_stream_static_join,
 }
 
+from aristoteles_spark.queries.dedup import ORACLE as _DEDUP_ORACLE
+
 ORACLE = {
+    # st13 must equal the batch probe bit-for-bit: same split, same
+    # signatures, same band joins — the oracle IS nd1's SQL.
+    "st13_stream_neardup": _DEDUP_ORACLE["nd1_incremental_neardup"],
     "st12_stream_cdc_upsert": (
         "SELECT user_id, ts AS last_ts, value AS last_value FROM ("
         "SELECT user_id, ts, value, row_number() OVER ("

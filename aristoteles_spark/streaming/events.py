@@ -642,3 +642,118 @@ def run_partial_mv(events: DataFrame, out_dir: str) -> None:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+DOCS_RAW_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_documents_split(
+    spark: SparkSession, sf_dir: str, tag: str, keep_mod: int, n_files: int = 3
+) -> DataFrame:
+    """The new-ingest document stream: the content-hash batch slice
+    (h32(doc_id) % keep_mod == 0 — nd1's split) re-sharded into
+    ``n_files`` id-ordered files read one per trigger, mtime-pinned so
+    the microbatch split replays identically (stream_events_split's
+    harness applied to the documents table)."""
+    import shutil
+
+    import duckdb
+
+    root = (
+        "/dev/shm/aristoteles_spark_stream"
+        if os.access("/dev/shm", os.W_OK)
+        else "/tmp/aristoteles_spark_stream"
+    )
+    d = os.path.join(root, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    src = duckdb.connect().execute(
+        "SELECT * FROM read_parquet(?) WHERE "
+        "CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+        " % ? = 0 ORDER BY doc_id",
+        [os.path.join(sf_dir, "documents.parquet"), keep_mod],
+    ).arrow()
+    import pyarrow.parquet as pq
+
+    n = src.num_rows
+    for i in range(n_files):
+        lo = i * n // n_files
+        hi = (i + 1) * n // n_files
+        p = os.path.join(d, f"part-{i}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), p)
+        os.utime(p, (1000 + i, 1000 + i))
+
+    return (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+
+
+def run_neardup_probe(
+    docs_stream: DataFrame,
+    index_banded: DataFrame,
+    out_dir: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> None:
+    """Streaming incremental near-dup probe: each microbatch of newly
+    ingested documents is MinHash-signed in-row and hash-joined against
+    the PERSISTED banded LSH index of the historical corpus
+    (operators/dedup.py:minhash_banded — materialized once, reused by
+    every trigger, exactly what production stores). Per-doc results are
+    complete within the doc's own microbatch (a document is one row),
+    so the job is STATE-FREE: no watermark, no state store — the sink
+    is batch-id-partitioned dynamic overwrite, so replaying a trigger
+    rewrites only its own partition (st11's replay-safe discipline)."""
+    from aristoteles_spark.operators.dedup import minhash_index_probe
+
+    spark = docs_stream.sparkSession
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        m = minhash_index_probe(
+            None,
+            df,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            index_banded=index_banded,
+        )
+        per = m.groupBy("batch_doc").agg(
+            F.count("*").alias("n_matches"),
+            F.max("est_sim").alias("max_est_sim"),
+        )
+        (
+            df.select(F.col("doc_id").alias("batch_doc"))
+            .join(per, "batch_doc", "left")
+            .select(
+                "batch_doc",
+                F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+                F.coalesce("max_est_sim", F.lit(0.0)).alias("max_est_sim"),
+                F.col("n_matches").isNull().cast("int").alias("is_novel"),
+                F.lit(batch_id).alias("bpart"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bpart")
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with _ckpt_tmpdir("ckpt_nd_") as ckpt:
+            q = (
+                docs_stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

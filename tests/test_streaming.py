@@ -374,3 +374,57 @@ class TestCdcUpsert:
             .collect()
         )
         assert len(got) == 1 and got[0].value == 99.0
+
+
+class TestStreamNeardup:
+    def test_stream_probe_equals_batch_probe_across_microbatches(self, spark):
+        """st13's core claim: the 3-microbatch streaming probe against
+        the persisted banded index produces exactly the batch
+        minhash_index_probe result, and genuinely ran >1 trigger."""
+        import os
+
+        from aristoteles_spark.functions.text import h32
+        from aristoteles_spark.operators.dedup import minhash_index_probe
+        from aristoteles_spark.queries.dedup import NDSPLIT_MOD
+        from aristoteles_spark.queries.streaming import q_stream_neardup
+        from aristoteles_spark.sources.parquet_source import load_table
+
+        got = {
+            r.batch_doc: (r.n_matches, r.max_est_sim, r.is_novel)
+            for r in q_stream_neardup(spark, SF).collect()
+        }
+        root = (
+            "/dev/shm/aristoteles_spark_stream"
+            if os.access("/dev/shm", os.W_OK)
+            else "/tmp/aristoteles_spark_stream"
+        )
+        parts = [
+            p
+            for p in os.listdir(os.path.join(root, "st13_out_sf0.001"))
+            if p.startswith("bpart=")
+        ]
+        assert len(parts) == 3, parts
+
+        d = load_table(spark, SF, "documents")
+        is_batch = h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD == 0
+        m = minhash_index_probe(
+            d.filter(~is_batch), d.filter(is_batch), threshold=0.5
+        )
+        per = {
+            r.batch_doc: (r.n_matches, round(r.max_est_sim, 9))
+            for r in m.groupBy("batch_doc")
+            .agg(
+                F.count("*").alias("n_matches"),
+                F.max("est_sim").alias("max_est_sim"),
+            )
+            .collect()
+        }
+        batch_ids = {
+            r.doc_id for r in d.filter(is_batch).select("doc_id").collect()
+        }
+        assert set(got) == batch_ids
+        for doc, (n, mx, novel) in got.items():
+            if doc in per:
+                assert (n, round(mx, 9)) == per[doc] and novel == 0, doc
+            else:
+                assert (n, mx, novel) == (0, 0.0, 1), doc
