@@ -442,6 +442,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"LeftAnti", "near-dup and contamination filters are anti joins — no pair stream materialized"),
         (r"!PythonUDF", "all six stages are codegen expressions"),
     ],
+    "mx2_temperature_mixture": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-source totals partial-aggregate map-side"),
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "the tiny threshold model broadcast back — document rows never shuffle for the join"),
+        (r"!PythonUDF", "sqrt fold + ppm thresholds are codegen"),
+    ],
+    # st13 is audited by pytest instead (tests/test_streaming.py): its
+    # returned frame is a batch read of the streaming sink, so the
+    # interesting plan (persisted index join inside foreachBatch) never
+    # appears in the returned DataFrame's explain.
     "mm15_phash_buckets": [
         (r"MapInPandas", "decode+hash in the Arrow seam — image bytes never leave the scan task"),
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "dhash census partial-aggregates map-side; the exchange carries (dhash, partials) only"),

@@ -74,6 +74,15 @@ HEADLINERS = [
     # round-3c additions (curation + linear algebra)
     "sd1_semdedup",
     "ds1_dsir_select",
+    # round-3 session-2 additions (censuses + layout + mixtures)
+    "mm15_phash_buckets",
+    "qc2_threshold_yield",
+    "tv1_tokenizer_fertility",
+    "srt1_range_shards",
+    "dd12_lsh_quality",
+    "sim6_ann_recall",
+    "mx2_temperature_mixture",
+    "st13_stream_neardup",
     "url1_url_canonicalize",
     "ar4_gram_matrix",
     "rl1_release_pipeline",
