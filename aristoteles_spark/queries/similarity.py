@@ -228,6 +228,58 @@ PR_ITERS = 3
 PR_ONE = 1_000_000  # rank fixed-point scale: 1e6 ppm == rank 1.0
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def q_kcore(spark, sf_dir):
+    """gr4 — bounded k-core peel (3 rounds, k=2) over the near-dup
+    graph: iteratively drop nodes with degree < k and their incident
+    edges — the density filter that separates genuine duplicate CLIQUES
+    from chains of borderline matches (tc1's triangle census asks the
+    local version; the core asks it globally). A fixed round budget
+    bounds the shuffle count the way gr1's hop budget does; 3 rounds
+    reach the fixpoint on this corpus and production tunes rounds to
+    diameter.
+
+    Scale shape: each round = one degree partial-agg over the surviving
+    symmetric edge list + two semi-joins to drop incident edges —
+    O(edges) shuffle per round, never all-pairs; edge frames persisted
+    per round and freed after. Output: survivors' residual degrees —
+    all integers, so the oracle (the same 3-round CTE chain) matches
+    bit-for-bit."""
+    v = _load(spark, sf_dir)
+    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    edges = e.union(
+        e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).persist()
+    edges.count()  # materialize the LSH subtree once (see q_khop_bfs)
+    temps = [edges]
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src").persist()
+        edges = (
+            edges.join(keep, "src", "semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+            .persist()
+        )
+        temps.extend([keep, edges])
+    out = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= KCORE_K)
+        .select(F.col("src").alias("node"), "deg")
+        .orderBy("node")
+    )
+    out = out.localCheckpoint()  # cut lineage before freeing the caches
+    for t in temps:
+        t.unpersist()
+    return out
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over the near-dup graph, in FIXED-POINT INTEGER
     arithmetic — the representative-picking signal for duplicate
@@ -352,6 +404,7 @@ def q_ann_recall(spark, sf_dir):
 
 
 QUERIES = {
+    "gr4_kcore": q_kcore,
     "sim6_ann_recall": q_ann_recall,
     "tc1_triangles": q_triangles,
     "gr1_khop_bfs": q_khop_bfs,
@@ -675,3 +728,40 @@ SELECT query_id, n_true, lsh_hits, ivf_hits,
        CAST(floor(ivf_hits * 1.0e6 / n_true) AS BIGINT) AS ivf_recall_ppm
 FROM per ORDER BY query_id
 """
+
+
+_KCORE_ROUND = """, d{t} AS (
+  SELECT src, count(*) AS deg FROM e{p} GROUP BY src
+), k{t} AS (
+  SELECT src FROM d{t} WHERE deg >= {k}
+), e{t} AS (
+  SELECT e.src, e.dst FROM e{p} e
+  JOIN k{t} a ON e.src = a.src
+  JOIN k{t} b ON e.dst = b.src
+)"""
+
+def _kcore_oracle() -> str:
+    rounds = "".join(
+        _KCORE_ROUND.format(t=t, p=t - 1, k=KCORE_K)
+        for t in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})
+), p0 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm * b.nrm > 0
+        THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END
+        >= {TRI_T}
+), e0 AS (
+  SELECT va AS src, vb AS dst FROM p0
+  UNION ALL
+  SELECT vb AS src, va AS dst FROM p0
+){rounds}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e{KCORE_ROUNDS} GROUP BY src HAVING count(*) >= {KCORE_K}
+ORDER BY node
+"""
+
+ORACLE["gr4_kcore"] = _kcore_oracle()
