@@ -841,7 +841,61 @@ def q_tokenizer_fertility(spark, sf_dir):
     ).orderBy("source", "lang")
 
 
+# Shipped-vocabulary artifact for the OOV census: the 20 highest-
+# frequency corpus tokens (trained once at sf0.01, fixed literals —
+# how a tokenizer vocabulary ships). The synthetic corpus has 31
+# distinct tokens, so the remaining 11 are genuinely out-of-vocabulary.
+VO1_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "column", "customer",
+    "filter", "small", "slow", "merge", "order", "vector", "line",
+    "table", "data", "agg", "value", "key", "stream",
+]
+
+
+def q_oov_census(spark, sf_dir):
+    """vo1 — out-of-vocabulary census: per (source, lang), how many
+    token occurrences fall outside the shipped vocabulary — tv1's
+    complement (fertility says how finely the tokenizer splits; OOV
+    says what it cannot represent at all). The per-slice readout
+    checked before committing a tokenizer to a new corpus source.
+
+    Scale design: membership is an in-row filter against a broadcast
+    literal array (a real 50k-entry vocabulary becomes one broadcast
+    array — same plan); ONE tiny-key partial agg; oov_ppm =
+    floor(1e6*a/b) on summed integers."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    vocab = F.array(*[F.lit(t) for t in VO1_VOCAB])
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        F.size(
+            F.filter(toks, lambda t: ~F.array_contains(vocab, t))
+        ).alias("n_oov"),
+    )
+    totals = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("tokens"),
+        F.sum("n_oov").cast("long").alias("oov_tokens"),
+    )
+    return totals.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        "oov_tokens",
+        F.when(F.col("tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("oov_tokens") * F.lit(1.0e6) / F.col("tokens"))
+            .cast("long")
+        )
+        .alias("oov_ppm"),
+    ).orderBy("source", "lang")
+
+
 QUERIES = {
+    "vo1_oov_census": q_oov_census,
     "tv1_tokenizer_fertility": q_tokenizer_fertility,
     "tx14_bpe_encode": q_bpe_encode,
     "tx13_sentence_stats": q_sentence_stats,
@@ -939,7 +993,32 @@ FROM totals ORDER BY source, lang
 """
 
 
+_VO1_VOCAB_SQL = "[" + ", ".join(f"'{t}'" for t in VO1_VOCAB) + "]"
+
 ORACLE = {
+    "vo1_oov_census": f"""
+WITH t AS (
+  SELECT source, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT source, lang, len(toks) AS n_toks,
+         len(list_filter(toks,
+             x -> NOT list_contains({_VO1_VOCAB_SQL}, x))) AS n_oov
+  FROM t
+), totals AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS tokens,
+         CAST(sum(n_oov) AS BIGINT) AS oov_tokens
+  FROM per_doc GROUP BY source, lang
+)
+SELECT source, lang, n_docs, tokens, oov_tokens,
+       CASE WHEN tokens = 0 THEN 0
+            ELSE CAST(floor(oov_tokens * 1.0e6 / tokens) AS BIGINT) END
+         AS oov_ppm
+FROM totals ORDER BY source, lang
+""",
     "tv1_tokenizer_fertility": _fertility_oracle_sql(),
     "tx14_bpe_encode": _bpe_oracle_sql(),
     "ct2_bloom_decontamination": f"""

@@ -442,6 +442,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"LeftAnti", "near-dup and contamination filters are anti joins — no pair stream materialized"),
         (r"!PythonUDF", "all six stages are codegen expressions"),
     ],
+    "vo1_oov_census": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-(source,lang) totals partial-aggregate map-side"),
+        (r"!PythonUDF", "vocabulary membership is an in-row codegen array filter"),
+        (r"!\(\d+\) Generate", "no explode — the token stream never leaves the row"),
+        (r"!Join", "the vocabulary is a literal array, not a join"),
+    ],
     "mx2_temperature_mixture": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-source totals partial-aggregate map-side"),
         (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "the tiny threshold model broadcast back — document rows never shuffle for the join"),
