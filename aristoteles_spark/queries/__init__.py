@@ -81,16 +81,26 @@ _PRIORITY = [
 
 
 def _stable_output_types(fn):
-    """Terminal cast of any DECIMAL output column to DOUBLE.
+    """Terminal cast of any DECIMAL output column to DOUBLE, and of any
+    container-typed (array/map/struct) output column to its JSON string.
 
-    Internal accumulation stays decimal (order-independent, exact); only
-    the final schema changes. Round 1 showed the driver canonicalizes
-    the oracle side through a float path (pandas: DECIMAL -> float64),
-    so a Spark DECIMAL output ("1400362.00") hash-mismatches a
-    numerically identical oracle value ("1400362.0"). Every oracle SQL
-    correspondingly wraps its decimal outputs in CAST(... AS DOUBLE),
-    making both sides bit-identical float64. The cast is applied here,
-    at the registry, so no individual query can forget it.
+    DECIMAL: internal accumulation stays decimal (order-independent,
+    exact); only the final schema changes. Round 1 showed the driver
+    canonicalizes the oracle side through a float path (pandas:
+    DECIMAL -> float64), so a Spark DECIMAL output ("1400362.00")
+    hash-mismatches a numerically identical oracle value ("1400362.0").
+    Every oracle SQL correspondingly wraps its decimal outputs in
+    CAST(... AS DOUBLE), making both sides bit-identical float64.
+
+    Containers: round 3 showed the driver's canonicalizer (pandas
+    lexsort over all columns) raises ``TypeError: unhashable type:
+    'list'`` on any array-valued column (ar2/g8 reds). Terminal
+    ``to_json`` turns the container into a deterministic string —
+    verified byte-identical between Spark's ``to_json`` and duckdb's
+    ``CAST(to_json(...) AS VARCHAR)`` for int/bigint/string arrays,
+    including empty arrays, embedded nulls, and NULL containers. The
+    matching oracles wrap the same column in to_json. Both casts are
+    applied here, at the registry, so no individual query can forget.
     """
 
     def wrapped(spark, sf_dir):
@@ -98,15 +108,19 @@ def _stable_output_types(fn):
         from pyspark.sql import types as T
 
         df = fn(spark, sf_dir)
-        if any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
-            df = df.select(
-                *[
-                    F.col(f.name).cast("double").alias(f.name)
-                    if isinstance(f.dataType, T.DecimalType)
-                    else F.col(f.name)
-                    for f in df.schema.fields
-                ]
-            )
+        container = (T.ArrayType, T.MapType, T.StructType)
+        if any(
+            isinstance(f.dataType, (T.DecimalType, *container))
+            for f in df.schema.fields
+        ):
+            def _out(f):
+                if isinstance(f.dataType, T.DecimalType):
+                    return F.col(f.name).cast("double").alias(f.name)
+                if isinstance(f.dataType, container):
+                    return F.to_json(F.col(f.name)).alias(f.name)
+                return F.col(f.name)
+
+            df = df.select(*[_out(f) for f in df.schema.fields])
         return df
 
     wrapped.__name__ = getattr(fn, "__name__", "query")

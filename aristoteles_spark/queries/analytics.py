@@ -1830,7 +1830,11 @@ ORDER BY h, d, m
         "GROUP BY token ORDER BY df DESC, token LIMIT 50"
     ),
     "g8_grouped_lists": (
-        "SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses, "
+        # statuses serialized via to_json to match the registry's terminal
+        # container cast (_stable_output_types) — driver-canonicalizable.
+        "SELECT o_orderpriority, "
+        "CAST(to_json(list_sort(list(DISTINCT o_orderstatus))) AS VARCHAR)"
+        " AS statuses, "
         "count(*) AS n_orders FROM orders "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),

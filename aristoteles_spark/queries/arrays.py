@@ -208,7 +208,10 @@ ORACLE = {
         "FROM embeddings ORDER BY vec_id"
     ),
     "ar2_vector_quantize": (
-        _QUANT_CTE + "SELECT vec_id, scale, qvec FROM q ORDER BY vec_id"
+        # qvec serialized via to_json to match the registry's terminal
+        # container cast (_stable_output_types) — driver-canonicalizable.
+        _QUANT_CTE + "SELECT vec_id, scale, "
+        "CAST(to_json(qvec) AS VARCHAR) AS qvec FROM q ORDER BY vec_id"
     ),
     "ar3_random_projection": (
         _QUANT_CTE

@@ -477,6 +477,18 @@ LSHQ_SAMPLE = 500  # fixed-SIZE evaluation sample (hash-smallest doc ids)
 
 
 def q_lsh_quality(spark, sf_dir):
+    """dd12 — LSH quality census (see _lsh_quality_plan). Materializes
+    the 1-row result eagerly (localCheckpoint), then releases the
+    evaluation-sample cache so it cannot leak into a 220-query session
+    (gr4's pattern). plan_audit explains _lsh_quality_plan's frame —
+    the pre-checkpoint plan with the audit-worthy operators."""
+    out, sample_docs = _lsh_quality_plan(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    sample_docs.unpersist()
+    return out
+
+
+def _lsh_quality_plan(spark, sf_dir):
     """dd12 — LSH quality census: precision/recall of the banded MinHash
     candidate set against exact token-set Jaccard ground truth at the
     same threshold, measured on a FIXED-SIZE evaluation sample. THE
@@ -536,7 +548,7 @@ def q_lsh_quality(spark, sf_dir):
         .cast("long")
         .alias("n_tp"),
     )
-    return counts.select(
+    out = counts.select(
         "n_true",
         "n_lsh",
         "n_tp",
@@ -553,6 +565,7 @@ def q_lsh_quality(spark, sf_dir):
         )
         .alias("recall_ppm"),
     )
+    return out, sample_docs
 
 
 QUERIES = {

@@ -471,7 +471,8 @@ tf AS (
         QUALIFY row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) <= {TOP_DOCS})
   GROUP BY term
 )
-SELECT s.term, df, cf, top_docs
+SELECT s.term, df, cf,
+       CAST(to_json(top_docs) AS VARCHAR) AS top_docs
 FROM stats s JOIN top USING (term) ORDER BY term
 """
 

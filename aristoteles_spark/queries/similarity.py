@@ -340,6 +340,18 @@ ANN_EVAL_QUERIES = 50  # fixed recall-evaluation budget (hash-smallest)
 
 
 def q_ann_recall(spark, sf_dir):
+    """sim6 — ANN recall census (see _ann_recall_plan). Materializes the
+    <=50-row result eagerly (localCheckpoint), then releases the query
+    sample cache so it cannot leak into a 220-query session (gr4's
+    pattern). plan_audit explains _ann_recall_plan's frame — the
+    pre-checkpoint plan with the audit-worthy operators."""
+    out, q = _ann_recall_plan(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    q.unpersist()
+    return out
+
+
+def _ann_recall_plan(spark, sf_dir):
     """sim6 — ANN recall census: per query, recall@k of the hyperplane-LSH
     (sim2) and IVF-nprobe (sim4) candidate paths against the exact
     brute-force top-k (sim1). The standard ANN evaluation artifact — the
@@ -389,7 +401,7 @@ def q_ann_recall(spark, sf_dir):
         F.sum(F.coalesce("in_l", F.lit(0))).cast("long").alias("lsh_hits"),
         F.sum(F.coalesce("in_i", F.lit(0))).cast("long").alias("ivf_hits"),
     )
-    return per.select(
+    out = per.select(
         "query_id",
         "n_true",
         "lsh_hits",
@@ -401,6 +413,7 @@ def q_ann_recall(spark, sf_dir):
         .cast("long")
         .alias("ivf_recall_ppm"),
     ).orderBy("query_id")
+    return out, q
 
 
 QUERIES = {

@@ -10,6 +10,8 @@ what makes value-exact oracle checking possible.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from aristoteles_spark.functions.time import instant_as_utc_ntz
@@ -242,7 +244,17 @@ def q_stream_neardup(spark, sf_dir):
     watermark, no state store) and the sink is batch-keyed dynamic
     overwrite (replay-safe). Result must equal the batch probe exactly
     — the oracle IS nd1's SQL."""
-    import os as _os
+    df, _ = _stream_neardup_run(spark, sf_dir)
+    return df
+
+
+def _stream_neardup_run(spark, sf_dir):
+    """st13 body; returns (result_df, n_batch_partitions) so the pytest
+    can assert the run genuinely took >1 trigger. Stream input and sink
+    live in private mkdtemp dirs (concurrent pytest + bench runs against
+    the same sf must not share paths) and are removed before returning —
+    the result is localCheckpointed off the sink first."""
+    import shutil
 
     from aristoteles_spark.operators.dedup import minhash_banded
     from aristoteles_spark.functions.text import h32
@@ -250,6 +262,7 @@ def q_stream_neardup(spark, sf_dir):
     from aristoteles_spark.sources.parquet_source import fan_out, load_table
     from aristoteles_spark.streaming.events import (
         run_neardup_probe,
+        scratch_dir,
         stream_documents_split,
     )
 
@@ -261,25 +274,24 @@ def q_stream_neardup(spark, sf_dir):
         index_docs, "i", num_hashes=NUM_HASHES, bands=BANDS
     ).persist()
     idx.count()  # materialize once; every trigger joins into it
-    root = (
-        "/dev/shm/aristoteles_spark_stream"
-        if _os.access("/dev/shm", _os.W_OK)
-        else "/tmp/aristoteles_spark_stream"
-    )
-    out_dir = _os.path.join(
-        root, f"st13_out_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    docs = stream_documents_split(spark, sf_dir, "st13_in", NDSPLIT_MOD)
-    run_neardup_probe(docs, idx, out_dir, NUM_HASHES, BANDS, 0.5)
-    idx.unpersist()
-    return (
-        spark.read.parquet(out_dir)
-        .select("batch_doc", "n_matches", "max_est_sim", "is_novel")
-        .orderBy("batch_doc")
-    )
+    out_dir = scratch_dir("st13_out_")
+    docs, in_dir = stream_documents_split(spark, sf_dir, "st13_in", NDSPLIT_MOD)
+    try:
+        run_neardup_probe(docs, idx, out_dir, NUM_HASHES, BANDS, 0.5)
+        n_bparts = len(
+            [p for p in os.listdir(out_dir) if p.startswith("bpart=")]
+        )
+        result = (
+            spark.read.parquet(out_dir)
+            .select("batch_doc", "n_matches", "max_est_sim", "is_novel")
+            .orderBy("batch_doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        idx.unpersist()
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result, n_bparts
 
 
 QUERIES = {

@@ -832,11 +832,15 @@ def q_tokenizer_fertility(spark, sf_dir):
         "words",
         "tokens",
         "bytes",
-        F.floor(F.col("tokens") * F.lit(1.0e6) / F.col("words"))
-        .cast("long")
+        F.when(F.col("words") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("tokens") * F.lit(1.0e6) / F.col("words")).cast("long")
+        )
         .alias("fertility_ppm"),
-        F.floor(F.col("bytes") * F.lit(1.0e6) / F.col("tokens"))
-        .cast("long")
+        F.when(F.col("tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("bytes") * F.lit(1.0e6) / F.col("tokens")).cast("long")
+        )
         .alias("bytes_per_token_ppm"),
     ).orderBy("source", "lang")
 
@@ -987,8 +991,12 @@ WITH words AS (
   FROM per_doc GROUP BY source, lang
 )
 SELECT source, lang, n_docs, words, tokens, bytes,
-       CAST(floor(tokens * 1.0e6 / words) AS BIGINT) AS fertility_ppm,
-       CAST(floor(bytes * 1.0e6 / tokens) AS BIGINT) AS bytes_per_token_ppm
+       CASE WHEN words = 0 THEN 0
+            ELSE CAST(floor(tokens * 1.0e6 / words) AS BIGINT)
+       END AS fertility_ppm,
+       CASE WHEN tokens = 0 THEN 0
+            ELSE CAST(floor(bytes * 1.0e6 / tokens) AS BIGINT)
+       END AS bytes_per_token_ppm
 FROM totals ORDER BY source, lang
 """
 

@@ -43,6 +43,14 @@ def _ckpt_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     return tempfile.TemporaryDirectory(prefix=prefix, dir=base)
 
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh private scratch directory on tmpfs when available
+    (caller removes it). mkdtemp-unique so concurrent runs — pytest
+    alongside a bench sweep — never share stream input/sink paths."""
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix=f"aristoteles_spark_{prefix}", dir=base)
+
 # physical schema: ts is parquet timestamp[us] without a timezone ->
 # TIMESTAMP_NTZ (event-time windows/watermarks support NTZ since Spark 3.4)
 EVENTS_RAW_SCHEMA = StructType(
@@ -651,24 +659,19 @@ DOCS_RAW_SCHEMA = (
 
 def stream_documents_split(
     spark: SparkSession, sf_dir: str, tag: str, keep_mod: int, n_files: int = 3
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     """The new-ingest document stream: the content-hash batch slice
     (h32(doc_id) % keep_mod == 0 — nd1's split) re-sharded into
     ``n_files`` id-ordered files read one per trigger, mtime-pinned so
     the microbatch split replays identically (stream_events_split's
-    harness applied to the documents table)."""
-    import shutil
-
+    harness applied to the documents table). Returns (stream, input_dir);
+    the caller removes input_dir once the stream has terminated."""
     import duckdb
 
-    root = (
-        "/dev/shm/aristoteles_spark_stream"
-        if os.access("/dev/shm", os.W_OK)
-        else "/tmp/aristoteles_spark_stream"
-    )
-    d = os.path.join(root, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
+    # per-run private dir (mkdtemp): a fixed path keyed only by the sf
+    # basename let two concurrent runs against the same scale factor
+    # (pytest + bench) clobber each other's files mid-stream
+    d = scratch_dir(f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_")
     src = duckdb.connect().execute(
         "SELECT * FROM read_parquet(?) WHERE "
         "CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
@@ -685,12 +688,13 @@ def stream_documents_split(
         pq.write_table(src.slice(lo, hi - lo), p)
         os.utime(p, (1000 + i, 1000 + i))
 
-    return (
+    stream = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .format("parquet")
         .load(d)
     )
+    return stream, d
 
 
 def run_neardup_probe(

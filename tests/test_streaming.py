@@ -381,29 +381,18 @@ class TestStreamNeardup:
         """st13's core claim: the 3-microbatch streaming probe against
         the persisted banded index produces exactly the batch
         minhash_index_probe result, and genuinely ran >1 trigger."""
-        import os
-
         from aristoteles_spark.functions.text import h32
         from aristoteles_spark.operators.dedup import minhash_index_probe
         from aristoteles_spark.queries.dedup import NDSPLIT_MOD
-        from aristoteles_spark.queries.streaming import q_stream_neardup
+        from aristoteles_spark.queries.streaming import _stream_neardup_run
         from aristoteles_spark.sources.parquet_source import load_table
 
+        result, n_bparts = _stream_neardup_run(spark, SF)
         got = {
             r.batch_doc: (r.n_matches, r.max_est_sim, r.is_novel)
-            for r in q_stream_neardup(spark, SF).collect()
+            for r in result.collect()
         }
-        root = (
-            "/dev/shm/aristoteles_spark_stream"
-            if os.access("/dev/shm", os.W_OK)
-            else "/tmp/aristoteles_spark_stream"
-        )
-        parts = [
-            p
-            for p in os.listdir(os.path.join(root, "st13_out_sf0.001"))
-            if p.startswith("bpart=")
-        ]
-        assert len(parts) == 3, parts
+        assert n_bparts == 3, n_bparts
 
         d = load_table(spark, SF, "documents")
         is_batch = h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD == 0

@@ -96,11 +96,23 @@ def canon_strict(v):
         return v.isoformat()
     if np is not None and isinstance(v, np.ndarray):
         v = v.tolist()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_strict(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        # The driver's canonicalizer (pandas lexsort over all columns)
+        # raises ``TypeError: unhashable type: 'list'`` on container
+        # cells (round-3 ar2/g8 reds). Strict mode must reproduce that
+        # failure, not paper over it with a serialization the driver
+        # doesn't have. Queries with container outputs get a terminal
+        # to_json at the registry (queries/__init__._stable_output_types).
+        raise DriverUncanonicalizable(
+            f"container value {type(v).__name__} not driver-canonicalizable"
+        )
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+class DriverUncanonicalizable(TypeError):
+    """A cell value the driver's pandas-lexsort canonicalizer rejects."""
 
 
 def canonical_rows_strict(cols, rows):
@@ -186,15 +198,19 @@ def main():
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount {len(s_rows)} vs {len(o_rows)}")
         if not problems:
-            if strict:
-                sc = canonical_rows_strict(s_cols, s_rows)
-                oc = canonical_rows_strict(o_cols, o_rows)
+            try:
+                if strict:
+                    sc = canonical_rows_strict(s_cols, s_rows)
+                    oc = canonical_rows_strict(o_cols, o_rows)
+                else:
+                    sc = canonical_rows(s_cols, s_rows)
+                    oc = canonical_rows(o_cols, o_rows)
+            except DriverUncanonicalizable as e:
+                problems.append(str(e))
             else:
-                sc = canonical_rows(s_cols, s_rows)
-                oc = canonical_rows(o_cols, o_rows)
-            diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
-            if diffs:
-                problems.append(f"values: first diff {diffs[0]}")
+                diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
+                if diffs:
+                    problems.append(f"values: first diff {diffs[0]}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}  [{time.time()-t0:.1f}s]")
             n_fail += 1

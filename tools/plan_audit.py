@@ -475,7 +475,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "srt1_range_shards": [
         (r"BroadcastNestedLoopJoin", "the 7-value boundary row broadcast onto the corpus — assignment is an in-row fold"),
         (r"!PythonUDF", "boundary math and shard assignment are codegen"),
-        (r"!Exchange rangepartitioning", "the manifest needs no global sort; the physical sorted WRITE (repartitionByRange) is pinned by tests/test_layout.py"),
+        # formatted plans split the node name and its Arguments onto
+        # separate lines, so match the Arguments form; exactly ONE
+        # rangepartitioning is allowed (the final output-ordering
+        # orderBy) — a second would mean a global sort inside the query
+        (r"!(?s)Arguments: rangepartitioning.*Arguments: rangepartitioning", "no global sort beyond the final output-ordering exchange; the physical sorted WRITE (repartitionByRange) is pinned by tests/test_layout.py"),
     ],
     "dd12_lsh_quality": [
         (r"TakeOrderedAndProject", "the fixed-size evaluation sample is a partial top-k, not a full sort"),
@@ -757,14 +761,40 @@ def main() -> int:
 
     spark = get_spark("plan_audit")
     qs = entrymod.queries()
+
+    # dd12/sim6 return a localCheckpoint (so their sample cache can be
+    # released before a 220-query session continues), which collapses
+    # the registry frame's explain to a checkpoint scan. Audit their
+    # PRE-checkpoint builders instead — the plan that actually runs —
+    # and release the cache handle after the explain.
+    def _pre_checkpoint(builder):
+        def run(spark, sf_dir):
+            out, cached = builder(spark, sf_dir)
+            return out, cached
+        return run
+
+    from aristoteles_spark.queries.dedup import _lsh_quality_plan
+    from aristoteles_spark.queries.similarity import _ann_recall_plan
+
+    builders = {
+        "dd12_lsh_quality": _pre_checkpoint(_lsh_quality_plan),
+        "sim6_ann_recall": _pre_checkpoint(_ann_recall_plan),
+    }
+
     failures = []
     sections = []
     for name, checks in EXPECTATIONS.items():
-        df = qs[name](spark, SF_DIR)
+        cached = None
+        if name in builders:
+            df, cached = builders[name](spark, SF_DIR)
+        else:
+            df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        if cached is not None:
+            cached.unpersist()
         notes = []
         for pattern, why in checks:
             # '!'-prefixed pattern = must NOT appear (e.g. zero-shuffle
