@@ -327,7 +327,15 @@ def q_containment(spark, sf_dir):
     10^6 docs never reaches the join). Containment is scored on the
     capped gram sets (stated semantics, identical in the oracle);
     threshold 0.8 applied as an integer predicate (n_common*5 >=
-    4*min(n_a, n_b)) so no float comparison sits on the cut."""
+    4*min(n_a, n_b)) so no float comparison sits on the cut.
+
+    The capped index `rare` feeds three consumers (sizes, both join
+    sides); without a barrier each consumer re-runs the gram explosion
+    — the corpus's most expensive stage — up to 8x (round-3 bench
+    measured 8.4 s vs 3.2 s depending on whether AQE's runtime exchange
+    reuse happened to kick in). localCheckpoint materializes the
+    compact (doc_id, gram-hash) index ONCE; at corpus scale that index
+    is what a production containment pass stores anyway."""
     from aristoteles_spark.functions.text import tokens
     from aristoteles_spark.queries.text import _gram_hashes
 
@@ -336,7 +344,11 @@ def q_containment(spark, sf_dir):
         "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
     )
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
-    rare = grams.join(freq.filter(F.col("k") <= DF_CAP), "g").select("doc_id", "g")
+    rare = (
+        grams.join(freq.filter(F.col("k") <= DF_CAP), "g")
+        .select("doc_id", "g")
+        .localCheckpoint()
+    )
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rare.select(F.col("doc_id").alias("doc_a"), "g")
     b = rare.select(F.col("doc_id").alias("doc_b"), "g")
