@@ -162,35 +162,32 @@ def q_stream_partial_mv(spark, sf_dir):
     each stage their own daily rollup partials; the published view is
     the associative merge — checked against the batch full recompute
     (the streaming counterpart of mv1)."""
-    import os as _os
+    import shutil
 
     from aristoteles_spark.streaming.events import (
         run_partial_mv,
+        scratch_dir,
         stream_events_split,
     )
 
-    root = (
-        "/dev/shm/aristoteles_spark_stream"
-        if _os.access("/dev/shm", _os.W_OK)
-        else "/tmp/aristoteles_spark_stream"
-    )
-    out_dir = _os.path.join(
-        root, f"st11_mv_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    ev = stream_events_split(spark, sf_dir, "st11")
-    run_partial_mv(ev, out_dir)
-    staged = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
-    return (
-        staged.groupBy("event_type", "d")
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("total_cents"),
+    out_dir = scratch_dir("st11_mv_")
+    try:
+        ev = stream_events_split(spark, sf_dir, "st11")
+        run_partial_mv(ev, out_dir)
+        staged = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
         )
-        .orderBy("event_type", "d")
-    )
+        return (
+            staged.groupBy("event_type", "d")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("event_type", "d")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_stream_cdc_upsert(spark, sf_dir):
@@ -203,34 +200,30 @@ def q_stream_cdc_upsert(spark, sf_dir):
     last (ts, event_id)-versioned value per user — must equal the batch
     row_number()-over-everything oracle, proving the merge is
     batch-split-independent."""
-    import os as _os
     import shutil
 
     from aristoteles_spark.streaming.events import (
         run_cdc_upsert,
+        scratch_dir,
         stream_events_split,
     )
 
-    root = (
-        "/dev/shm/aristoteles_spark_stream"
-        if _os.access("/dev/shm", _os.W_OK)
-        else "/tmp/aristoteles_spark_stream"
-    )
-    table_dir = _os.path.join(
-        root, f"st12_cdc_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
-    ev = stream_events_split(spark, sf_dir, "st12")
-    run_cdc_upsert(ev, table_dir)
-    return (
-        spark.read.parquet(table_dir)
-        .select(
-            "user_id",
-            instant_as_utc_ntz("ts").alias("last_ts"),
-            F.col("value").alias("last_value"),
+    table_dir = scratch_dir("st12_cdc_")
+    try:
+        ev = stream_events_split(spark, sf_dir, "st12")
+        run_cdc_upsert(ev, table_dir)
+        return (
+            spark.read.parquet(table_dir)
+            .select(
+                "user_id",
+                instant_as_utc_ntz("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("user_id")
-    )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
 
 
 def q_stream_neardup(spark, sf_dir):
@@ -250,10 +243,11 @@ def q_stream_neardup(spark, sf_dir):
 
 def _stream_neardup_run(spark, sf_dir):
     """st13 body; returns (result_df, n_batch_partitions) so the pytest
-    can assert the run genuinely took >1 trigger. Stream input and sink
-    live in private mkdtemp dirs (concurrent pytest + bench runs against
-    the same sf must not share paths) and are removed before returning —
-    the result is localCheckpointed off the sink first."""
+    can assert the run genuinely took >1 trigger. The sink lives in a
+    private mkdtemp dir (concurrent pytest + bench runs against the same
+    sf must not share paths) and is removed before returning — the
+    result is localCheckpointed off the sink first. The stream INPUT is
+    owned by the process-level staging cache (streaming/events.py)."""
     import shutil
 
     from aristoteles_spark.operators.dedup import minhash_banded
@@ -275,7 +269,7 @@ def _stream_neardup_run(spark, sf_dir):
     ).persist()
     idx.count()  # materialize once; every trigger joins into it
     out_dir = scratch_dir("st13_out_")
-    docs, in_dir = stream_documents_split(spark, sf_dir, "st13_in", NDSPLIT_MOD)
+    docs, _in_dir = stream_documents_split(spark, sf_dir, "st13_in", NDSPLIT_MOD)
     try:
         run_neardup_probe(docs, idx, out_dir, NUM_HASHES, BANDS, 0.5)
         n_bparts = len(
@@ -289,7 +283,6 @@ def _stream_neardup_run(spark, sf_dir):
         )
     finally:
         idx.unpersist()
-        shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
     return result, n_bparts
 

