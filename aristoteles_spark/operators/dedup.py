@@ -40,6 +40,23 @@ from aristoteles_spark.functions.text import (
 _BROADCAST_MAX_ROWS = 2_000_000
 
 
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize the compact result (eager localCheckpoint) and release
+    the corpus-sized intermediate caches that fed it.
+
+    Without the explicit release the persisted intermediates sit in the
+    block manager until a JVM GC notices the dropped references — across
+    a couple hundred queries sharing one session that accumulation
+    pressures the shared scan cache (measured as the round-3 graph-family
+    drift). The checkpoint is the same stage barrier a production
+    pipeline places at this seam anyway: write the pair/edge table
+    between stages, then drop the inputs."""
+    out = result.localCheckpoint()
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def _maybe_broadcast(frame: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(frame) if n_rows <= _BROADCAST_MAX_ROWS else frame
 
@@ -119,9 +136,11 @@ def ngram_jaccard_pairs(
 
     vocab = toks.select("token").distinct().limit(dict_bitmap_max_vocab + 1).collect()
     if len(vocab) <= dict_bitmap_max_vocab:
-        return _jaccard_pairs_bitset(
+        out = _jaccard_pairs_bitset(
             df, [r["token"] for r in vocab], text_col, id_col, threshold, max_token_freq
         )
+        toks.unpersist()  # the bitset path re-tokenizes in-row; toks is done
+        return out
 
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # per-doc token array sorted by (rarity, token): struct sort is
@@ -160,7 +179,7 @@ def ngram_jaccard_pairs(
     da = docs.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return (
+    return _finalize(
         cand.join(da, "doc_a")
         .join(db, "doc_b")
         .withColumn(
@@ -168,7 +187,9 @@ def ngram_jaccard_pairs(
             inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        toks,
+        docs,
     )
 
 
@@ -290,7 +311,7 @@ def _jaccard_pairs_bitset(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(intra)
+    return _finalize(cross.unionByName(intra), members, uniq)
 
 
 def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 256):
@@ -525,7 +546,7 @@ def minhash_lsh_pairs(
             F.lit(1.0).alias("est_sim"),
         )
     )
-    return cross.unionByName(intra)
+    return _finalize(cross.unionByName(intra), members, uniq, sig_pairs)
 
 
 def minhash_cluster_edges(
@@ -573,7 +594,7 @@ def minhash_cluster_edges(
         .join(rb, "sig_b")
         .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
     )
-    return star.unionByName(bridge)
+    return _finalize(star.unionByName(bridge), members, uniq, reps, sig_pairs)
 
 
 def simhash_sketches(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -671,7 +692,7 @@ def simhash_pairs(
             F.lit(0).cast("int").alias("hamming"),
         )
     )
-    return cross.unionByName(intra)
+    return _finalize(cross.unionByName(intra), members, uniq)
 
 
 def minhash_banded(

@@ -204,7 +204,7 @@ def kmv_set_overlap(
     est_a = estimate(ka, "est_a").select("est_a")
     est_b = estimate(kb, "est_b").select("est_b")
     est_u = estimate(ku, "est_union")
-    return (
+    out = (
         est_u.crossJoin(est_a)
         .crossJoin(est_b)
         .crossJoin(n_both)
@@ -223,7 +223,10 @@ def kmv_set_overlap(
                 * F.col("est_union")
             ).alias("est_intersection"),
         )
-    )
+    ).localCheckpoint()  # one-row result; release the sketch caches
+    for sk in (ka, kb, ku):
+        sk.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------- HLL
