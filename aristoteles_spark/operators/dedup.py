@@ -50,7 +50,16 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     pressures the shared scan cache (measured as the round-3 graph-family
     drift). The checkpoint is the same stage barrier a production
     pipeline places at this seam anyway: write the pair/edge table
-    between stages, then drop the inputs."""
+    between stages, then drop the inputs.
+
+    SPARK_GRAFT_AUDIT_NO_BARRIER=1 (tools/plan_audit.py) skips the
+    barrier so explain() still shows the strategy plan — the exact plan
+    the checkpoint materialization runs — instead of a checkpoint scan
+    (the dd12/sim6 pre-checkpoint-builder convention, operator-level)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_AUDIT_NO_BARRIER") == "1":
+        return result
     out = result.localCheckpoint()
     for c in cached:
         c.unpersist()

@@ -223,7 +223,12 @@ def kmv_set_overlap(
                 * F.col("est_union")
             ).alias("est_intersection"),
         )
-    ).localCheckpoint()  # one-row result; release the sketch caches
+    )
+    import os
+
+    if os.environ.get("SPARK_GRAFT_AUDIT_NO_BARRIER") == "1":
+        return out  # plan audit: keep the strategy plan visible
+    out = out.localCheckpoint()  # one-row result; release the sketch caches
     for sk in (ka, kb, ku):
         sk.unpersist()
     return out

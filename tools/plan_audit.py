@@ -759,6 +759,12 @@ def main() -> int:
     from aristoteles_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    # the dedup/sketch operators end in an eager localCheckpoint barrier
+    # (cache-release seam); explain() of the registry frame would show
+    # only a checkpoint scan. The flag skips the barrier so the audited
+    # plan is the strategy plan the checkpoint materialization runs.
+    os.environ["SPARK_GRAFT_AUDIT_NO_BARRIER"] = "1"
+
     spark = get_spark("plan_audit")
     qs = entrymod.queries()
 
