@@ -949,9 +949,12 @@ def q_bloom_filter(spark, sf_dir):
     from aristoteles_spark.sources.parquet_source import fan_out
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    # vocabulary-bounded (distinct (source, token)) and consumed twice
+    # (filter build + exact-membership side); materialize once instead
+    # of re-running the corpus tokenize+explode per consumer
     vocab = d.select(
         "source", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint()
 
     def with_positions(df):
         return df.withColumn(

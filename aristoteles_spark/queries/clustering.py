@@ -238,7 +238,10 @@ def q_product_quantize(spark, sf_dir):
     Determinism: same fixed-point integer arithmetic as km1/km2."""
     from functools import reduce
 
-    vq = _vq(spark, sf_dir)
+    # vq appears five times in one plan (4 subspace trainings + the
+    # encode); materialize the quantized vectors once — at corpus scale
+    # the int-array table is exactly what a PQ index build stores
+    vq = _vq(spark, sf_dir).localCheckpoint()
     cbs = []
     for s in range(N_SUB):
         sub = vq.select(

@@ -180,10 +180,14 @@ def q_hybrid_rrf(spark, sf_dir):
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    # tiny (queries x their distinct tokens) and consumed twice (vocab
+    # prune + the scored broadcast); barrier it so neither consumer
+    # re-tokenizes the corpus to derive it
     qterms = (
         base.join(qids.withColumnRenamed("doc_id", "query_id"),
                   F.col("doc_id") == F.col("query_id"))
         .select("query_id", F.explode(F.array_distinct("toks")).alias("token"))
+        .localCheckpoint()
     )
     exploded = base.select(
         "doc_id", "dl", F.explode("toks").alias("token")
@@ -191,10 +195,14 @@ def q_hybrid_rrf(spark, sf_dir):
     # prune to the query vocabulary BEFORE aggregating: the broadcast
     # semi-join keeps the (doc,token) shuffle proportional to matches
     vocab = qterms.select("token").distinct()
+    # match-proportional by construction (the vocab prune is the point);
+    # barrier it so the df aggregation and the scoring join don't each
+    # re-run the corpus explode + prune
     tf = (
         exploded.join(F.broadcast(vocab), "token")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint()
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (

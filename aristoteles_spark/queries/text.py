@@ -642,7 +642,13 @@ def q_bloom_decontamination(spark, sf_dir):
     grams = d.select(
         "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
     )
-    eval_g = grams.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
+    # the distinct eval gram set is the SMALL side (the benchmark set in
+    # production) and feeds two consumers (filter build + verify join);
+    # materialize it once rather than re-exploding the corpus per use
+    eval_g = (
+        grams.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
+        .localCheckpoint()
+    )
     train_g = grams.filter(F.col("doc_id") % 7 != 0)
 
     from aristoteles_spark.functions.text import h32
@@ -686,7 +692,10 @@ def q_bloom_decontamination(spark, sf_dir):
         " >> CAST({p} & 31 AS INT)) & 1)"
     )
     hit = F.expr(f"{_bit.format(p='p1')} * {_bit.format(p='p2')}")
-    candidates = probed.filter(hit == 1).select("doc_id", "g")
+    # Bloom survivors are small by construction (that is the point of
+    # the filter); barrier them so the candidate agg and the exact
+    # verify join don't each re-run the train-side explosion + probe
+    candidates = probed.filter(hit == 1).select("doc_id", "g").localCheckpoint()
     verified = candidates.join(eval_g, "g", "left_semi")
     return (
         candidates.groupBy("doc_id")
