@@ -417,3 +417,80 @@ class TestStreamNeardup:
                 assert (n, round(mx, 9)) == per[doc] and novel == 0, doc
             else:
                 assert (n, mx, novel) == (0, 0.0, 1), doc
+
+
+class TestStagedInputCache:
+    def test_split_input_staged_once_and_replays_identically(self, spark):
+        """The staged-input cache must (a) return the SAME directory for
+        identical (table, split-params) so a warm bench pass skips the
+        rewrite, and (b) produce identical mtime-pinned files so a rerun's
+        microbatch split — and with it every incremental result —
+        replays exactly."""
+        import os
+
+        from aristoteles_spark.streaming.events import (
+            stream_events_split,
+            _STAGED_INPUTS,
+        )
+
+        stream_events_split(spark, SF, "cache_probe")
+        key = ("split", os.path.realpath(SF), 3)
+        assert key in _STAGED_INPUTS
+        d1 = _STAGED_INPUTS[key]
+        listing1 = sorted(
+            (f, os.path.getmtime(os.path.join(d1, f)), os.path.getsize(os.path.join(d1, f)))
+            for f in os.listdir(d1)
+        )
+        # second call, different tag, same params: reuses the directory
+        stream_events_split(spark, SF, "cache_probe_2")
+        assert _STAGED_INPUTS[key] == d1
+        listing2 = sorted(
+            (f, os.path.getmtime(os.path.join(d1, f)), os.path.getsize(os.path.join(d1, f)))
+            for f in os.listdir(d1)
+        )
+        assert listing1 == listing2  # untouched: same files, same mtimes
+        # different params key a DIFFERENT directory (no accidental share)
+        stream_events_split(spark, SF, "cache_probe_5", n_files=5)
+        key5 = ("split", os.path.realpath(SF), 5)
+        assert _STAGED_INPUTS[key5] != d1
+
+
+class TestOperatorCacheRelease:
+    def test_pair_operators_leave_no_persisted_intermediates(self, spark):
+        """The dedup pair/edge operators must release their corpus-sized
+        persisted intermediates once the compact result materializes —
+        in a long shared session with periodic GC disabled, leaked
+        blocks accumulate across hundreds of queries (the round-3
+        graph-family drift)."""
+        from aristoteles_spark.operators.dedup import (
+            minhash_cluster_edges,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        jsc = spark.sparkContext._jsc.sc()
+
+        def n_cached():
+            # getPersistentRDDs covers persist() AND localCheckpoint()
+            # storage; only blocks from frames we still hold may remain
+            return jsc.getPersistentRDDs().size()
+
+        for op in (
+            lambda: ngram_jaccard_pairs(docs, threshold=0.8),
+            lambda: minhash_lsh_pairs(docs),
+            lambda: simhash_pairs(docs),
+            lambda: minhash_cluster_edges(docs),
+        ):
+            before = n_cached()
+            out = op()
+            out.collect()
+            after_collect = n_cached()
+            # the operator may keep exactly ONE entry alive: the
+            # checkpointed result we still reference. Intermediates
+            # (signatures, token tables, sig-pair barriers) must be gone.
+            assert after_collect - before <= 1, (
+                f"operator leaked {after_collect - before} cached frames"
+            )
+            del out
