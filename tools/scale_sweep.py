@@ -323,6 +323,12 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     n_bad = 0
+
+    def _flush() -> None:
+        # write after EVERY query: a multi-hour sweep interrupted at
+        # query 30 keeps 29 results instead of losing the whole run
+        _write_results(results)
+
     for name in names:
         fn = qs[name]
         fn(spark, SMALL).collect()  # warmup (JIT, broadcast paths)
@@ -366,7 +372,13 @@ def main() -> int:
             f"(x{ratio:.1f}, exch {ex_small}->{ex_big}, "
             f"rows {rows_s}->{rows_b})"
         )
+        _flush()
 
+    print(json.dumps({"scale_sweep_bad": n_bad}))
+    return 1 if n_bad else 0
+
+
+def _write_results(results: dict[str, dict]) -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # one evidence file per factor: the 10x full-suite sweep lives in
     # BENCH_SCALE.json; larger factors (e.g. --factor 100) get their own
@@ -389,7 +401,7 @@ def main() -> int:
         "scale_factor": SCALE_FACTOR,
         "ratio_max": RATIO_MAX,
         "small": SMALL,
-        "big": big,
+        "big": BIG,
         "queries": merged,
         "n_bad": sum(
             1
@@ -397,10 +409,10 @@ def main() -> int:
             if not (r["linear_ok"] and r["exchange_stable"])
         ),
     }
-    with open(out_path, "w") as f:
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(json.dumps({"scale_sweep_bad": n_bad}))
-    return 1 if n_bad else 0
+    os.replace(tmp, out_path)  # atomic: a reader never sees a torn file
 
 
 if __name__ == "__main__":
