@@ -153,6 +153,15 @@ KNOWN_STRATEGY_SWITCH = {
         "the 100x ratio (10.9x on 100x data) shows the distributed "
         "path is the sublinear one."
     ),
+    "p8_leakage_free_split": (
+        "inherits dd7's adaptive CC strategy flip: the split is keyed "
+        "by near-dup cluster labels from the same connected_components "
+        "operator, whose contracted edge set fits the 250k driver "
+        "union-find guard at the small scale and takes the distributed "
+        "label-propagation loop (more exchanges) above it — equivalence "
+        "pytest-pinned on dd7; p8's own aggregation after the labeling "
+        "is one tiny-key partial-agg shuffle at every scale."
+    ),
 }
 
 
