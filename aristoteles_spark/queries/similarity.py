@@ -19,13 +19,50 @@ from aristoteles_spark.operators.similarity import (
 from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 DIM = 64
-N_PLANES = 6
 K = 5
 QUERY_MOD = 50  # query set = vec_id % 50 == 0 (10 queries at sf0.01)
 NEARDUP_T = 0.35
 TRI_T = 0.1  # looser edge threshold for the triangle census (denser graph)
 
-PLANES = hyperplanes(DIM, N_PLANES)
+# ADAPTIVE signature width — the inverse of the k-means-seed lesson
+# (SURVEY §8.6): a FIXED plane count is a strategy parameter that must
+# scale with data. With h fixed at 6 the 64 buckets each hold n/64
+# vectors and the bucket self-join's candidate mass grows as n²/64 —
+# the round-4 100× sweep measured gr2 at ×186 (bound ×150) from exactly
+# this. h now grows one bit per corpus doubling toward a ~32-vector
+# target bucket, clamped to [6, 12]; the formula is integer bin-length,
+# bit-identical in Python and the SQL oracles (the px1 convention), and
+# every oracle-checked scale (sf0.001/0.01/0.1) lands in the h=6 clamp
+# so driver results are unchanged. Production LSH recovers the recall
+# cost of narrower buckets with multiple plane tables (OR-
+# amplification); sim6's recall census is the gauge that would size it.
+N_PLANES_MIN = 6
+N_PLANES_MAX = 12
+LSH_TARGET_BUCKET = 32
+
+# hyperplanes() draws rows sequentially from a seeded RNG, so the first
+# 6 of 12 are bit-identical to the old hyperplanes(DIM, 6) literals
+# (pinned in tests/test_extensions.py) — prefix slicing preserves every
+# h=6 result.
+PLANES = hyperplanes(DIM, N_PLANES_MAX)
+
+_H_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _n_planes_for(n: int) -> int:
+    m = max((n - 1) // LSH_TARGET_BUCKET, 0)
+    return min(N_PLANES_MAX, max(N_PLANES_MIN, len(bin(m)[2:])))
+
+
+def _planes_for(spark, sf_dir) -> list[list[float]]:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    h = _H_CACHE.get(key)
+    if h is None:
+        h = _n_planes_for(_load(spark, sf_dir).count())
+        _H_CACHE[key] = h
+    return PLANES[:h]
 
 
 def _load(spark, sf_dir):
@@ -43,7 +80,7 @@ def q_knn_brute(spark, sf_dir):
 def q_knn_lsh(spark, sf_dir):
     v = _load(spark, sf_dir)
     q = v.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return knn_lsh(v, q, PLANES, k=K).orderBy("query_id", "neighbor_id")
+    return knn_lsh(v, q, _planes_for(spark, sf_dir), k=K).orderBy("query_id", "neighbor_id")
 
 
 CENT_MOD = 101  # centroid set = vec_id % 101 == 3 (5 cells at sf0.01)
@@ -67,7 +104,7 @@ def q_knn_ivf(spark, sf_dir):
 
 def q_neardup(spark, sf_dir):
     v = _load(spark, sf_dir)
-    return neardup_pairs(v, PLANES, threshold=NEARDUP_T).orderBy("vec_a", "vec_b")
+    return neardup_pairs(v, _planes_for(spark, sf_dir), threshold=NEARDUP_T).orderBy("vec_a", "vec_b")
 
 
 def q_semantic_clusters(spark, sf_dir):
@@ -78,7 +115,7 @@ def q_semantic_clusters(spark, sf_dir):
     from aristoteles_spark.operators.graph import connected_components
 
     v = _load(spark, sf_dir)
-    pairs = neardup_pairs(v, PLANES, threshold=NEARDUP_T)
+    pairs = neardup_pairs(v, _planes_for(spark, sf_dir), threshold=NEARDUP_T)
     nodes = v.select(F.col("vec_id").alias("doc"))
     return connected_components(
         nodes, pairs, src_col="vec_a", dst_col="vec_b"
@@ -97,7 +134,7 @@ def q_triangles(spark, sf_dir):
     is the classic mitigation that keeps hub vertices from exploding
     the wedge stage. Reports per-vertex triangle membership counts."""
     v = _load(spark, sf_dir)
-    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    e = neardup_pairs(v, _planes_for(spark, sf_dir), threshold=TRI_T).select("vec_a", "vec_b")
     e1 = e.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     e2 = e.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
     e3 = e.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
@@ -128,7 +165,7 @@ def q_weighted_sssp(spark, sf_dir):
     min-reduced prefix always extends to the minimal full path — no
     tolerance needed, the doubles hash-match."""
     v = _load(spark, sf_dir)
-    p = neardup_pairs(v, PLANES, threshold=TRI_T)
+    p = neardup_pairs(v, _planes_for(spark, sf_dir), threshold=TRI_T)
     e = p.select(
         "vec_a", "vec_b", (F.lit(1.0) - F.col("cos_sim")).alias("w")
     )
@@ -184,7 +221,7 @@ def q_khop_bfs(spark, sf_dir):
     unbounded closure is dd7's contraction operator). Emits min-hop per
     reached node — BFS discovery order IS min-hop, no re-labeling."""
     v = _load(spark, sf_dir)
-    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    e = neardup_pairs(v, _planes_for(spark, sf_dir), threshold=TRI_T).select("vec_a", "vec_b")
     edges = e.union(
         e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     ).persist()
@@ -249,7 +286,7 @@ def q_kcore(spark, sf_dir):
     all integers, so the oracle (the same 3-round CTE chain) matches
     bit-for-bit."""
     v = _load(spark, sf_dir)
-    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    e = neardup_pairs(v, _planes_for(spark, sf_dir), threshold=TRI_T).select("vec_a", "vec_b")
     edges = e.union(
         e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).persist()
@@ -294,7 +331,7 @@ def q_pagerank(spark, sf_dir):
     the classic Pregel step as DataFrame ops, shuffle volume O(edges)
     per iteration, never all-pairs."""
     v = _load(spark, sf_dir)
-    e = neardup_pairs(v, PLANES, threshold=TRI_T).select("vec_a", "vec_b")
+    e = neardup_pairs(v, _planes_for(spark, sf_dir), threshold=TRI_T).select("vec_a", "vec_b")
     edges = (
         e.union(
             e.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
@@ -381,7 +418,7 @@ def _ann_recall_plan(spark, sf_dir):
     q = v.join(F.broadcast(q_ids), "vec_id").persist()
     q.count()  # materialize: three operators each issue internal jobs
     truth = knn_brute(v, q, k=K).select("query_id", "neighbor_id")
-    lsh = knn_lsh(v, q, PLANES, k=K).select(
+    lsh = knn_lsh(v, q, _planes_for(spark, sf_dir), k=K).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_l")
     )
     cents = sorted(
@@ -439,8 +476,12 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
 
 
+# signature with ADAPTIVE width: term j contributes its bit only when
+# j < h, where h (the corpus-sized plane count) rides along in the v
+# CTE — the SQL mirror of _planes_for's Python slice
 _SIG = "(" + " + ".join(
-    f"CASE WHEN {_DOT.format(a='{e}', b=_plane_sql(p))} > 0 THEN {1 << j} ELSE 0 END"
+    f"CASE WHEN {j} < h AND {_DOT.format(a='{e}', b=_plane_sql(p))} > 0"
+    f" THEN {1 << j} ELSE 0 END"
     for j, p in enumerate(PLANES)
 ) + ")"
 
@@ -450,7 +491,19 @@ _COS = (
     + " / (nq * nc) ELSE 0.0 END"
 )
 
-_V = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings"
+# h = clamp(bitlen((n-1) div 32), 6, 12): one bit per corpus doubling
+# toward a ~32-vector target bucket — identical to _n_planes_for
+_HPARAM = (
+    "SELECT LEAST(12, GREATEST(6, length(bin(GREATEST((count(*) - 1) // 32,"
+    " 0))))) AS h FROM embeddings"
+)
+
+_V = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,"
+    " sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))) AS nrm, h"
+    f" FROM embeddings, ({_HPARAM})"
+)
 
 _IVF_ORACLE = f"""
 WITH v AS ({{v}}),

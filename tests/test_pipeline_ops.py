@@ -18,17 +18,17 @@ class TestKhopBfs:
         from aristoteles_spark.operators.similarity import neardup_pairs
         from aristoteles_spark.queries.similarity import (
             K_HOPS,
-            PLANES,
             SEED_MOD,
             TRI_T,
             _load,
+            _planes_for,
             q_khop_bfs,
         )
 
         got = {r.node: r.hop for r in q_khop_bfs(spark, SF).collect()}
 
         v = _load(spark, SF)
-        pairs = neardup_pairs(v, PLANES, threshold=TRI_T).collect()
+        pairs = neardup_pairs(v, _planes_for(spark, SF), threshold=TRI_T).collect()
         adj = defaultdict(set)
         for r in pairs:
             adj[r.vec_a].add(r.vec_b)
@@ -231,17 +231,17 @@ class TestPagerank:
     def test_matches_python_fixed_point(self, spark):
         from aristoteles_spark.operators.similarity import neardup_pairs
         from aristoteles_spark.queries.similarity import (
-            PLANES,
             PR_ITERS,
             PR_ONE,
             TRI_T,
             _load,
+            _planes_for,
             q_pagerank,
         )
 
         got = {r.node: r.rank for r in q_pagerank(spark, SF).collect()}
         v = _load(spark, SF)
-        pairs = neardup_pairs(v, PLANES, threshold=TRI_T).collect()
+        pairs = neardup_pairs(v, _planes_for(spark, SF), threshold=TRI_T).collect()
         nodes = [r.vec_id for r in v.select("vec_id").collect()]
         adj = defaultdict(list)
         for r in pairs:
