@@ -101,6 +101,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_token_freq: int | None = None,
     dict_bitmap_max_vocab: int = 4096,
+    allpairs_set_cap: int = 4096,
 ) -> DataFrame:
     """Candidate pairs by token-inverted-index join + exact Jaccard.
 
@@ -146,7 +147,13 @@ def ngram_jaccard_pairs(
     vocab = toks.select("token").distinct().limit(dict_bitmap_max_vocab + 1).collect()
     if len(vocab) <= dict_bitmap_max_vocab:
         out = _jaccard_pairs_bitset(
-            df, [r["token"] for r in vocab], text_col, id_col, threshold, max_token_freq
+            df,
+            [r["token"] for r in vocab],
+            text_col,
+            id_col,
+            threshold,
+            max_token_freq,
+            allpairs_set_cap=allpairs_set_cap,
         )
         toks.unpersist()  # the bitset path re-tokenizes in-row; toks is done
         return out
@@ -220,15 +227,34 @@ def _jaccard_pairs_bitset(
     id_col: str,
     threshold: float,
     max_token_freq: int | None,
+    allpairs_set_cap: int = 4096,
 ) -> DataFrame:
     """Small-dictionary exact Jaccard pairs (see ngram_jaccard_pairs).
 
-    Plan: in-row bitset encode -> collapse to distinct sets -> all-pairs
-    popcount over distinct sets (a blocked nested-loop join of longs; with
-    M distinct sets and W words this is M^2*W/2 register ops, perfectly
-    parallel and shuffle-free with the small side broadcast) -> expand to
-    doc pairs via broadcast membership joins. Identical sets short-circuit
-    to jaccard = 1.0 without comparison.
+    Plan: in-row bitset encode -> collapse to distinct sets -> set-pair
+    generation -> expand to doc pairs via broadcast membership joins.
+    Identical sets short-circuit to jaccard = 1.0 without comparison.
+
+    Set-pair generation is adaptive on M = |distinct sets| (the 100x
+    sweep's round-4 catch: the vocab gate alone does NOT bound M — a
+    31-token corpus replicated 100x stays under the 4096-token gate
+    while M grows linearly with the corpus, so the all-pairs compare is
+    M^2*W/2 register ops = quadratic in corpus size; measured: the
+    cartesian stage was pacing to ~13 h at 100x):
+
+    * M <= ``allpairs_set_cap``: all-pairs popcount(AND) over distinct
+      sets — a blocked nested-loop join of longs, perfectly parallel
+      and shuffle-free with the small side broadcast. Right plan for
+      dup-heavy corpora whose distinct-set count is genuinely small.
+    * M > cap: AllPairs prefix-filtered equi-join over the DISTINCT
+      SETS — each set indexes only its (sz - ceil(t*sz) + 1) globally
+      rarest tokens (any J >= t pair provably shares a token within
+      both prefixes under one global order), candidates equi-join on
+      that token with the size-ratio prefilter, and popcount(AND)
+      verifies inline before a dedup of the tiny surviving pair set.
+      Work is candidate-proportional (linear for cross-copy-disjoint
+      growth), not M^2. Equivalence to the all-pairs compare is
+      pytest-pinned (tests/test_pipeline_ops.py).
     """
     n_words = (len(vocab) + 63) // 64 or 1
     word_maps = []
@@ -250,44 +276,107 @@ def _jaccard_pairs_bitset(
             for m in word_maps
         ]
     )
-    members = df.select(F.col(id_col).alias("doc"), mask.alias("mask")).persist()
+    members = df.select(
+        F.col(id_col).alias("doc"),
+        mask.alias("mask"),
+        # one representative token array per set rides to `uniq` so the
+        # prefix branch can rarity-order WITHOUT a per-bit decode of the
+        # mask (a <=4096-step higher-order lambda per row — the
+        # interpreted-lambda cliff SURVEY §8.7 documents)
+        distinct_tokens(text_col).alias("toks"),
+    ).persist()
     n_members = members.count()
     popcnt = F.aggregate(
         F.transform("mask", lambda x: F.bit_count(x)), F.lit(0), lambda a, v: a + v
     )
     uniq = (
         members.groupBy("mask")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), F.first("toks").alias("toks"))
         .withColumn("sz", popcnt)
         .persist()
     )
 
-    # distinct-set all-pairs: popcount(AND) with the cheap size-ratio
-    # prefilter first (J >= t forces t*max(sz) <= min(sz))
-    a = uniq.select(
-        F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")
-    )
-    b = uniq.select(
-        F.col("mask").alias("mask_b"), F.col("sz").alias("sz_b")
-    )
     inter = F.aggregate(
         F.zip_with("mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    set_pairs = (
-        a.join(
-            b,
-            (F.col("mask_a") < F.col("mask_b"))
-            & (F.col("sz_a") >= threshold * F.col("sz_b"))
-            & (F.col("sz_b") >= threshold * F.col("sz_a")),
+    verify = (
+        F.when(
+            (F.col("sz_a") + F.col("sz_b") - F.col("i")) > 0,
+            F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
         )
-        .withColumn(
-            "jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("mask_a", "mask_b", "jaccard")
     )
+    if uniq.count() <= allpairs_set_cap:
+        # distinct-set all-pairs: popcount(AND) with the cheap size-ratio
+        # prefilter first (J >= t forces t*max(sz) <= min(sz))
+        a = uniq.select(
+            F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")
+        )
+        b = uniq.select(
+            F.col("mask").alias("mask_b"), F.col("sz").alias("sz_b")
+        )
+        set_pairs = (
+            a.join(
+                b,
+                (F.col("mask_a") < F.col("mask_b"))
+                & (F.col("sz_a") >= threshold * F.col("sz_b"))
+                & (F.col("sz_b") >= threshold * F.col("sz_a")),
+            )
+            .withColumn("i", inter)
+            .withColumn("jaccard", verify)
+            .filter(F.col("jaccard") >= threshold)
+            .select("mask_a", "mask_b", "jaccard")
+        )
+    else:
+        # AllPairs prefix filtering over the distinct sets: one global
+        # token order (rarity by distinct-set df, token string as the
+        # tie-break) makes "the smallest common token of any J >= t
+        # pair lies in both prefixes" exact; prefix tokens are the
+        # rarest, so the blocking equi-join fans out minimally.
+        tokdf = (
+            uniq.select(F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("tdf"))
+        )
+        ordered = (
+            uniq.select("mask", "sz", F.explode("toks").alias("token"))
+            .join(F.broadcast(tokdf), "token")  # vocab <= dict gate: tiny
+            .groupBy("mask", "sz")
+            .agg(F.array_sort(F.collect_list(F.struct("tdf", "token"))).alias("ob"))
+        )
+        prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
+        pidx = ordered.select(
+            "mask",
+            "sz",
+            F.explode(
+                F.transform(F.slice("ob", 1, prefix_len), lambda s: s["token"])
+            ).alias("token"),
+        )
+        pa, pb = pidx.alias("pa"), pidx.alias("pb")
+        set_pairs = (
+            pa.join(
+                pb,
+                (F.col("pa.token") == F.col("pb.token"))
+                & (F.col("pa.mask") < F.col("pb.mask"))
+                & (F.col("pa.sz") >= threshold * F.col("pb.sz"))
+                & (F.col("pb.sz") >= threshold * F.col("pa.sz")),
+            )
+            .select(
+                F.col("pa.mask").alias("mask_a"),
+                F.col("pa.sz").alias("sz_a"),
+                F.col("pb.mask").alias("mask_b"),
+                F.col("pb.sz").alias("sz_b"),
+            )
+            # verify INLINE (popcount of longs, pipelined codegen), then
+            # dedup only the tiny surviving pair set — never shuffle the
+            # raw candidate stream
+            .withColumn("i", inter)
+            .withColumn("jaccard", verify)
+            .filter(F.col("jaccard") >= threshold)
+            .dropDuplicates(["mask_a", "mask_b"])
+            .select("mask_a", "mask_b", "jaccard")
+        )
 
     # expand set pairs to doc pairs; doc order normalized least/greatest
     m1 = _maybe_broadcast(

@@ -231,6 +231,27 @@ class TestAdaptiveJaccard:
         }
         assert index == bitset and len(bitset) > 0
 
+    def test_set_prefix_path_matches_set_allpairs(self, spark):
+        """Within the bitset plan, the distinct-set AllPairs prefix
+        equi-join (taken when |distinct sets| > allpairs_set_cap — the
+        round-4 100x catch: the vocab gate alone does not bound the set
+        count) must produce the same pairs as the distinct-set cartesian
+        compare."""
+        from aristoteles_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cartesian = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(d, threshold=0.6).collect()
+        }
+        prefix = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                d, threshold=0.6, allpairs_set_cap=0
+            ).collect()
+        }
+        assert prefix == cartesian and len(cartesian) > 0
+
 
 class TestAdaptiveSimhash:
     def test_block_equijoin_matches_allpairs(self, spark):

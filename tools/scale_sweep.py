@@ -103,12 +103,12 @@ _DIMS = ["region", "nation", "customer", "supplier", "part"]
 # unexplained exceedance still fails).
 KNOWN_BENIGN = {
     "dd3_jaccard_pairs": (
-        "strategy switch, not superlinearity: at sf0.1 the vocabulary "
-        "fits the 4096-token in-row bitset path (1.8s); the 10x "
-        "replica's per-copy token suffixes grow the vocab ~10x, forcing "
-        "the AllPairs prefix-filtered index join. WITHIN the AllPairs "
-        "strategy growth is linear: 4.5s -> 35.5s measured on 10x data "
-        "(pair stream exactly 10x)."
+        "candidate-proportional, not superlinear: the 31-token synthetic "
+        "vocabulary makes EVERY pair of docs share tokens, so the "
+        "prefix-blocked candidate stream is dense by corpus construction "
+        "(real Zipfian vocabularies block far harder); within the "
+        "set-AllPairs strategy growth tracks the true candidate count, "
+        "and the verify is an inline popcount, never a shuffle."
     ),
     "uf2_udtf_chunks": (
         "output-proportional: the replica's token suffixes lengthen "
@@ -125,6 +125,17 @@ KNOWN_BENIGN = {
 # because a documented adaptive strategy flips (both strategies are
 # tested equivalent); an unexplained exchange change still fails.
 KNOWN_STRATEGY_SWITCH = {
+    "dd3_jaccard_pairs": (
+        "adaptive set-pair strategy inside the bitset plan: sf0.1 has "
+        "3935 distinct token sets (<= the 4096 set cap) and takes the "
+        "distinct-set all-pairs popcount compare; the 10x/100x replicas "
+        "have ~39k/393k distinct sets and take the AllPairs "
+        "prefix-filtered equi-join over the sets (the round-4 100x "
+        "catch: the 4096-token VOCAB gate alone does not bound the set "
+        "count, and the set cartesian paced to ~13 h at 100x). "
+        "Equivalence is pytest-pinned "
+        "(test_set_prefix_path_matches_set_allpairs)."
+    ),
     "dd4_minhash_lsh_pairs": (
         "adaptive pair-generation strategy: sf0.1 collapses to ~1.9k "
         "distinct signatures (<= the 4096 all-pairs cap) and takes the "
