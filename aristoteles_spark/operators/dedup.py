@@ -101,9 +101,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_token_freq: int | None = None,
     dict_bitmap_max_vocab: int = 4096,
-    allpairs_set_cap: int = 4096,
+    allpairs_set_cap: int = 65536,
 ) -> DataFrame:
     """Candidate pairs by token-inverted-index join + exact Jaccard.
+
+    ``allpairs_set_cap`` bounds the distinct-set cartesian (round 4):
+    with the popcount verify in codegen, the cartesian costs ~M^2/2
+    cheap size-prefilter evaluations (popcount only on size-compatible
+    pairs) and no shuffle — at the 10x replica (M = 39k) it measured
+    ~4x faster than the prefix equi-join (35 s vs 141 s), and at
+    M = 65536 its 2.1e9 enumerations are tens of seconds of register
+    work on 32 cores. Above the cap M^2 growth must eventually lose to
+    the candidate-proportional prefix join; on a Zipfian real-corpus
+    vocabulary the prefix blocking is selective and the crossover is
+    far below the cap, while this benchmark's 31-token synthetic
+    vocabulary is the prefix join's worst case (census: 1.4e9
+    candidates at 100x — dense by corpus construction). The interpreted
+    popcount that originally made the cartesian pace to ~13 h at 100x
+    is gone either way (explicit W-term bit_count sum, see below).
 
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over distinct token sets.
     ``max_token_freq`` drops tokens appearing in more than that many docs
@@ -296,11 +311,20 @@ def _jaccard_pairs_bitset(
         .persist()
     )
 
-    inter = F.aggregate(
-        F.zip_with("mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    # |A AND B| as an EXPLICIT W-term sum of codegen bit_counts, not an
+    # aggregate(zip_with(...)) fold: Catalyst pushes the jaccard filter
+    # into the set-pair JOIN PREDICATE, and higher-order functions do
+    # not participate in codegen — they interpret per candidate pair
+    # (the §8.8 cliff class; a thread dump of the 100x run showed every
+    # worker inside ArrayAggregate.eval under the generated predicate).
+    # W = ceil(vocab/64) is a driver-side constant, so the unrolled sum
+    # is a plain arithmetic expression tree the predicate codegens.
+    inter = None
+    for w in range(1, n_words + 1):
+        term = F.bit_count(
+            F.element_at("mask_a", w).bitwiseAND(F.element_at("mask_b", w))
+        )
+        inter = term if inter is None else inter + term
     verify = (
         F.when(
             (F.col("sz_a") + F.col("sz_b") - F.col("i")) > 0,
@@ -328,74 +352,127 @@ def _jaccard_pairs_bitset(
             .filter(F.col("jaccard") >= threshold)
             .select("mask_a", "mask_b", "jaccard")
         )
+        # expand set pairs to doc pairs; doc order normalized least/greatest
+        m1 = _maybe_broadcast(
+            members.select(F.col("doc").alias("da"), F.col("mask").alias("mask_a")),
+            n_members,
+        )
+        m2 = _maybe_broadcast(
+            members.select(F.col("doc").alias("db"), F.col("mask").alias("mask_b")),
+            n_members,
+        )
+        cross = (
+            set_pairs.join(m1, "mask_a")
+            .join(m2, "mask_b")
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "jaccard",
+            )
+        )
     else:
         # AllPairs prefix filtering over the distinct sets: one global
         # token order (rarity by distinct-set df, token string as the
         # tie-break) makes "the smallest common token of any J >= t
         # pair lies in both prefixes" exact; prefix tokens are the
         # rarest, so the blocking equi-join fans out minimally.
+        #
+        # Two 100x-measured design rules baked in here:
+        # * every row that crosses a shuffle or enters the dedup hash map
+        #   is keyed by a compact surrogate set id (sid), never by the
+        #   W-long mask array — deduping 70M survivors on two ~800-byte
+        #   array keys was the measured wall (and memory killer) of the
+        #   first formulation;
+        # * a PPJoin-style positional upper bound gates the popcount:
+        #   for the smallest common token at rarity positions (pos_a,
+        #   pos_b), overlap <= 1 + min(sz_a-1-pos_a, sz_b-1-pos_b), and
+        #   J >= t needs overlap >= t/(1+t)*(sz_a+sz_b). A qualifying
+        #   pair always survives via its smallest common token (the
+        #   bound is exact there), and dedup keeps it once; the cheap
+        #   int conjunct skips the W-term popcount for the bulk of the
+        #   enumerated candidates.
+        from pyspark.sql import Window
+
+        uniq2 = uniq.withColumn(
+            "sid", F.row_number().over(Window.orderBy("mask"))
+        )
         tokdf = (
             uniq.select(F.explode("toks").alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("tdf"))
         )
         ordered = (
-            uniq.select("mask", "sz", F.explode("toks").alias("token"))
+            uniq2.select("sid", "mask", "sz", F.explode("toks").alias("token"))
             .join(F.broadcast(tokdf), "token")  # vocab <= dict gate: tiny
-            .groupBy("mask", "sz")
+            .groupBy("sid", "mask", "sz")
             .agg(F.array_sort(F.collect_list(F.struct("tdf", "token"))).alias("ob"))
         )
         prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
         pidx = ordered.select(
+            "sid",
             "mask",
             "sz",
-            F.explode(
+            F.posexplode(
                 F.transform(F.slice("ob", 1, prefix_len), lambda s: s["token"])
-            ).alias("token"),
+            ).alias("pos", "token"),
         )
         pa, pb = pidx.alias("pa"), pidx.alias("pb")
+        overlap_cap = F.lit(1) + F.least(
+            F.col("pa.sz") - 1 - F.col("pa.pos"),
+            F.col("pb.sz") - 1 - F.col("pb.pos"),
+        )
+        overlap_need = (
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("pa.sz") + F.col("pb.sz"))
+        )
         set_pairs = (
             pa.join(
                 pb,
                 (F.col("pa.token") == F.col("pb.token"))
-                & (F.col("pa.mask") < F.col("pb.mask"))
+                & (F.col("pa.sid") < F.col("pb.sid"))
                 & (F.col("pa.sz") >= threshold * F.col("pb.sz"))
-                & (F.col("pb.sz") >= threshold * F.col("pa.sz")),
+                & (F.col("pb.sz") >= threshold * F.col("pa.sz"))
+                & (overlap_cap >= overlap_need),
             )
             .select(
+                F.col("pa.sid").alias("sid_a"),
                 F.col("pa.mask").alias("mask_a"),
                 F.col("pa.sz").alias("sz_a"),
+                F.col("pb.sid").alias("sid_b"),
                 F.col("pb.mask").alias("mask_b"),
                 F.col("pb.sz").alias("sz_b"),
             )
             # verify INLINE (popcount of longs, pipelined codegen), then
-            # dedup only the tiny surviving pair set — never shuffle the
-            # raw candidate stream
+            # dedup only the tiny surviving pair set on its INT keys —
+            # never shuffle the raw candidate stream
             .withColumn("i", inter)
             .withColumn("jaccard", verify)
             .filter(F.col("jaccard") >= threshold)
-            .dropDuplicates(["mask_a", "mask_b"])
-            .select("mask_a", "mask_b", "jaccard")
+            .dropDuplicates(["sid_a", "sid_b"])
+            .select("sid_a", "sid_b", "jaccard")
         )
-
-    # expand set pairs to doc pairs; doc order normalized least/greatest
-    m1 = _maybe_broadcast(
-        members.select(F.col("doc").alias("da"), F.col("mask").alias("mask_a")),
-        n_members,
-    )
-    m2 = _maybe_broadcast(
-        members.select(F.col("doc").alias("db"), F.col("mask").alias("mask_b")),
-        n_members,
-    )
-    cross = (
-        set_pairs.join(m1, "mask_a")
-        .join(m2, "mask_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
+        # expansion joins ride the int sid too (the mask array never
+        # leaves the distinct-set frame)
+        mem_s = members.join(uniq2.select("mask", "sid"), "mask").select(
+            "doc", "sid"
         )
-    )
+        s1 = _maybe_broadcast(
+            mem_s.select(F.col("doc").alias("da"), F.col("sid").alias("sid_a")),
+            n_members,
+        )
+        s2 = _maybe_broadcast(
+            mem_s.select(F.col("doc").alias("db"), F.col("sid").alias("sid_b")),
+            n_members,
+        )
+        cross = (
+            set_pairs.join(s1, "sid_a")
+            .join(s2, "sid_b")
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "jaccard",
+            )
+        )
     # identical sets: every intra-group pair has jaccard exactly 1.0
     # (empty sets excluded — no shared token means no pair)
     g1 = members.select(F.col("doc").alias("da"), "mask")
