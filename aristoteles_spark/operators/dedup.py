@@ -55,15 +55,10 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     SPARK_GRAFT_AUDIT_NO_BARRIER=1 (tools/plan_audit.py) skips the
     barrier so explain() still shows the strategy plan — the exact plan
     the checkpoint materialization runs — instead of a checkpoint scan
-    (the dd12/sim6 pre-checkpoint-builder convention, operator-level)."""
-    import os
+    (shared flag-aware helper: operators/barrier.py)."""
+    from aristoteles_spark.operators.barrier import audit_barrier
 
-    if os.environ.get("SPARK_GRAFT_AUDIT_NO_BARRIER") == "1":
-        return result
-    out = result.localCheckpoint()
-    for c in cached:
-        c.unpersist()
-    return out
+    return audit_barrier(result, *cached)
 
 
 def _maybe_broadcast(frame: DataFrame, n_rows: int) -> DataFrame:
@@ -269,7 +264,8 @@ def _jaccard_pairs_bitset(
       verifies inline before a dedup of the tiny surviving pair set.
       Work is candidate-proportional (linear for cross-copy-disjoint
       growth), not M^2. Equivalence to the all-pairs compare is
-      pytest-pinned (tests/test_pipeline_ops.py).
+      pytest-pinned (tests/test_extensions.py
+      test_set_prefix_path_matches_set_allpairs).
     """
     n_words = (len(vocab) + 63) // 64 or 1
     word_maps = []
@@ -291,14 +287,25 @@ def _jaccard_pairs_bitset(
             for m in word_maps
         ]
     )
+    # one representative token array per set rides to `uniq` so the
+    # prefix branch can rarity-order WITHOUT a per-bit decode of the
+    # mask (a <=4096-step higher-order lambda per row — the
+    # interpreted-lambda cliff SURVEY §8.7 documents). The array MUST
+    # match the FILTERED vocabulary the mask encodes (ADVICE r4): with
+    # max_token_freq set, a dropped token that sorts early in the rarity
+    # order would otherwise occupy a prefix slot (prefix_len is computed
+    # from the filtered sz but sliced from the longer unfiltered array)
+    # and could displace the one shared prefix token of a qualifying
+    # pair — a silent false negative. Filtering also makes the set a
+    # pure function of the mask, so F.first over same-mask docs is
+    # deterministic.
+    tok_set = distinct_tokens(text_col)
+    if max_token_freq is not None:
+        tok_set = F.array_intersect(tok_set, F.lit(vocab).cast("array<string>"))
     members = df.select(
         F.col(id_col).alias("doc"),
         mask.alias("mask"),
-        # one representative token array per set rides to `uniq` so the
-        # prefix branch can rarity-order WITHOUT a per-bit decode of the
-        # mask (a <=4096-step higher-order lambda per row — the
-        # interpreted-lambda cliff SURVEY §8.7 documents)
-        distinct_tokens(text_col).alias("toks"),
+        tok_set.alias("toks"),
     ).persist()
     n_members = members.count()
     popcnt = F.aggregate(
@@ -391,11 +398,14 @@ def _jaccard_pairs_bitset(
         #   bound is exact there), and dedup keeps it once; the cheap
         #   int conjunct skips the W-term popcount for the bulk of the
         #   enumerated candidates.
-        from pyspark.sql import Window
-
-        uniq2 = uniq.withColumn(
-            "sid", F.row_number().over(Window.orderBy("mask"))
-        )
+        # sid only needs uniqueness and a total order, not dense ranks —
+        # monotonically_increasing_id gives both without the single-task
+        # global sort a row_number() over an unpartitioned window forces
+        # (this branch runs only when M > allpairs_set_cap, i.e. >65k
+        # wide mask-array rows through one task; ADVICE r4). ids are
+        # stable for the run because `uniq` is persisted and already
+        # materialized by the branch-deciding count() above.
+        uniq2 = uniq.withColumn("sid", F.monotonically_increasing_id())
         tokdf = (
             uniq.select(F.explode("toks").alias("token"))
             .groupBy("token")

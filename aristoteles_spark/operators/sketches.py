@@ -224,14 +224,11 @@ def kmv_set_overlap(
             ).alias("est_intersection"),
         )
     )
-    import os
+    from aristoteles_spark.operators.barrier import audit_barrier
 
-    if os.environ.get("SPARK_GRAFT_AUDIT_NO_BARRIER") == "1":
-        return out  # plan audit: keep the strategy plan visible
-    out = out.localCheckpoint()  # one-row result; release the sketch caches
-    for sk in (ka, kb, ku):
-        sk.unpersist()
-    return out
+    # one-row result; release the sketch caches (flag-aware: plan audit
+    # keeps the strategy plan visible)
+    return audit_barrier(out, ka, kb, ku)
 
 
 # ---------------------------------------------------------------- HLL

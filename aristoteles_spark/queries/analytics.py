@@ -952,9 +952,13 @@ def q_bloom_filter(spark, sf_dir):
     # vocabulary-bounded (distinct (source, token)) and consumed twice
     # (filter build + exact-membership side); materialize once instead
     # of re-running the corpus tokenize+explode per consumer
-    vocab = d.select(
-        "source", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).distinct().localCheckpoint()
+    from aristoteles_spark.operators.barrier import audit_barrier
+
+    vocab = audit_barrier(
+        d.select(
+            "source", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        ).distinct()
+    )
 
     def with_positions(df):
         return df.withColumn(

@@ -241,7 +241,9 @@ def q_product_quantize(spark, sf_dir):
     # vq appears five times in one plan (4 subspace trainings + the
     # encode); materialize the quantized vectors once — at corpus scale
     # the int-array table is exactly what a PQ index build stores
-    vq = _vq(spark, sf_dir).localCheckpoint()
+    from aristoteles_spark.operators.barrier import audit_barrier
+
+    vq = audit_barrier(_vq(spark, sf_dir))
     cbs = []
     for s in range(N_SUB):
         sub = vq.select(

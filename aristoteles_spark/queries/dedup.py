@@ -344,10 +344,10 @@ def q_containment(spark, sf_dir):
         "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
     )
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
-    rare = (
-        grams.join(freq.filter(F.col("k") <= DF_CAP), "g")
-        .select("doc_id", "g")
-        .localCheckpoint()
+    from aristoteles_spark.operators.barrier import audit_barrier
+
+    rare = audit_barrier(
+        grams.join(freq.filter(F.col("k") <= DF_CAP), "g").select("doc_id", "g")
     )
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rare.select(F.col("doc_id").alias("doc_a"), "g")

@@ -182,13 +182,14 @@ def q_hybrid_rrf(spark, sf_dir):
     v = load_table(spark, sf_dir, "embeddings")
     # fixed-budget query set (tiny, consumed by three subtrees — the
     # eager barrier stops each consumer re-deriving it from two scans)
-    qids = (
+    from aristoteles_spark.operators.barrier import audit_barrier
+
+    qids = audit_barrier(
         d.select("doc_id")
         .where(F.col("doc_id") % QUERY_MOD == QUERY_OFF)
         .join(v.select(F.col("vec_id").alias("doc_id")), "doc_id")
         .orderBy("doc_id")
         .limit(Q_BUDGET)
-        .localCheckpoint()
     )
 
     base = d.select("doc_id", tokens("text").alias("toks")).withColumn(
@@ -200,11 +201,10 @@ def q_hybrid_rrf(spark, sf_dir):
     # tiny (queries x their distinct tokens) and consumed twice (vocab
     # prune + the scored broadcast); barrier it so neither consumer
     # re-tokenizes the corpus to derive it
-    qterms = (
+    qterms = audit_barrier(
         base.join(qids.withColumnRenamed("doc_id", "query_id"),
                   F.col("doc_id") == F.col("query_id"))
         .select("query_id", F.explode(F.array_distinct("toks")).alias("token"))
-        .localCheckpoint()
     )
     exploded = base.select(
         "doc_id", "dl", F.explode("toks").alias("token")
@@ -215,11 +215,10 @@ def q_hybrid_rrf(spark, sf_dir):
     # match-proportional by construction (the vocab prune is the point);
     # barrier it so the df aggregation and the scoring join don't each
     # re-run the corpus explode + prune
-    tf = (
+    tf = audit_barrier(
         exploded.join(F.broadcast(vocab), "token")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .localCheckpoint()
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (

@@ -645,9 +645,10 @@ def q_bloom_decontamination(spark, sf_dir):
     # the distinct eval gram set is the SMALL side (the benchmark set in
     # production) and feeds two consumers (filter build + verify join);
     # materialize it once rather than re-exploding the corpus per use
-    eval_g = (
+    from aristoteles_spark.operators.barrier import audit_barrier
+
+    eval_g = audit_barrier(
         grams.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
-        .localCheckpoint()
     )
     train_g = grams.filter(F.col("doc_id") % 7 != 0)
 
@@ -695,7 +696,7 @@ def q_bloom_decontamination(spark, sf_dir):
     # Bloom survivors are small by construction (that is the point of
     # the filter); barrier them so the candidate agg and the exact
     # verify join don't each re-run the train-side explosion + probe
-    candidates = probed.filter(hit == 1).select("doc_id", "g").localCheckpoint()
+    candidates = audit_barrier(probed.filter(hit == 1).select("doc_id", "g"))
     verified = candidates.join(eval_g, "g", "left_semi")
     return (
         candidates.groupBy("doc_id")

@@ -252,6 +252,44 @@ class TestAdaptiveJaccard:
         }
         assert prefix == cartesian and len(cartesian) > 0
 
+    def test_set_prefix_respects_max_token_freq(self, spark):
+        """ADVICE r4 (medium): with max_token_freq set, the set-level
+        prefix branch must rarity-order the FILTERED token set. The
+        corpus below is adversarial: tokens 'aa'/'bb' exceed the doc-
+        frequency cap (8 docs > 5) but appear in only two DISTINCT sets
+        each, so they sort ahead of the kept shared tokens — sliced
+        from the unfiltered array they would displace 'b' (the one
+        shared prefix token of every qualifying A-B pair) out of both
+        prefixes and silently drop the J=0.6 pairs."""
+        from aristoteles_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = (
+            [(i, "aa b c d x") for i in (1, 2)]
+            + [(i, "bb b c d y") for i in (3, 4)]
+            + [(i, "aa") for i in range(5, 11)]
+            + [(i, "bb") for i in range(11, 17)]
+        )
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(threshold=0.6, max_token_freq=5)
+        expected = {
+            (1, 2, 1.0),
+            (3, 4, 1.0),
+            (1, 3, 0.6),
+            (1, 4, 0.6),
+            (2, 3, 0.6),
+            (2, 4, 0.6),
+        }
+        for extra in (
+            {},  # bitset cartesian branch
+            {"allpairs_set_cap": 0},  # bitset prefix branch (the fix)
+            {"dict_bitmap_max_vocab": 0},  # doc-level prefix path
+        ):
+            got = {
+                (r.doc_a, r.doc_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_pairs(d, **kw, **extra).collect()
+            }
+            assert got == expected, extra
+
 
 class TestAdaptiveSimhash:
     def test_block_equijoin_matches_allpairs(self, spark):
