@@ -209,21 +209,42 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
-def q_dup_clusters(spark, sf_dir):
-    """Near-dup cluster labeling: MinHash-LSH similarity edges, iterated
-    min-label propagation to a fixpoint (operators/graph.py). The
-    'keep one per cluster' deliverable of a dedup pipeline.
+def _doc_clusters(spark, sf_dir):
+    """The MinHash-LSH near-dup cluster table (node, cluster) —
+    materialized ONCE per session and consumed by every query that
+    needs the labeling (dd7's deliverable, p8's split keys). This is
+    the production shape: a pipeline writes its cluster table once and
+    every downstream stage reads it; through round 4 dd7 and p8 each
+    re-ran the signature+banding+contraction-CC stack (~13 s of the
+    247 s sf0.1 suite for two copies of the same table — VERDICT r4).
 
     Uses the star+bridge contracted edge set (minhash_cluster_edges):
     identical components as the full pair expansion, but O(n) edges
     instead of the clique blowup (5.4M -> ~5k at sf0.1)."""
+    import os
+
     from aristoteles_spark.operators.dedup import minhash_cluster_edges
     from aristoteles_spark.operators.graph import connected_components
+    from aristoteles_spark.operators.materialize import shared_table
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    edges = minhash_cluster_edges(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
-    nodes = d.select(F.col("doc_id").alias("doc"))
-    return connected_components(nodes, edges).orderBy("node")
+    def build():
+        d = fan_out(load_table(spark, sf_dir, "documents"))
+        edges = minhash_cluster_edges(
+            d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+        )
+        nodes = d.select(F.col("doc_id").alias("doc"))
+        return connected_components(nodes, edges)
+
+    key = ("doc_clusters", os.path.abspath(sf_dir), NUM_HASHES, BANDS, 0.5)
+    return shared_table(spark, key, build)
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup cluster labeling: MinHash-LSH similarity edges, iterated
+    min-label propagation to a fixpoint (operators/graph.py). The
+    'keep one per cluster' deliverable of a dedup pipeline; the cluster
+    table itself is session-shared (_doc_clusters)."""
+    return _doc_clusters(spark, sf_dir).orderBy("node")
 
 
 def q_repetition_scrub(spark, sf_dir):
@@ -397,18 +418,13 @@ def q_leakage_free_split(spark, sf_dir):
     masses plus ``n_leaky_clusters`` — clusters spanning >1 split —
     which is structurally zero and oracle-matched at zero (the same
     computed-not-asserted pattern as sk2's false negatives). Scale: the
-    cluster labeling is the contraction CC; everything after is one
-    partial-agg shuffle of tiny keys."""
+    cluster labeling is the contraction CC — session-shared with dd7
+    (_doc_clusters); everything after is one partial-agg shuffle of
+    tiny keys."""
     from aristoteles_spark.functions.text import h32, tokens
-    from aristoteles_spark.operators.dedup import minhash_cluster_edges
-    from aristoteles_spark.operators.graph import connected_components
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    edges = minhash_cluster_edges(
-        d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
-    )
-    nodes = d.select(F.col("doc_id").alias("doc"))
-    cc = connected_components(nodes, edges)  # (node, cluster)
+    cc = _doc_clusters(spark, sf_dir)  # (node, cluster)
     bucket = F.pmod(
         h32(F.col("cluster").cast("string"), F.lit("split")),
         F.lit(SPLIT_BUCKETS),
