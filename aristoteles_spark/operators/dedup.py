@@ -536,10 +536,21 @@ def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 256):
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    use_small_vocab: bool = True,
 ) -> DataFrame:
-    """(id, sig array<long>) — computed in-row, zero shuffle."""
-    hash_fn = _small_vocab_hash_fn(df, text_col)
+    """(id, sig array<long>) — computed in-row, zero shuffle.
+
+    ``use_small_vocab=False`` skips the driver-side vocabulary probe
+    (a distinct+limit+collect job). The probe is a pure optimization —
+    the literal-map lookup returns bit-identical md5-derived values —
+    so callers that sign many SMALL frames (a streaming probe signs
+    every microbatch; round 5 measured the probe as a full extra Spark
+    job per trigger) turn it off without affecting results."""
+    hash_fn = _small_vocab_hash_fn(df, text_col) if use_small_vocab else None
     return df.select(
         F.col(id_col).alias("doc"),
         minhash_signature(distinct_tokens(text_col), num_hashes, hash_fn=hash_fn).alias(
@@ -887,6 +898,7 @@ def minhash_banded(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    use_small_vocab: bool = True,
 ) -> DataFrame:
     """(doc_<side>, sig_<side>, band, digest) — the stored form of a
     banded LSH index: each doc's signature exploded into its per-band
@@ -895,7 +907,7 @@ def minhash_banded(
     streaming probe (st13) persists it across microbatches for exactly
     that reason."""
     rpb = num_hashes // bands
-    s = minhash_signatures(df, text_col, id_col, num_hashes)
+    s = minhash_signatures(df, text_col, id_col, num_hashes, use_small_vocab)
     return s.select(
         F.col("doc").alias(f"doc_{side}"),
         F.col("sig").alias(f"sig_{side}"),
@@ -919,6 +931,7 @@ def minhash_index_probe(
     bands: int = 4,
     threshold: float = 0.5,
     index_banded: DataFrame | None = None,
+    batch_small_vocab: bool = True,
 ) -> DataFrame:
     """Probe a NEW batch of documents against an EXISTING corpus's LSH
     index: (batch_doc, index_doc, est_sim) for every banded-LSH
@@ -939,7 +952,9 @@ def minhash_index_probe(
         if index_banded is not None
         else minhash_banded(index, "i", text_col, id_col, num_hashes, bands)
     )
-    xb = minhash_banded(batch, "b", text_col, id_col, num_hashes, bands)
+    xb = minhash_banded(
+        batch, "b", text_col, id_col, num_hashes, bands, batch_small_vocab
+    )
     earlier = None
     for bi in range(bands - 1):
         eq = (F.col("band") > bi) & (

@@ -756,6 +756,10 @@ def run_neardup_probe(
     spark = docs_stream.sparkSession
 
     def process(df: DataFrame, batch_id: int) -> None:
+        # batch_small_vocab=False: the small-vocab probe is a blocking
+        # driver-side collect JOB per microbatch (it only selects an
+        # equivalent hash implementation — values are identical); a
+        # per-trigger latency tax a streaming probe must not pay
         m = minhash_index_probe(
             None,
             df,
@@ -763,6 +767,7 @@ def run_neardup_probe(
             bands=bands,
             threshold=threshold,
             index_banded=index_banded,
+            batch_small_vocab=False,
         )
         per = m.groupBy("batch_doc").agg(
             F.count("*").alias("n_matches"),

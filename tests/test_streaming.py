@@ -378,8 +378,8 @@ class TestCdcUpsert:
 
 class TestStreamNeardup:
     def test_stream_probe_equals_batch_probe_across_microbatches(self, spark):
-        """st13's core claim: the 3-microbatch streaming probe against
-        the persisted banded index produces exactly the batch
+        """st13's core claim: the multi-microbatch streaming probe
+        against the persisted banded index produces exactly the batch
         minhash_index_probe result, and genuinely ran >1 trigger."""
         from aristoteles_spark.functions.text import h32
         from aristoteles_spark.operators.dedup import minhash_index_probe
@@ -392,7 +392,10 @@ class TestStreamNeardup:
             r.batch_doc: (r.n_matches, r.max_est_sim, r.is_novel)
             for r in result.collect()
         }
-        assert n_bparts == 3, n_bparts
+        # >1: the probe genuinely crossed trigger boundaries (2 since
+        # round 5 — the per-doc result is split-independent, and each
+        # extra trigger only adds fixed foreachBatch/commit overhead)
+        assert n_bparts > 1, n_bparts
 
         d = load_table(spark, SF, "documents")
         is_batch = h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD == 0
