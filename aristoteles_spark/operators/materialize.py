@@ -46,7 +46,14 @@ def shared_table(
     (tests stop/start sessions) never sees another session's dead
     DataFrame handles; stale entries from previous sessions are dropped
     on access."""
-    if barrier_disabled():
+    import os
+
+    if barrier_disabled() or os.environ.get("SPARK_GRAFT_NO_SHARED_TABLES") == "1":
+        # plan audit: full strategy plan must stay visible.
+        # scale sweep (SPARK_GRAFT_NO_SHARED_TABLES=1): per-query
+        # timings must charge each query its own build — a memo warm at
+        # the small scale but cold at the big scale would corrupt the
+        # growth ratios the sweep asserts on.
         return build()
     app = spark.sparkContext.applicationId
     full_key = (app, *key)

@@ -28,6 +28,7 @@ _MODULES = [
     "versioning",
     "udfs",
     "windows",
+    "maintenance",
     "relational",
     "tpch_shapes",
     "io_formats",

