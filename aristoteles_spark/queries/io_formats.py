@@ -363,7 +363,15 @@ def q_warc_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    n_shards = 8
+    # Bounded-SIZE shards, corpus-proportional COUNT — the Common Crawl
+    # layout (fixed ~1 GB WARCs, file count grows with the crawl). A
+    # fixed shard count pins write/parse parallelism while per-shard
+    # member-gzip work grows linearly: the round-5 100x sweep measured
+    # 8 fixed shards at 188x wall (144 s — 8 tasks churning 62k Python
+    # gzip members each while 24 cores idled). Count is a cheap
+    # columnar-metadata job; 5000 docs/shard keeps sf0.01/sf0.1 at the
+    # same 8 shards as before (oracle results are shard-invariant).
+    n_shards = max(8, -(-docs.count() // 5000))
 
     def write_shards(it):
         by_shard: dict[int, list] = {}

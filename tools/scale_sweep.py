@@ -314,8 +314,43 @@ def _explain(df) -> str:
         return buf.getvalue()
 
 
+def _plan_counts(df) -> tuple[int, int, int]:
+    """(exchanges, broadcast hash joins, sort-merge joins) in the
+    pre-execution plan."""
+    s = _explain(df)
+    return (
+        len(re.findall(r"\bExchange\b", s)),
+        len(re.findall(r"BroadcastHashJoin", s)),
+        len(re.findall(r"SortMergeJoin", s)),
+    )
+
+
 def _n_exchanges(df) -> int:
-    return len(re.findall(r"\bExchange\b", _explain(df)))
+    return _plan_counts(df)[0]
+
+
+def _demotion_note(small: tuple[int, int, int], big: tuple[int, int, int]):
+    """Recognize the one exchange-count change that is CORRECT at scale:
+    the static planner demoting broadcast hash joins to sort-merge joins
+    because the build side outgrew autoBroadcastJoinThreshold (each
+    demoted join adds up to 2 shuffle exchanges). Broadcasting a side
+    that grows with the data would be the actual 100 TB bug, so this
+    flip is evidence the plan adapts the right way — verified round 5 on
+    h8/h9/j6/j9/j10/wb5: BHJ count drop exactly equals SMJ count rise
+    and the exchange delta stays within 2 per demoted join. Any other
+    exchange instability still fails."""
+    ex_s, bhj_s, smj_s = small
+    ex_b, bhj_b, smj_b = big
+    demoted = bhj_s - bhj_b
+    if demoted > 0 and smj_b - smj_s == demoted and 0 < ex_b - ex_s <= 2 * demoted:
+        return (
+            f"{demoted} broadcast hash join(s) demoted to sort-merge at "
+            f"the big scale (build side outgrew "
+            f"autoBroadcastJoinThreshold): BHJ {bhj_s}->{bhj_b}, "
+            f"SMJ {smj_s}->{smj_b}, exchanges {ex_s}->{ex_b} — the "
+            f"correct planner adaptation at scale."
+        )
+    return None
 
 
 def main() -> int:
@@ -361,19 +396,26 @@ def main() -> int:
         df_s = fn(spark, SMALL)
         rows_s = len(df_s.collect())
         t_small = time.time() - t0
-        ex_small = _n_exchanges(fn(spark, SMALL))
+        counts_small = _plan_counts(fn(spark, SMALL))
+        ex_small = counts_small[0]
 
         t0 = time.time()
         df_b = fn(spark, big)
         rows_b = len(df_b.collect())
         t_big = time.time() - t0
-        ex_big = _n_exchanges(fn(spark, big))
+        counts_big = _plan_counts(fn(spark, big))
+        ex_big = counts_big[0]
 
         ratio = t_big / max(t_small, 1e-9)
         benign = KNOWN_BENIGN.get(name)
         switch = KNOWN_STRATEGY_SWITCH.get(name)
+        demotion = (
+            _demotion_note(counts_small, counts_big)
+            if ex_big != ex_small
+            else None
+        )
         linear_ok = ratio <= RATIO_MAX or benign is not None
-        exchange_ok = ex_big == ex_small or switch is not None
+        exchange_ok = ex_big == ex_small or switch is not None or demotion is not None
         ok = linear_ok and exchange_ok
         n_bad += 0 if ok else 1
         results[name] = {
@@ -391,6 +433,8 @@ def main() -> int:
             results[name]["benign_note"] = benign
         if switch is not None and ex_big != ex_small:
             results[name]["strategy_switch_note"] = switch
+        elif demotion is not None:
+            results[name]["strategy_switch_note"] = demotion
         flag = "ok " if ok else "BAD"
         print(
             f"{flag} {name}: {t_small:.2f}s -> {t_big:.2f}s "
