@@ -219,17 +219,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def _or_lookup(word_map):
-    """Closure factory (default-arg binding breaks PySpark lambda arity):
-    OR the token's precomputed bit value into the accumulator; tokens of
-    other words miss the map and contribute 0."""
-
-    def orbit(acc, t):
-        return acc.bitwiseOR(F.coalesce(word_map[t], F.lit(0).cast("long")))
-
-    return orbit
-
-
 def _jaccard_pairs_bitset(
     df: DataFrame,
     vocab: list[str],
@@ -238,6 +227,7 @@ def _jaccard_pairs_bitset(
     threshold: float,
     max_token_freq: int | None,
     allpairs_set_cap: int = 4096,
+    gather_dict_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Small-dictionary exact Jaccard pairs (see ngram_jaccard_pairs).
 
@@ -260,33 +250,48 @@ def _jaccard_pairs_bitset(
       SETS — each set indexes only its (sz - ceil(t*sz) + 1) globally
       rarest tokens (any J >= t pair provably shares a token within
       both prefixes under one global order), candidates equi-join on
-      that token with the size-ratio prefilter, and popcount(AND)
-      verifies inline before a dedup of the tiny surviving pair set.
-      Work is candidate-proportional (linear for cross-copy-disjoint
-      growth), not M^2. Equivalence to the all-pairs compare is
-      pytest-pinned (tests/test_extensions.py
+      that token with the size-ratio prefilter. The join emits NARROW
+      (sid_a, sid_b) rows; verification gathers both masks from a
+      broadcast distinct-set dictionary inside an Arrow kernel
+      (vectorized uint64 AND + uint8-LUT popcount) — carrying the mask
+      arrays through the join output was the measured 100x wall. Above
+      the dictionary-broadcast gate (``gather_dict_max_bytes``) the
+      masks ride the join with a codegen popcount kept out of the join
+      condition. Work is candidate-proportional (linear for
+      cross-copy-disjoint growth), not M^2. Equivalence to the
+      all-pairs compare is pytest-pinned (tests/test_extensions.py
       test_set_prefix_path_matches_set_allpairs).
     """
     n_words = (len(vocab) + 63) // 64 or 1
-    word_maps = []
-    for w in range(n_words):
-        entries = []
-        for i, tok in enumerate(vocab):
-            if i // 64 != w:
-                continue
-            bit = 1 << (i % 64)
-            if bit >= 1 << 63:  # wrap to signed 64-bit
-                bit -= 1 << 64
-            entries += [F.lit(tok), F.lit(bit).cast("long")]
-        word_maps.append(F.create_map(*entries))
-    mask = F.array(
-        *[
-            F.aggregate(
-                distinct_tokens(text_col), F.lit(0).cast("long"), _or_lookup(m)
-            )
-            for m in word_maps
-        ]
-    )
+    # Arrow-batched dictionary encode (round 5). The previous in-row
+    # encode — one aggregate() HOF per 64-bit word, each fold step a
+    # GetMapValue over a 64-entry CreateMap — re-built the literal map
+    # per step per row in the INTERPRETER (HOFs never codegen), so the
+    # members materialization ALONE paced past 10 minutes on the 100x
+    # replica (W = 49 words x ~25 tokens x 500k docs; at sf0.1 W = 1 and
+    # the cost was invisible). One hash-dict get per token + uint64 ORs
+    # in numpy does the identical encode Arrow-in/Arrow-out, no shuffle,
+    # bit-identical masks (uint64 buffer viewed as signed int64).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tok_entry = {t: (i // 64, np.uint64(1 << (i % 64))) for i, t in enumerate(vocab)}
+
+    # no type hints: the module's future-annotations turn hints into
+    # strings pandas_udf cannot resolve, so pass returnType explicitly
+    def _encode(toks_col):
+        out = []
+        for toks_row in toks_col:
+            words = np.zeros(n_words, dtype=np.uint64)
+            for t in toks_row:
+                e = tok_entry.get(t)
+                if e is not None:
+                    words[e[0]] |= e[1]
+            out.append(words.view(np.int64).tolist())
+        return pd.Series(out)
+
+    encode_udf = pandas_udf(_encode, "array<long>")
     # one representative token array per set rides to `uniq` so the
     # prefix branch can rarity-order WITHOUT a per-bit decode of the
     # mask (a <=4096-step higher-order lambda per row — the
@@ -302,43 +307,61 @@ def _jaccard_pairs_bitset(
     tok_set = distinct_tokens(text_col)
     if max_token_freq is not None:
         tok_set = F.array_intersect(tok_set, F.lit(vocab).cast("array<string>"))
-    members = df.select(
-        F.col(id_col).alias("doc"),
-        mask.alias("mask"),
-        tok_set.alias("toks"),
-    ).persist()
-    n_members = members.count()
-    popcnt = F.aggregate(
-        F.transform("mask", lambda x: F.bit_count(x)), F.lit(0), lambda a, v: a + v
+    members = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tok_set.alias("toks"),
+        )
+        .withColumn("mask", encode_udf(F.col("toks")))
+        .select("doc", "mask", "toks")
+        .persist()
     )
+    n_members = members.count()
     uniq = (
         members.groupBy("mask")
         .agg(F.count("*").alias("n"), F.first("toks").alias("toks"))
-        .withColumn("sz", popcnt)
+        # |set| = popcount(mask) by construction (toks is the filtered
+        # distinct token set the mask encodes) — F.size beats a 49-step
+        # interpreted bit_count fold per distinct set
+        .withColumn("sz", F.size("toks"))
         .persist()
     )
 
     # |A AND B| as an EXPLICIT W-term sum of codegen bit_counts, not an
-    # aggregate(zip_with(...)) fold: Catalyst pushes the jaccard filter
-    # into the set-pair JOIN PREDICATE, and higher-order functions do
-    # not participate in codegen — they interpret per candidate pair
+    # aggregate(zip_with(...)) fold: higher-order functions do not
+    # participate in codegen — they interpret per candidate pair
     # (the §8.8 cliff class; a thread dump of the 100x run showed every
     # worker inside ArrayAggregate.eval under the generated predicate).
     # W = ceil(vocab/64) is a driver-side constant, so the unrolled sum
-    # is a plain arithmetic expression tree the predicate codegens.
+    # is a plain arithmetic expression tree.
     inter = None
     for w in range(1, n_words + 1):
         term = F.bit_count(
             F.element_at("mask_a", w).bitwiseAND(F.element_at("mask_b", w))
         )
         inter = term if inter is None else inter + term
+    # Fallback-path guard (see the prefix branch): the verify must stay
+    # OUT of a high-fanout JOIN CONDITION at large W — when
+    # PushPredicateThroughJoin sinks the jaccard filter into the join,
+    # the ~150-node popcount tree lands FIRST in the And-conjunct order
+    # and every enumerated candidate pays it BEFORE the cheap
+    # size/positional conjuncts (measured round 5 at W = 49: 47+ min
+    # with 0/32 tasks done). The always-true rand() guard marks the
+    # expression nondeterministic — the one thing the optimizer will not
+    # push through a join; the value is always `inter` (rand in
+    # [0,1) < 2). The CARTESIAN branch keeps the raw expression: there
+    # the pushed condition is the GOOD plan (qualifying pairs never
+    # materialize join-output rows, W is small in every regime that
+    # reaches it, and 10x measured it at 35 s for 760M enumerations).
+    inter_nd = F.when(F.rand(7) < 2.0, inter)
     verify = (
         F.when(
             (F.col("sz_a") + F.col("sz_b") - F.col("i")) > 0,
             F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
         )
     )
-    if uniq.count() <= allpairs_set_cap:
+    M = uniq.count()
+    if M <= allpairs_set_cap:
         # distinct-set all-pairs: popcount(AND) with the cheap size-ratio
         # prefilter first (J >= t forces t*max(sz) <= min(sz))
         a = uniq.select(
@@ -435,32 +458,112 @@ def _jaccard_pairs_bitset(
             F.lit(threshold / (1.0 + threshold))
             * (F.col("pa.sz") + F.col("pb.sz"))
         )
-        set_pairs = (
-            pa.join(
-                pb,
-                (F.col("pa.token") == F.col("pb.token"))
-                & (F.col("pa.sid") < F.col("pb.sid"))
-                & (F.col("pa.sz") >= threshold * F.col("pb.sz"))
-                & (F.col("pb.sz") >= threshold * F.col("pa.sz"))
-                & (overlap_cap >= overlap_need),
-            )
-            .select(
-                F.col("pa.sid").alias("sid_a"),
-                F.col("pa.mask").alias("mask_a"),
-                F.col("pa.sz").alias("sz_a"),
-                F.col("pb.sid").alias("sid_b"),
-                F.col("pb.mask").alias("mask_b"),
-                F.col("pb.sz").alias("sz_b"),
-            )
-            # verify INLINE (popcount of longs, pipelined codegen), then
-            # dedup only the tiny surviving pair set on its INT keys —
-            # never shuffle the raw candidate stream
-            .withColumn("i", inter)
-            .withColumn("jaccard", verify)
-            .filter(F.col("jaccard") >= threshold)
-            .dropDuplicates(["sid_a", "sid_b"])
-            .select("sid_a", "sid_b", "jaccard")
+        cand_cond = (
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.sid") < F.col("pb.sid"))
+            & (F.col("pa.sz") >= threshold * F.col("pb.sz"))
+            & (F.col("pb.sz") >= threshold * F.col("pa.sz"))
+            & (overlap_cap >= overlap_need)
         )
+        dict_bytes = M * (n_words * 8 + 24)
+        if dict_bytes <= gather_dict_max_bytes:
+            # Broadcast-dictionary verify (round 5). The candidate join
+            # must emit NARROW rows: carrying the two W-long mask arrays
+            # through the join output was the measured 100x wall — 635M
+            # cheap-surviving candidates x ~850 B of UnsafeRow array
+            # copying (~540 GB of row traffic; the identical join counted
+            # in 5.6 s once column pruning dropped the masks). Instead the
+            # distinct-set dictionary (sid -> mask, sz; M x (8W+24) B,
+            # gated at 512 MB ~ 1.3M sets at W = 49) ships ONCE as a
+            # broadcast, candidates cross as two longs, and an
+            # Arrow-batched kernel verifies each batch with vectorized
+            # numpy: fancy-index gather, uint64 AND, uint8-LUT popcount.
+            # float64 division matches the JVM expression path bit-exactly
+            # (IEEE 754), pinned by the prefix==allpairs equivalence test.
+            tbl = uniq2.select("sid", "sz", "mask").toArrow()
+            sid_np = tbl.column("sid").to_numpy()
+            order = np.argsort(sid_np)
+            sid_sorted = sid_np[order]
+            sz_np = tbl.column("sz").to_numpy()[order].astype(np.int64)
+            mask_col = tbl.column("mask").combine_chunks()
+            masks_np = (
+                mask_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+                .reshape(len(sid_np), n_words)[order]
+            )
+            bc = df.sparkSession.sparkContext.broadcast(
+                (sid_sorted, masks_np, sz_np)
+            )
+            popc_lut = np.array(
+                [bin(i).count("1") for i in range(256)], dtype=np.uint8
+            )
+            thr = threshold
+
+            def _verify_pairs(it):
+                sids_, masks_, szs_ = bc.value
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    a = np.searchsorted(sids_, pdf["sid_a"].to_numpy())
+                    b = np.searchsorted(sids_, pdf["sid_b"].to_numpy())
+                    anded = masks_[a] & masks_[b]
+                    inter_ = popc_lut[anded.view(np.uint8)].sum(
+                        axis=1, dtype=np.int64
+                    )
+                    union = szs_[a] + szs_[b] - inter_
+                    jac = np.where(
+                        union > 0, inter_ / np.maximum(union, 1), 0.0
+                    )
+                    keep = jac >= thr
+                    if keep.any():
+                        yield pd.DataFrame(
+                            {
+                                "sid_a": pdf["sid_a"].to_numpy()[keep],
+                                "sid_b": pdf["sid_b"].to_numpy()[keep],
+                                "jaccard": jac[keep],
+                            }
+                        )
+
+            set_pairs = (
+                pa.join(pb, cand_cond)
+                .select(
+                    F.col("pa.sid").alias("sid_a"),
+                    F.col("pb.sid").alias("sid_b"),
+                )
+                .mapInPandas(
+                    _verify_pairs, "sid_a long, sid_b long, jaccard double"
+                )
+                # dedup only the tiny VERIFIED pair set on its INT keys —
+                # the raw candidate stream never shuffles
+                .dropDuplicates(["sid_a", "sid_b"])
+            )
+        else:
+            # dictionary exceeds broadcast capacity: fall back to
+            # carrying the masks through the join and verifying with the
+            # codegen popcount sum, kept OUT of the join condition by the
+            # nondeterministic guard (see inter_nd above). Honest cost
+            # note: at this M on a <=4096-token vocabulary the corpus is
+            # in the dense regime where exact Jaccard is inherently
+            # candidate-bound; the scalable near-dup path is MinHash-LSH
+            # (dd4).
+            set_pairs = (
+                pa.join(pb, cand_cond)
+                .select(
+                    F.col("pa.sid").alias("sid_a"),
+                    F.col("pa.mask").alias("mask_a"),
+                    F.col("pa.sz").alias("sz_a"),
+                    F.col("pb.sid").alias("sid_b"),
+                    F.col("pb.mask").alias("mask_b"),
+                    F.col("pb.sz").alias("sz_b"),
+                )
+                .withColumn("i", inter_nd)
+                .withColumn("jaccard", verify)
+                .filter(F.col("jaccard") >= threshold)
+                .dropDuplicates(["sid_a", "sid_b"])
+                .select("sid_a", "sid_b", "jaccard")
+            )
         # expansion joins ride the int sid too (the mask array never
         # leaves the distinct-set frame)
         mem_s = members.join(uniq2.select("mask", "sid"), "mask").select(
@@ -484,12 +587,14 @@ def _jaccard_pairs_bitset(
             )
         )
     # identical sets: every intra-group pair has jaccard exactly 1.0
-    # (empty sets excluded — no shared token means no pair)
-    g1 = members.select(F.col("doc").alias("da"), "mask")
-    g2 = _maybe_broadcast(members.select(F.col("doc").alias("db"), "mask"), n_members)
+    # (empty sets excluded — no shared token means no pair; size(toks)
+    # is popcount(mask) by construction, checked BEFORE the self-join)
+    nonempty = members.filter(F.size("toks") > 0)
+    g1 = nonempty.select(F.col("doc").alias("da"), "mask")
+    g2 = _maybe_broadcast(nonempty.select(F.col("doc").alias("db"), "mask"), n_members)
     intra = (
         g1.join(g2, "mask")
-        .filter((F.col("da") < F.col("db")) & (popcnt > 0))
+        .filter(F.col("da") < F.col("db"))
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
