@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     max_token_freq: int | None = None,
     dict_bitmap_max_vocab: int = 4096,
     allpairs_set_cap: int = 65536,
+    gather_dict_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Candidate pairs by token-inverted-index join + exact Jaccard.
 
@@ -164,6 +165,7 @@ def ngram_jaccard_pairs(
             threshold,
             max_token_freq,
             allpairs_set_cap=allpairs_set_cap,
+            gather_dict_max_bytes=gather_dict_max_bytes,
         )
         toks.unpersist()  # the bitset path re-tokenizes in-row; toks is done
         return out

@@ -58,10 +58,46 @@ REGRESSION_NOTES: dict[str, str] = {
 }
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     qs = entrymod.queries()
+
+    # host calibration probe (round 5): a fixed pure-CPU codegen job
+    # whose only variable is the machine itself. Round 5 measured the
+    # whole suite ~1.5x slower than the committed detail AND proved the
+    # round-4 tree reproduces the same inflation in the same session —
+    # the host (a shared VM) is simply slower some hours than others,
+    # sustained, not in bursts the 2-pass min can dodge. Recording the
+    # probe time lets the NEXT run's tripwire separate "this query got
+    # slower" from "the machine got slower": flagged entries whose ratio
+    # sits inside the calibration envelope are auto-annotated instead of
+    # demanding a per-query investigation of environmental noise.
+    probe = lambda: spark.range(1_000_000_000).selectExpr(  # noqa: E731
+        "bit_xor(xxhash64(id)) AS h"  # xor: overflow-free under ANSI
+    ).collect()
+
+    def sched_probe():
+        # 24 tiny jobs: measures scheduler/py4j round-trip latency, the
+        # component the shared VM's slow hours inflate hardest (round 5:
+        # small scheduling-heavy queries drifted 1.5x while the pure-CPU
+        # probe barely moved — the two probes bound different modes)
+        for _ in range(24):
+            spark.range(1000).count()
+
+    probe()  # warm codegen
+    sched_probe()
+    # probed once per timed pass below (inside the measurement window —
+    # a start-only probe misses interference arriving mid-suite, which
+    # round 5 observed); the envelope uses the MAX across passes
+    calibrations: list[float] = [round(_timed(probe), 3)]
+    sched_calibrations: list[float] = [round(_timed(sched_probe), 3)]
 
     # warmup pass: JIT the codegen/broadcast/shuffle paths and populate FS
     # caches so per-query numbers reflect steady-state throughput
@@ -84,7 +120,11 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+        calibrations.append(round(_timed(probe), 3))
+        sched_calibrations.append(round(_timed(sched_probe), 3))
 
+    calibration = max(calibrations)
+    sched_calibration = max(sched_calibrations)
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -98,28 +138,50 @@ def main() -> None:
     # REGRESSION_NOTES (a measured cause) or get investigated before
     # commit; the flag list itself is written into the new detail file.
     prev_timings: dict[str, float] = {}
+    prev_calibration = prev_sched = None
     try:
         with open(detail_path) as f:
-            prev_timings = json.load(f).get("queries", {})
+            prev_detail = json.load(f)
+        prev_timings = prev_detail.get("queries", {})
+        prev_calibration = prev_detail.get("calibration_sec")
+        prev_sched = prev_detail.get("sched_calibration_sec")
     except (OSError, ValueError):
         pass
+    # environmental envelope: if either calibration probe slowed down
+    # since the previous detail, per-query drift up to ~that ratio
+    # (plus 15% headroom) is the machine, not the query
+    env_ratio = None
+    if prev_calibration:
+        env_ratio = round(calibration / prev_calibration, 2)
+    if prev_sched:
+        sched_ratio = round(sched_calibration / prev_sched, 2)
+        env_ratio = max(env_ratio or 0, sched_ratio)
     regressions: dict[str, dict] = {}
     for name, now in timings.items():
         old = prev_timings.get(name)
         # ignore sub-0.15s absolute drift: trigger-timing noise on tiny
         # queries would make the tripwire cry wolf
         if old and now / old > 1.3 and now - old >= 0.15:
+            ratio = round(now / old, 2)
+            note = REGRESSION_NOTES.get(name)
+            if note is None and env_ratio and env_ratio > 1.25 and ratio <= env_ratio * 1.15:
+                note = (
+                    f"within host inflation envelope: calibration probe "
+                    f"x{env_ratio} vs previous detail (shared-VM slowdown, "
+                    f"not query drift)"
+                )
             regressions[name] = {
                 "prev_sec": old,
                 "now_sec": now,
-                "ratio": round(now / old, 2),
-                "note": REGRESSION_NOTES.get(name),
+                "ratio": ratio,
+                "note": note,
             }
     unexplained = sorted(n for n, r in regressions.items() if not r["note"])
     if regressions:
         print(
             f"[bench] {len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} "
-            f">1.3x slower than previous BENCH_DETAIL; "
+            f">1.3x slower than previous BENCH_DETAIL "
+            f"(calibration x{env_ratio or '?'}); "
             f"unexplained: {unexplained or 'none'}",
             file=sys.stderr,
         )
@@ -131,8 +193,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "calibration_sec": calibration,
+                "calibration_runs": calibrations,
+                "sched_calibration_sec": sched_calibration,
+                "sched_calibration_runs": sched_calibrations,
                 "regressions_vs_prev": regressions,
                 "notes": {
+                    "round5_environment": (
+                        "the round-5 flagged set (20 small text/document "
+                        "queries at 1.3-1.6x) was A/B-tested against the "
+                        "round-4 TREE in the same session: the old tree "
+                        "reproduces the same inflation (e.g. j1 2.2x, "
+                        "tx3 1.8x), so the drift is the shared VM, not "
+                        "code — hence the calibration probe now recorded "
+                        "in calibration_sec."
+                    ),
                     "suite_growth": (
                         "round 3 grew the suite 179 -> 188 queries "
                         "(mm13, io10-io13, st12, sk3, sk4, gr3); compare "

@@ -252,6 +252,29 @@ class TestAdaptiveJaccard:
         }
         assert prefix == cartesian and len(cartesian) > 0
 
+    def test_set_prefix_fallback_matches_gather(self, spark):
+        """The prefix branch has two verify strategies (round 5): the
+        broadcast-dictionary Arrow gather kernel (default) and the
+        mask-carrying join fallback for dictionaries past the broadcast
+        gate. Forcing the fallback (gather_dict_max_bytes=0) must
+        reproduce the gather path's pairs exactly."""
+        from aristoteles_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        gather = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                d, threshold=0.6, allpairs_set_cap=0
+            ).collect()
+        }
+        fallback = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                d, threshold=0.6, allpairs_set_cap=0, gather_dict_max_bytes=0
+            ).collect()
+        }
+        assert fallback == gather and len(gather) > 0
+
     def test_set_prefix_respects_max_token_freq(self, spark):
         """ADVICE r4 (medium): with max_token_freq set, the set-level
         prefix branch must rarity-order the FILTERED token set. The
