@@ -31,6 +31,7 @@ from aristoteles_spark.functions.text import (
     minhash_signature,
     simhash32,
 )
+from aristoteles_spark.operators.barrier import barrier_disabled
 
 
 # membership tables are broadcast only when MEASURED small (the count is
@@ -285,6 +286,14 @@ def _jaccard_pairs_bitset(
     def _encode(toks_col):
         out = []
         for toks_row in toks_col:
+            if toks_row is None:
+                # null text -> tokens() null-propagates -> null mask, same
+                # as the pre-round-5 aggregate() HOF encode: the doc stays
+                # pairless (null masks never equi-join and the nonempty
+                # filter excludes them) instead of crashing the batch
+                # (ADVICE r5).
+                out.append(None)
+                continue
             words = np.zeros(n_words, dtype=np.uint64)
             for t in toks_row:
                 e = tok_entry.get(t)
@@ -362,6 +371,7 @@ def _jaccard_pairs_bitset(
             F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
         )
     )
+    dict_bc = None  # broadcast dictionary, released after the _finalize barrier
     M = uniq.count()
     if M <= allpairs_set_cap:
         # distinct-set all-pairs: popcount(AND) with the cheap size-ratio
@@ -430,7 +440,13 @@ def _jaccard_pairs_bitset(
         # wide mask-array rows through one task; ADVICE r4). ids are
         # stable for the run because `uniq` is persisted and already
         # materialized by the branch-deciding count() above.
-        uniq2 = uniq.withColumn("sid", F.monotonically_increasing_id())
+        # null masks (null-text docs) are structurally pairless — their
+        # token explode yields no prefix rows — but they would poison the
+        # Arrow dictionary snapshot (a null mask breaks the fixed-width
+        # (M, W) reshape), so drop them before sid assignment
+        uniq2 = uniq.filter(F.col("mask").isNotNull()).withColumn(
+            "sid", F.monotonically_increasing_id()
+        )
         tokdf = (
             uniq.select(F.explode("toks").alias("token"))
             .groupBy("token")
@@ -495,7 +511,7 @@ def _jaccard_pairs_bitset(
                 .view(np.uint64)
                 .reshape(len(sid_np), n_words)[order]
             )
-            bc = df.sparkSession.sparkContext.broadcast(
+            bc = dict_bc = df.sparkSession.sparkContext.broadcast(
                 (sid_sorted, masks_np, sz_np)
             )
             popc_lut = np.array(
@@ -508,8 +524,29 @@ def _jaccard_pairs_bitset(
                 for pdf in it:
                     if not len(pdf):
                         continue
-                    a = np.searchsorted(sids_, pdf["sid_a"].to_numpy())
-                    b = np.searchsorted(sids_, pdf["sid_b"].to_numpy())
+                    sa = pdf["sid_a"].to_numpy()
+                    sb = pdf["sid_b"].to_numpy()
+                    a = np.searchsorted(sids_, sa)
+                    b = np.searchsorted(sids_, sb)
+                    # sid-drift tripwire (ADVICE r5): the candidate join
+                    # recomputes sids in a separate job from the driver
+                    # snapshot; monotonically_increasing_id is only stable
+                    # while the persisted `uniq` partitions survive. A
+                    # recomputed partition (cache eviction + executor loss)
+                    # would gather the WRONG mask silently — validate the
+                    # searchsorted hit against its key so drift fails loudly.
+                    if (
+                        (a >= len(sids_)).any()
+                        or (b >= len(sids_)).any()
+                        or (sids_[np.minimum(a, len(sids_) - 1)] != sa).any()
+                        or (sids_[np.minimum(b, len(sids_) - 1)] != sb).any()
+                    ):
+                        raise RuntimeError(
+                            "ngram_jaccard_pairs: candidate sid absent from "
+                            "the broadcast distinct-set dictionary — "
+                            "monotonically_increasing_id drift after a "
+                            "cache recomputation; rerun the query"
+                        )
                     anded = masks_[a] & masks_[b]
                     inter_ = popc_lut[anded.view(np.uint8)].sum(
                         axis=1, dtype=np.int64
@@ -603,7 +640,15 @@ def _jaccard_pairs_bitset(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return _finalize(cross.unionByName(intra), members, uniq)
+    out = _finalize(cross.unionByName(intra), members, uniq)
+    if dict_bc is not None and not barrier_disabled():
+        # the eager localCheckpoint above materialized every consumer of
+        # the verify kernel, so the dictionary broadcast (up to the
+        # 512 MB gate x N queries per session) is dead weight — release
+        # it like the cached intermediates (ADVICE r5). Skipped in audit
+        # mode, where the un-barriered plan still references it.
+        dict_bc.destroy()
+    return out
 
 
 def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 256):

@@ -511,9 +511,9 @@ def q_lsh_quality(spark, sf_dir):
     (gr4's pattern). plan_audit explains _lsh_quality_plan's frame —
     the pre-checkpoint plan with the audit-worthy operators."""
     out, sample_docs = _lsh_quality_plan(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    sample_docs.unpersist()
-    return out
+    from aristoteles_spark.operators.barrier import audit_barrier
+
+    return audit_barrier(out, sample_docs)
 
 
 def _lsh_quality_plan(spark, sf_dir):

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aristoteles_spark.functions.text import h32, langid_predict, tokens
+from aristoteles_spark.operators.barrier import audit_barrier
 from aristoteles_spark.queries.quality import classifier_score, score_sql
 from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
@@ -58,7 +59,7 @@ def q_release_pipeline(spark, sf_dir):
     # single-session equivalent (measured: 25.5s -> single-digit wall at
     # sf0.1 for the whole pipeline). Only (doc_id, text) survives the
     # gates, so the materialized footprint is the filtered corpus slice.
-    cand = cand.select("doc_id", "text").localCheckpoint(eager=False)
+    cand = audit_barrier(cand.select("doc_id", "text"), eager=False)
 
     # 3: exact dedup — keep the first occurrence per content digest
     firsts = (
@@ -74,8 +75,8 @@ def q_release_pipeline(spark, sf_dir):
     rpb = NUM_HASHES // BANDS
     # materialized: the banded self-join consumes this twice (x and y
     # sides), and the signature pass is the pipeline's priciest map
-    sigs = minhash_signatures(c2, "text", "doc_id", NUM_HASHES).localCheckpoint(
-        eager=False
+    sigs = audit_barrier(
+        minhash_signatures(c2, "text", "doc_id", NUM_HASHES), eager=False
     )
     banded = sigs.select(
         "doc",
@@ -106,7 +107,7 @@ def q_release_pipeline(spark, sf_dir):
     # second stage boundary: c3 feeds the decontamination probe AND the
     # two consumers below it — without this the banded-LSH joins re-run
     # per consumer (see the stage-materialization note above)
-    c3 = c2.join(later_dups, "doc_id", "left_anti").localCheckpoint(eager=False)
+    c3 = audit_barrier(c2.join(later_dups, "doc_id", "left_anti"), eager=False)
 
     # 5: decontamination — any shared 8-gram with the eval set drops it
     eval_grams = (

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aristoteles_spark.queries.dedup import minlabel_chain
+from aristoteles_spark.operators.barrier import audit_barrier
 from aristoteles_spark.operators.similarity import (
     hyperplanes,
     knn_brute,
@@ -85,21 +86,62 @@ def q_knn_lsh(spark, sf_dir):
 
 CENT_MOD = 101  # centroid set = vec_id % 101 == 3 (5 cells at sf0.01)
 CENT_OFF = 3
+# id cap on the coarse quantizer — clustering.py's SEED_CAP rule
+# back-ported (VERDICT r5): k must be a constant of the ALGORITHM, not
+# the data size. Without the cap the centroid set, the driver collect,
+# the UDF closure, and the per-row assignment cost all grow linearly
+# with the corpus — O(n^2/101) total assignment work, the exact cliff
+# the 10x sweep measured on pq1 before clustering.py capped its seeds.
+# 5 centroids at sf0.01 (unchanged — ids < 2000), 20 from sf0.1 up.
+CENT_CAP = 2000
 NPROBE = 2
+# fixed query budget (the ir2/sim6 discipline): with the quantizer
+# capped, per-query probe cost is O(n / k_cent); a query set that
+# grows with the corpus (% QUERY_MOD alone) would still make the whole
+# query quadratic. Hash-smallest sampling keeps the set deterministic
+# and scale-stable; the budget never binds at sf0.01 (10 candidates),
+# so driver-checked results are unchanged there.
+IVF_EVAL_QUERIES = 50
+
+
+def _hash_query_ids(v, budget):
+    """Fixed-size deterministic query sample: the hash-smallest
+    ``budget`` ids among vec_id % QUERY_MOD == 0 (h32 order, id
+    tie-break) — same integer md5-prefix expression the SQL oracles
+    compute, so both engines pick the identical set."""
+    from aristoteles_spark.functions.text import h32
+
+    return (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", h32(F.col("vec_id").cast("string")).alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(budget)
+        .select("vec_id")
+    )
+
+
+def _ivf_centroids(v):
+    """Collect the capped coarse quantizer as driver literals — tiny by
+    CONSTRUCTION now (<= CENT_CAP/CENT_MOD + 1 rows at any corpus
+    size), so cell assignment stays shuffle-free codegen and the
+    collect/closure cost is scale-constant."""
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter(
+            (F.col("vec_id") % CENT_MOD == CENT_OFF)
+            & (F.col("vec_id") < CENT_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
 
 
 def q_knn_ivf(spark, sf_dir):
     v = _load(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % QUERY_MOD == 0)
-    # train step: the coarse quantizer is tiny by construction — collect it
-    # once and inline as literals so cell assignment is shuffle-free codegen
-    cents = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in v.filter(F.col("vec_id") % CENT_MOD == CENT_OFF)
-        .select("vec_id", "embedding")
-        .collect()
+    q = v.join(F.broadcast(_hash_query_ids(v, IVF_EVAL_QUERIES)), "vec_id")
+    return knn_ivf(v, q, _ivf_centroids(v), k=K, nprobe=NPROBE).orderBy(
+        "query_id", "neighbor_id"
     )
-    return knn_ivf(v, q, cents, k=K, nprobe=NPROBE).orderBy("query_id", "neighbor_id")
 
 
 def _shared_pairs(spark, sf_dir, threshold):
@@ -221,11 +263,8 @@ def q_weighted_sssp(spark, sf_dir):
     out = dist.select(
         "node", F.col("dist").alias("min_dist")
     ).orderBy("node")
-    out = out.localCheckpoint()  # cut lineage before freeing the caches
-    for t in temps:
-        t.unpersist()
-    edges.unpersist()
-    return out
+    # cut lineage before freeing the caches (flag-aware shared barrier)
+    return audit_barrier(out, *temps, edges)
 
 
 def q_khop_bfs(spark, sf_dir):
@@ -273,10 +312,7 @@ def q_khop_bfs(spark, sf_dir):
     # cut lineage to the per-level caches, then free them — a repeated
     # BFS run must not leave K_HOPS generations of frames in block
     # storage evicting other queries' caches
-    out = reached.orderBy("node").localCheckpoint(eager=True)
-    edges.unpersist()
-    for t in temps:
-        t.unpersist()
+    out = audit_barrier(reached.orderBy("node"), edges, *temps)
     return out
 
 
@@ -330,10 +366,8 @@ def q_kcore(spark, sf_dir):
         .select(F.col("src").alias("node"), "deg")
         .orderBy("node")
     )
-    out = out.localCheckpoint()  # cut lineage before freeing the caches
-    for t in temps:
-        t.unpersist()
-    return out
+    # cut lineage before freeing the caches (flag-aware shared barrier)
+    return audit_barrier(out, *temps)
 
 
 def q_pagerank(spark, sf_dir):
@@ -384,12 +418,7 @@ def q_pagerank(spark, sf_dir):
             .persist()
         )
         temps.append(ranks)
-    out = ranks.orderBy("node").localCheckpoint(eager=True)
-    edges.unpersist()
-    deg.unpersist()
-    for t in temps:
-        t.unpersist()
-    return out
+    return audit_barrier(ranks.orderBy("node"), edges, deg, *temps)
 
 
 ANN_EVAL_QUERIES = 50  # fixed recall-evaluation budget (hash-smallest)
@@ -402,9 +431,7 @@ def q_ann_recall(spark, sf_dir):
     pattern). plan_audit explains _ann_recall_plan's frame — the
     pre-checkpoint plan with the audit-worthy operators."""
     out, q = _ann_recall_plan(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    q.unpersist()
-    return out
+    return audit_barrier(out, q)
 
 
 def _ann_recall_plan(spark, sf_dir):
@@ -422,31 +449,16 @@ def _ann_recall_plan(spark, sf_dir):
     set that grew with the corpus would make the census quadratic by
     construction; a fixed budget keeps it one linear corpus pass.
     recall ppm = floor(1e6 * hits / n_true) on integer counts."""
-    from aristoteles_spark.functions.text import h32
-
     v = _load(spark, sf_dir)
-    q_ids = (
-        v.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(
-            "vec_id", h32(F.col("vec_id").cast("string")).alias("hk")
-        )
-        .orderBy("hk", "vec_id")
-        .limit(ANN_EVAL_QUERIES)
-        .select("vec_id")
-    )
-    q = v.join(F.broadcast(q_ids), "vec_id").persist()
+    q = v.join(
+        F.broadcast(_hash_query_ids(v, ANN_EVAL_QUERIES)), "vec_id"
+    ).persist()
     q.count()  # materialize: three operators each issue internal jobs
     truth = knn_brute(v, q, k=K).select("query_id", "neighbor_id")
     lsh = knn_lsh(v, q, _planes_for(spark, sf_dir), k=K).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_l")
     )
-    cents = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in v.filter(F.col("vec_id") % CENT_MOD == CENT_OFF)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    ivf = knn_ivf(v, q, cents, k=K, nprobe=NPROBE).select(
+    ivf = knn_ivf(v, q, _ivf_centroids(v), k=K, nprobe=NPROBE).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_i")
     )
     j = truth.join(lsh, ["query_id", "neighbor_id"], "left").join(
@@ -526,8 +538,11 @@ _V = (
 
 _IVF_ORACLE = f"""
 WITH v AS ({{v}}),
+qids AS (SELECT vec_id FROM v WHERE vec_id % {{query_mod}} = 0
+         ORDER BY CAST(concat('0x', substr(md5(concat('0', ':', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT), vec_id
+         LIMIT {{eval_queries}}),
 cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v
-         WHERE vec_id % {{cent_mod}} = {{cent_off}}),
+         WHERE vec_id % {{cent_mod}} = {{cent_off}} AND vec_id < {{cent_cap}}),
 asg AS (
   SELECT v.vec_id, cid,
     row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -537,7 +552,7 @@ asg AS (
 ),
 ccell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
 qcell AS (SELECT vec_id, cid AS cell FROM asg
-          WHERE rn <= {{nprobe}} AND vec_id % {{query_mod}} = 0),
+          WHERE rn <= {{nprobe}} AND vec_id IN (SELECT vec_id FROM qids)),
 sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     CASE WHEN qv.nrm * cv.nrm > 0
@@ -705,8 +720,9 @@ WHERE CASE WHEN a.nrm * b.nrm > 0
 ORDER BY vec_a, vec_b
 """,
     "sim4_knn_ivf": _IVF_ORACLE.format(
-        v=_V, cent_mod=CENT_MOD, cent_off=CENT_OFF,
+        v=_V, cent_mod=CENT_MOD, cent_off=CENT_OFF, cent_cap=CENT_CAP,
         nprobe=NPROBE, query_mod=QUERY_MOD, k=K,
+        eval_queries=IVF_EVAL_QUERIES,
     ),
     "sim5_semantic_clusters": f"""
 WITH RECURSIVE v AS (
@@ -774,7 +790,7 @@ lsims AS (
          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM lsims
 ), ltop AS (SELECT query_id, neighbor_id FROM lranked WHERE rn <= {K}),
 cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vs
-         WHERE vec_id % {CENT_MOD} = {CENT_OFF}),
+         WHERE vec_id % {CENT_MOD} = {CENT_OFF} AND vec_id < {CENT_CAP}),
 asg AS (
   SELECT vs.vec_id, cid,
     row_number() OVER (PARTITION BY vs.vec_id ORDER BY

@@ -184,6 +184,11 @@ def q_stream_partial_mv(spark, sf_dir):
                 F.sum("cents").cast("long").alias("total_cents"),
             )
             .orderBy("event_type", "d")
+            # NOT an audit barrier (operators/barrier.py): the
+            # checkpoint is semantic — the result must be materialized
+            # BEFORE the finally-block deletes the staging dir it reads,
+            # in audit mode as much as anywhere, so it never routes
+            # through the flag-aware helper.
             .localCheckpoint(eager=True)
         )
     finally:
@@ -223,6 +228,11 @@ def q_stream_cdc_upsert(spark, sf_dir):
                 F.col("value").alias("last_value"),
             )
             .orderBy("user_id")
+            # NOT an audit barrier (operators/barrier.py): the
+            # checkpoint is semantic — the result must be materialized
+            # BEFORE the finally-block deletes the staging dir it reads,
+            # in audit mode as much as anywhere, so it never routes
+            # through the flag-aware helper.
             .localCheckpoint(eager=True)
         )
     finally:
@@ -288,6 +298,11 @@ def _stream_neardup_run(spark, sf_dir):
             spark.read.parquet(out_dir)
             .select("batch_doc", "n_matches", "max_est_sim", "is_novel")
             .orderBy("batch_doc")
+            # NOT an audit barrier (operators/barrier.py): the
+            # checkpoint is semantic — the result must be materialized
+            # BEFORE the finally-block deletes the staging dir it reads,
+            # in audit mode as much as anywhere, so it never routes
+            # through the flag-aware helper.
             .localCheckpoint(eager=True)
         )
     finally:

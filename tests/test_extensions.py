@@ -192,6 +192,38 @@ class TestAnnRecall:
         # single-table LSH examines ~1/2^planes of the corpus per query
         assert recall_lsh >= 1 / 64, recall_lsh
 
+    def test_ivf_quantizer_and_query_budget_scale_constant(self, spark):
+        """VERDICT r5: the IVF coarse quantizer and the sim4 query set
+        must be constants of the ALGORITHM, not the data size
+        (clustering.py's SEED_CAP rule). Doubling the corpus must not
+        grow either — otherwise the driver collect, the UDF closure and
+        the per-row assignment all scale with data (O(n^2/101) total)."""
+        from aristoteles_spark.queries.similarity import (
+            CENT_CAP,
+            CENT_MOD,
+            IVF_EVAL_QUERIES,
+            _hash_query_ids,
+            _ivf_centroids,
+        )
+
+        def synth(n):
+            return spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (F.col("id") * i % 97).cast("float") / 97,
+                ).alias("embedding"),
+            )
+
+        cap = CENT_CAP // CENT_MOD + 1
+        c1 = _ivf_centroids(synth(10_000))
+        c2 = _ivf_centroids(synth(20_000))
+        assert [c for c, _ in c1] == [c for c, _ in c2]  # identical set
+        assert len(c1) <= cap
+        q1 = _hash_query_ids(synth(10_000), IVF_EVAL_QUERIES).count()
+        q2 = _hash_query_ids(synth(20_000), IVF_EVAL_QUERIES).count()
+        assert q1 == q2 == IVF_EVAL_QUERIES
+
 
 class TestAdaptiveLsh:
     def test_banded_equijoin_matches_allpairs(self, spark):
@@ -310,6 +342,33 @@ class TestAdaptiveJaccard:
             got = {
                 (r.doc_a, r.doc_b, round(r.jaccard, 9))
                 for r in ngram_jaccard_pairs(d, **kw, **extra).collect()
+            }
+            assert got == expected, extra
+
+    def test_null_text_stays_pairless_everywhere(self, spark):
+        """ADVICE r5 (medium): a null text row must stay silently
+        pairless on every strategy branch — the round-5 Arrow encode
+        iterated the token array without a null guard and crashed the
+        whole query where the old aggregate() HOF null-propagated."""
+        from aristoteles_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, None),
+            (4, "a b c e"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        expected = {(1, 2, 1.0), (1, 4, 0.6), (2, 4, 0.6)}
+        for extra in (
+            {},  # bitset cartesian (Arrow encode feeds it too)
+            {"allpairs_set_cap": 0},  # bitset prefix + gather kernel
+            {"allpairs_set_cap": 0, "gather_dict_max_bytes": 0},  # fallback
+            {"dict_bitmap_max_vocab": 0},  # doc-level prefix path
+        ):
+            got = {
+                (r.doc_a, r.doc_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_pairs(d, threshold=0.6, **extra).collect()
             }
             assert got == expected, extra
 

@@ -145,13 +145,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          "warc blobs never shuffle — only the per-source stats"),
     ],
     "gr3_weighted_sssp": [
-        # gr1/gr2-style: the iterative rounds run before the returned
-        # frame (localCheckpoint truncates them), so the visible plan is
-        # the checkpoint scan + final order — same as the other
-        # iterative graph queries, which plan_audit likewise leaves to
-        # the scale sweep's exchange-stability check.
-        (r"Scan ExistingRDD|LocalTableScan",
-         "final frame reads the checkpointed result of the bounded relaxation loop"),
+        # round 6: the final barrier routes through audit_barrier, so
+        # the audit now sees the real bounded-Bellman-Ford plan instead
+        # of a checkpoint scan.
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "per-round min(dist) partial-aggregates map-side before its shuffle"),
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "each relaxation round is an equi-join of the edge table against the distance frame"),
+        (r"InMemoryTableScan",
+         "the persisted per-round distance frames are reused, not recomputed"),
     ],
     "sk3_countmin_freq": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate",
@@ -194,6 +196,7 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "sim4_knn_ivf": [
         (r"ArrowEvalPython|BatchEvalPython|PythonUDF", "coarse-quantizer assignment is Arrow-batched (one matmul per batch)"),
         (r"BroadcastHashJoin", "probed-cell candidates via broadcast equi-join on the cell id"),
+        (r"TakeOrderedAndProject", "the fixed IVF_EVAL_QUERIES budget is a partial top-k over h32 (round 6: query set no longer grows with the corpus)"),
     ],
     "cp1_curation_pipeline": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "digest dedup is partial-aggregated before its shuffle"),
