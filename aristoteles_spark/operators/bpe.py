@@ -213,17 +213,26 @@ def bpe_tokens_replace_expr(text: Column, merges: list[tuple[str, str]]) -> Colu
     the pending-accumulator fold's semantics, and exactly what the SQL
     oracle does), then the sentinels collapse into one split.
 
-    Equality with ``bpe_tokens_expr`` is pinned in tests/test_bpe.py."""
-    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
-    wrapped = F.transform(
-        words,
-        lambda w: F.concat(
-            F.lit(_S),
-            F.regexp_replace(w, "(?<=.)(?=.)", _S + _S),
-            F.lit(_S + _S + _END + _S),
-        ),
-    )
-    s = F.array_join(wrapped, _W)
+    Equality with ``bpe_tokens_expr`` is pinned in tests/test_bpe.py.
+
+    Construction (round 6): four WHOLE-STRING compiled regex passes —
+    trim, collapse whitespace to the word sentinel, wrap every char in
+    symbol sentinels, insert the wrapped ``</w>`` at word ends. The
+    previous per-word formulation (split -> filter HOF -> transform HOF
+    with a lookaround regexp_replace per word -> array_join) evaluated
+    the transform lambda INTERPRETED per word (HOFs never codegen —
+    the §8.7 cliff), which was the measured dominant cost of tv1/tx14's
+    100x CPU wall. Whole-string regexp_replace is one compiled pattern
+    per pass inside whole-stage codegen; output strings are pinned
+    byte-identical to the per-word construction (tests/test_bpe.py)."""
+    t = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+    t = F.regexp_replace(t, r"\s+", _W)
+    # wrap every in-word char c as \x01 c \x01 — adjacent symbols then
+    # share a \x01\x01 boundary, exactly the per-word wrapped form
+    t = F.regexp_replace(t, f"([^{_W}])", _S + "$1" + _S)
+    # word end: the char before a word sentinel / end-of-string is
+    # always the word's final \x01 — append the wrapped </w> there
+    s = F.regexp_replace(t, f"(?<={_S})(?={_W}|$)", _S + _END + _S)
     for a, b in merges:
         s = F.replace(s, F.lit(_S + a + _S + _S + b + _S), F.lit(_S + a + b + _S))
     s = F.replace(s, F.lit(_S + _S), F.lit(_T))

@@ -50,11 +50,26 @@ _BARRIER_TRADE = (
     "reuse; returns to round-3 time with the barrier disabled. Kept "
     "for suite cache health; see BENCH_DETAIL notes."
 )
+_R5_AB_CLEAN = (
+    "attributed (worktree A/B 2026-08-16): round-4 vs round-5 trees "
+    "timed alternately in identical fresh sessions x2 — code-for-code "
+    "equal within noise (tc1: r5 code measured 1.8x FASTER than r4, "
+    "1.54s vs 2.6-3.0s; ds1/tv1/dd12/nd1 equal; tx7 slightly faster). "
+    "The r4->r5 BENCH_DETAIL delta is full-suite context (224-query "
+    "session order/cache pressure) or probe-invisible host steal, not "
+    "a code regression."
+)
 REGRESSION_NOTES: dict[str, str] = {
     "dd3_jaccard_pairs": _BARRIER_TRADE,
     "dd4_minhash_lsh_pairs": _BARRIER_TRADE,
     "sk1_kmv_distinct": _BARRIER_TRADE,
     "sk4_kmv_overlap": _BARRIER_TRADE,
+    "ds1_dsir_select": _R5_AB_CLEAN,
+    "tc1_triangles": _R5_AB_CLEAN,
+    "tv1_tokenizer_fertility": _R5_AB_CLEAN,
+    "tx7_bpe_token_count": _R5_AB_CLEAN,
+    "dd12_lsh_quality": _R5_AB_CLEAN,
+    "nd1_incremental_neardup": _R5_AB_CLEAN,
 }
 
 

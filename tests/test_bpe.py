@@ -137,7 +137,14 @@ def test_replace_chain_matches_aggregate_fold(spark):
         bpe_tokens_replace_expr,
     )
 
-    texts = CORPUS + ["aaa aaaa baaab", "x", "", "  ", "low lowest slow"]
+    texts = CORPUS + [
+        "aaa aaaa baaab", "x", "", "  ", "low lowest slow",
+        # round 6 (whole-string regex construction): edge shapes that
+        # exercise trim/collapse/wrap/end-mark independently
+        "  leading", "trailing  ", "\tmixed \n ws\r\n", "a", "a b",
+        "über café",  # multi-byte chars wrap per CHARACTER, not byte
+        "a.b (c)* [d]+ $e^",  # regex specials are data, not pattern
+    ]
     merges = [("a", "a"), ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("low", "</w>")]
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     bad = df.select(
