@@ -1074,6 +1074,53 @@ def minhash_banded(
     )
 
 
+def compact_banded_indexes(
+    dailies: list[DataFrame],
+    tombstones: DataFrame,
+) -> DataFrame:
+    """Merge N daily banded LSH indexes into ONE compacted index:
+    the latest ingest version of each doc wins, tombstoned docs drop —
+    the upkeep job behind nd1/st13's "probe the stored index"
+    assumption (an index that only ever accretes daily deltas degrades:
+    stale versions inflate every bucket and deleted docs keep matching).
+
+    Inputs: each daily frame is ``minhash_banded()`` output
+    (doc_i, sig_i, band, digest) plus an integer ``ver`` ingest-day
+    column; ``tombstones`` is a (doc) frame of deleted ids.
+
+    Plan (100 TB shape): union of the stored banded frames (no
+    re-signing — signatures are pure functions of text, so the stored
+    rows are reused as-is), tombstone LEFT ANTI join (NOT broadcast-
+    hinted: the tombstone set grows with the corpus, so the join
+    strategy is left to AQE — at daily-delta scale it broadcasts, at
+    backfill scale it shuffles, both correct), then ONE partial-
+    aggregated groupBy on (doc, band) taking max(struct(ver, ...)) —
+    latest version wins, ties impossible by construction (a doc appears
+    at most once per daily index). Output is bit-equal to a fresh
+    ``minhash_banded()`` build over the live corpus (pytest-pinned;
+    xm1's oracle recomputes the fresh build in SQL)."""
+    u = dailies[0]
+    for x in dailies[1:]:
+        u = u.unionByName(x)
+    u = u.select(
+        F.col("doc_i").alias("doc"),
+        F.col("sig_i").alias("sig"),
+        "band",
+        "digest",
+        "ver",
+    )
+    live = u.join(tombstones, "doc", "left_anti")
+    w = live.groupBy("doc", "band").agg(
+        F.max(F.struct("ver", "digest", "sig")).alias("w")
+    )
+    return w.select(
+        "doc",
+        "band",
+        F.col("w.digest").alias("digest"),
+        F.col("w.sig").alias("sig"),
+    )
+
+
 def minhash_index_probe(
     index: DataFrame,
     batch: DataFrame,

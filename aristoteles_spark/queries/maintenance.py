@@ -154,10 +154,80 @@ def q_histogram_drift(spark, sf_dir):
     )
 
 
+# xm1 corpus slicing — all deterministic doc_id predicates, mirrored
+# verbatim in the oracle:
+N_DAYS = 3  # daily ingest partitions: ingest day = doc_id % N_DAYS
+REINGEST_MOD = 11  # doc_id % 11 == 7 docs are re-ingested on the last
+REINGEST_OFF = 7  # day with revised text (restricted to earlier-day
+#                   docs so no doc appears twice within one daily index)
+TOMB_MOD = 17  # doc_id % 17 == 5 docs are tombstoned at compaction
+TOMB_OFF = 5
+
+
+def q_index_compaction(spark, sf_dir):
+    """xm1 — banded-LSH index compaction (operators/dedup.py:
+    compact_banded_indexes): merge N daily banded MinHash indexes,
+    resolve re-ingested docs latest-version-wins, drop tombstoned docs
+    — the maintenance job that keeps nd1/st13's stored index honest.
+    The oracle is a FRESH index build over the live corpus in SQL, so
+    a hash-match proves compaction == rebuild (the index's correctness
+    contract) without ever paying the rebuild.
+
+    Output rows are (doc, band, band_key) where band_key is the
+    comma-joined band slice of the signature — the logical bucket key
+    whose xxhash64 is the stored digest (the digest itself is not
+    SQL-reproducible; bit-equality of digests is pytest-pinned in
+    tests/test_extensions.py instead).
+
+    Scale design: stored daily rows are reused as-is (no re-signing);
+    tombstone anti-join strategy left to AQE (the tombstone set grows
+    with the corpus — a forced broadcast would be the 100 TB bug); ONE
+    partial-aggregated shuffle on (doc, band)."""
+    from aristoteles_spark.operators.dedup import (
+        compact_banded_indexes,
+        minhash_banded,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    day = F.col("doc_id") % N_DAYS
+    revised = (F.col("doc_id") % REINGEST_MOD == REINGEST_OFF) & (
+        day != N_DAYS - 1
+    )
+    dailies = []
+    for i in range(N_DAYS):
+        batch = d.filter(day == i).select("doc_id", "text")
+        if i == N_DAYS - 1:
+            batch = batch.unionByName(
+                d.filter(revised).select(
+                    "doc_id", F.concat("text", F.lit(" rev7")).alias("text")
+                )
+            )
+        dailies.append(
+            minhash_banded(
+                batch, "i", num_hashes=NUM_HASHES, bands=BANDS
+            ).withColumn("ver", F.lit(i))
+        )
+    tombs = d.filter(F.col("doc_id") % TOMB_MOD == TOMB_OFF).select(
+        F.col("doc_id").alias("doc")
+    )
+    idx = compact_banded_indexes(dailies, tombs)
+    band_key = F.array_join(
+        F.transform(
+            F.slice(F.col("sig"), F.col("band") * ROWS_PER_BAND + 1, F.lit(ROWS_PER_BAND)),
+            lambda v: v.cast("string"),
+        ),
+        ",",
+    )
+    return idx.select("doc", "band", band_key.alias("band_key")).orderBy(
+        "doc", "band"
+    )
+
+
 QUERIES = {
     "xs1_weighted_sample": q_weighted_sample,
     "xc1_lsh_bucket_census": q_lsh_bucket_census,
     "xh1_histogram_drift": q_histogram_drift,
+    "xm1_index_compaction": q_index_compaction,
 }
 
 _ENTRIES = " UNION ALL ".join(
@@ -229,3 +299,39 @@ FROM per CROSS JOIN tot
 ORDER BY bin
 """,
 }
+
+# xm1 oracle: the FRESH index build over the live corpus (latest text
+# per doc, tombstones excluded) — hash-match proves compaction ==
+# rebuild. Band keys are the comma-joined signature slices, one SELECT
+# per band (the engine's posexplode).
+_XM_BAND_KEYS = "\n  UNION ALL\n  ".join(
+    f"SELECT doc, {b} AS band, concat_ws(',', "
+    + ", ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ") AS band_key FROM sigs"
+    for b in range(BANDS)
+)
+
+ORACLE["xm1_index_compaction"] = f"""
+WITH live AS (
+  SELECT doc_id AS doc,
+         CASE WHEN doc_id % {REINGEST_MOD} = {REINGEST_OFF}
+                   AND doc_id % {N_DAYS} <> {N_DAYS - 1}
+              THEN text || ' rev7' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {TOMB_MOD} <> {TOMB_OFF}
+), hashed AS (
+  SELECT doc,
+         list_transform(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+             t -> {_h32('t')}) AS base_h
+  FROM live
+), sigs AS (
+  SELECT doc,
+    {_sig_cols}
+  FROM hashed
+)
+SELECT doc, band, band_key FROM (
+  {_XM_BAND_KEYS}
+)
+ORDER BY doc, band
+"""

@@ -250,7 +250,12 @@ class WviewWriter(DataSourceWriter):
     merges staged files into the final per-station ``<station>.sqlite``
     archives (INSERT OR REPLACE on the dateTime PK — idempotent on
     retry), then removes the staging files; ``abort`` removes them
-    without merging, so a failed job never touches the archives. SQLite
+    without merging, so a failed job never touches the archives. Each
+    station's merge is ONE SQLite transaction (round 6): a commit that
+    fails mid-pool leaves every archive either fully merged or
+    untouched — never partially updated — and the job retry's
+    INSERT OR REPLACE re-merge converges on the same final state.
+    SQLite
     permits a single writer per FILE — and stations are separate files,
     so the driver merges stations concurrently in a thread pool (each
     station's staged batches applied serially, in message order, by its
@@ -306,35 +311,80 @@ class WviewWriter(DataSourceWriter):
                         per_station.setdefault(st, []).append(msg.path)
 
             def merge_station(item: tuple[str, list[str]]) -> None:
+                import uuid
+
                 st, paths = item
                 dest = os.path.join(self.dir, f"{st}.sqlite")
-                with sqlite3.connect(dest) as dst:
-                    if self.overwrite:
-                        dst.execute("DROP TABLE IF EXISTS archive")
-                    dst.execute(
-                        "CREATE TABLE IF NOT EXISTS archive ("
-                        "dateTime INTEGER NOT NULL PRIMARY KEY, "
-                        "usUnits INTEGER NOT NULL, "
-                        + ", ".join(f"{m} REAL" for m in MEASURES)
-                        + ")"
+                # SQLITE_MAX_ATTACHED defaults to 10: above it, pre-merge
+                # the staged batches into ONE scratch union file first
+                # (message order preserved by INSERT OR REPLACE on the
+                # (station, dateTime) PK; the scratch's own writes are
+                # crash-discardable), so the archive transaction below
+                # always attaches <= 10 databases.
+                scratch = None
+                if len(paths) > 10:
+                    scratch = os.path.join(
+                        self.dir, f".merge-{uuid.uuid4().hex}.sqlite"
                     )
-                    # ATTACH + INSERT..SELECT moves rows entirely inside
-                    # the SQLite C engine: no Python row materialization
-                    # (measured 2x faster serially than fetchall +
-                    # executemany) and — decisively — the engine releases
-                    # the GIL, so the station workers actually run in
-                    # parallel (the executemany formulation convoyed on
-                    # the GIL: 8 threads ran 30x SLOWER than serial)
-                    for p in paths:
-                        dst.execute("ATTACH ? AS src", (p,))
-                        dst.execute(
-                            f"INSERT OR REPLACE INTO archive ({cols}) "
-                            f"SELECT {cols} FROM src.staged "
-                            "WHERE station = ? ORDER BY dateTime",
-                            (st,),
+                    with sqlite3.connect(scratch) as u:
+                        u.execute(
+                            "CREATE TABLE staged (station TEXT NOT NULL, "
+                            "dateTime INTEGER NOT NULL, "
+                            "usUnits INTEGER NOT NULL, "
+                            + ", ".join(f"{m} REAL" for m in MEASURES)
+                            + ", PRIMARY KEY (station, dateTime))"
                         )
+                        for p in paths:
+                            u.execute("ATTACH ? AS src", (p,))
+                            u.execute(
+                                "INSERT OR REPLACE INTO staged "
+                                "SELECT * FROM src.staged WHERE station = ?",
+                                (st,),
+                            )
+                            u.commit()
+                            u.execute("DETACH src")
+                    paths = [scratch]
+                try:
+                    with sqlite3.connect(dest) as dst:
+                        # ATTACH + INSERT..SELECT moves rows entirely
+                        # inside the SQLite C engine: no Python row
+                        # materialization (measured 2x faster serially
+                        # than fetchall + executemany) and — decisively —
+                        # the engine releases the GIL, so the station
+                        # workers actually run in parallel (the
+                        # executemany formulation convoyed on the GIL: 8
+                        # threads ran 30x SLOWER than serial).
+                        #
+                        # ONE transaction per station (round 6): the
+                        # overwrite DROP, the DDL, and every staged batch
+                        # commit together or not at all — previously each
+                        # batch committed separately, so a failure midway
+                        # through a multi-batch merge left a PARTIALLY
+                        # updated archive. ATTACH is legal inside the
+                        # transaction (SQLite >= 3.21); DETACH is not, so
+                        # the attachments ride until the connection ends.
+                        for i, p in enumerate(paths):
+                            dst.execute(f"ATTACH ? AS src{i}", (p,))
+                        if self.overwrite:
+                            dst.execute("DROP TABLE IF EXISTS archive")
+                        dst.execute(
+                            "CREATE TABLE IF NOT EXISTS archive ("
+                            "dateTime INTEGER NOT NULL PRIMARY KEY, "
+                            "usUnits INTEGER NOT NULL, "
+                            + ", ".join(f"{m} REAL" for m in MEASURES)
+                            + ")"
+                        )
+                        for i in range(len(paths)):
+                            dst.execute(
+                                f"INSERT OR REPLACE INTO archive ({cols}) "
+                                f"SELECT {cols} FROM src{i}.staged "
+                                "WHERE station = ? ORDER BY dateTime",
+                                (st,),
+                            )
                         dst.commit()
-                        dst.execute("DETACH src")
+                finally:
+                    if scratch is not None and os.path.exists(scratch):
+                        os.unlink(scratch)
 
             # stations are independent FILES: merge them concurrently
             # (each file still has exactly one writer — its worker; the

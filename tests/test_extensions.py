@@ -373,6 +373,74 @@ class TestAdaptiveJaccard:
             assert got == expected, extra
 
 
+class TestIndexCompaction:
+    def test_compacted_equals_fresh_build_bit_exact(self, spark):
+        """xm1's contract at the OPERATOR level: compacting N daily
+        banded indexes (latest version wins, tombstones dropped) must
+        reproduce a fresh minhash_banded() build of the live corpus
+        bit-exactly — including the xxhash64 band digests the SQL
+        oracle cannot express."""
+        from aristoteles_spark.operators.dedup import (
+            compact_banded_indexes,
+            minhash_banded,
+        )
+        from aristoteles_spark.queries.dedup import BANDS, NUM_HASHES
+        from aristoteles_spark.queries.maintenance import (
+            N_DAYS,
+            REINGEST_MOD,
+            REINGEST_OFF,
+            TOMB_MOD,
+            TOMB_OFF,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        day = F.col("doc_id") % N_DAYS
+        revised = (F.col("doc_id") % REINGEST_MOD == REINGEST_OFF) & (
+            day != N_DAYS - 1
+        )
+        dailies = []
+        for i in range(N_DAYS):
+            batch = d.filter(day == i).select("doc_id", "text")
+            if i == N_DAYS - 1:
+                batch = batch.unionByName(
+                    d.filter(revised).select(
+                        "doc_id",
+                        F.concat("text", F.lit(" rev7")).alias("text"),
+                    )
+                )
+            dailies.append(
+                minhash_banded(
+                    batch, "i", num_hashes=NUM_HASHES, bands=BANDS
+                ).withColumn("ver", F.lit(i))
+            )
+        tombs = d.filter(F.col("doc_id") % TOMB_MOD == TOMB_OFF).select(
+            F.col("doc_id").alias("doc")
+        )
+        compacted = {
+            (r.doc, r.band, r.digest, tuple(r.sig))
+            for r in compact_banded_indexes(dailies, tombs).collect()
+        }
+
+        live = d.filter(F.col("doc_id") % TOMB_MOD != TOMB_OFF).select(
+            "doc_id",
+            F.when(revised, F.concat("text", F.lit(" rev7")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        fresh = {
+            (r.doc_i, r.band, r.digest, tuple(r.sig_i))
+            for r in minhash_banded(
+                live, "i", num_hashes=NUM_HASHES, bands=BANDS
+            ).collect()
+        }
+        assert compacted == fresh and len(fresh) > 0
+        # the slices genuinely exercise every compaction rule
+        n = d.count()
+        assert d.filter(revised).count() > 0
+        assert tombs.count() > 0
+        assert len(fresh) < n * BANDS  # tombstones actually dropped rows
+
+
 class TestAdaptiveSimhash:
     def test_block_equijoin_matches_allpairs(self, spark):
         from aristoteles_spark.operators.dedup import simhash_pairs

@@ -276,6 +276,117 @@ class TestWriter:
         rows = back.collect()
         assert len(rows) == 1 and rows[0]["dateTime"] == 100
 
+    def test_pool_commit_failure_is_all_or_nothing_per_station(self, tmp_path):
+        """Round-6 contract: one station's merge raising mid-POOL must
+        not leave ANY archive partially updated — the failing station's
+        archive keeps exactly its pre-commit rows (its multi-batch merge
+        is one transaction, so batch 1's rows roll back when batch 2
+        fails), healthy stations merge fully, and staging is cleaned."""
+        import glob
+        import sqlite3
+
+        from aristoteles_spark.sources.wview_datasource import (
+            MEASURES,
+            WviewWriter,
+            _StagedDb,
+        )
+
+        w = str(tmp_path / "arch5")
+        writer = WviewWriter({"dir": w}, overwrite=False)
+
+        def row(st, t, v):
+            return (st, t, 1, *[float(v)] * len(MEASURES))
+
+        # seed station c with a committed row the failed job must keep
+        writer.commit([writer.write(iter([row("c", 50, 0)]))])
+        # batch 1: good rows for stations a and c
+        m1 = writer.write(iter([row("a", 100, 1), row("c", 100, 1)]))
+        # batch 2: a hand-built staged db whose c-row violates the
+        # archive's usUnits NOT NULL (dateTime NULL would silently
+        # auto-assign — INTEGER PRIMARY KEY is a rowid alias) — the
+        # pre-scan sees the station, the merge fails INSIDE c's
+        # transaction after batch 1's c-row was already inserted
+        import os
+        import uuid
+
+        bad = os.path.join(w, f".stage-{uuid.uuid4().hex}.sqlite")
+        with sqlite3.connect(bad) as conn:
+            conn.execute(
+                "CREATE TABLE staged (station TEXT, dateTime INTEGER, "
+                "usUnits INTEGER, "
+                + ", ".join(f"{m} REAL" for m in MEASURES)
+                + ")"
+            )
+            conn.execute(
+                "INSERT INTO staged VALUES (?, 200, NULL, "
+                + ", ".join(["2.0"] * len(MEASURES))
+                + ")",
+                ("c",),
+            )
+            conn.commit()
+        m2 = _StagedDb(path=bad, rows=1)
+
+        with pytest.raises(sqlite3.IntegrityError):
+            writer.commit([m1, m2])
+
+        # staging fully cleaned, no scratch leftovers
+        assert glob.glob(f"{w}/.stage-*") == []
+        assert glob.glob(f"{w}/.merge-*") == []
+        # station c: exactly the pre-commit row — batch 1's c-row must
+        # have rolled back with batch 2's failure
+        with sqlite3.connect(f"{w}/c.sqlite") as c:
+            assert [
+                r[0] for r in c.execute("SELECT dateTime FROM archive")
+            ] == [50]
+        # station a (healthy worker): fully merged
+        with sqlite3.connect(f"{w}/a.sqlite") as a:
+            assert [
+                r[0] for r in a.execute("SELECT dateTime FROM archive")
+            ] == [100]
+        # retry with regenerated good staging converges
+        m3 = writer.write(iter([row("c", 100, 1), row("c", 200, 2)]))
+        writer.commit([m3])
+        with sqlite3.connect(f"{w}/c.sqlite") as c:
+            assert [
+                r[0]
+                for r in c.execute("SELECT dateTime FROM archive ORDER BY 1")
+            ] == [50, 100, 200]
+
+    def test_commit_merges_more_batches_than_sqlite_attach_limit(self, tmp_path):
+        """>10 staged batches for one station exceed SQLITE_MAX_ATTACHED;
+        the scratch-union pre-merge path must produce the same archive as
+        serial merging, keep message-order wins on duplicate keys, and
+        leave no scratch files."""
+        import glob
+        import sqlite3
+
+        from aristoteles_spark.sources.wview_datasource import (
+            MEASURES,
+            WviewWriter,
+        )
+
+        w = str(tmp_path / "arch6")
+        writer = WviewWriter({"dir": w}, overwrite=False)
+        msgs = [
+            writer.write(
+                iter([("a", 100 + i, 1, *[float(i)] * len(MEASURES))])
+            )
+            for i in range(12)
+        ]
+        # batch 12 rewrites dateTime 100 — later message must win
+        msgs.append(
+            writer.write(iter([("a", 100, 1, *[99.0] * len(MEASURES))]))
+        )
+        writer.commit(msgs)
+        assert glob.glob(f"{w}/.stage-*") == []
+        assert glob.glob(f"{w}/.merge-*") == []
+        with sqlite3.connect(f"{w}/a.sqlite") as a:
+            rows = dict(
+                a.execute(f"SELECT dateTime, {MEASURES[0]} FROM archive")
+            )
+        assert len(rows) == 12
+        assert rows[100] == 99.0 and rows[111] == 11.0
+
     def test_writer_rejects_wrong_schema(self, spark, tmp_path):
         spark.dataSource.register(WviewDataSource)
         df = spark.range(3)

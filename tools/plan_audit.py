@@ -155,6 +155,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"InMemoryTableScan",
          "the persisted per-round distance frames are reused, not recomputed"),
     ],
+    "xm1_index_compaction": [
+        (r"(?s)(Hash|Sort)Aggregate.*Exchange.*(Hash|Sort)Aggregate",
+         "latest-version-wins max(struct) partial-aggregates map-side before the one (doc, band) shuffle (SortAggregate: array-typed agg values cannot hash-agg)"),
+        (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftAnti|LeftAnti",
+         "tombstones drop via LEFT ANTI join, strategy left to AQE (tombstone set grows with the corpus)"),
+        (r"Union", "the stored daily banded frames union without re-signing"),
+    ],
     "sk3_countmin_freq": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate",
          "grid cells partial-aggregate map-side (heavy hitters absorbed pre-shuffle)"),
