@@ -70,6 +70,14 @@ REGRESSION_NOTES: dict[str, str] = {
     "tx7_bpe_token_count": _R5_AB_CLEAN,
     "dd12_lsh_quality": _R5_AB_CLEAN,
     "nd1_incremental_neardup": _R5_AB_CLEAN,
+    "qc1_quality_classifier": (
+        "attributed (worktree A/B 2026-08-16): 0.62 -> 0.81s (x1.31, "
+        "0.19s absolute) flagged with clean calibration; the query's "
+        "code is docstring-only changed since round 5 (git diff) and "
+        "alternating fresh-session A/B times the two trees equal within "
+        "noise (r5 1.15-1.25s vs r6 1.21-1.32s) — suite-context/noise, "
+        "not code drift."
+    ),
 }
 
 
@@ -77,6 +85,57 @@ def _timed(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def _env_ratio(calibration, sched_calibration, prev_calibration, prev_sched):
+    """Environmental envelope: if either calibration probe slowed down
+    since the previous committed detail, per-query drift up to ~that
+    ratio (plus 15% headroom) is the machine, not the query."""
+    env_ratio = None
+    if prev_calibration:
+        env_ratio = round(calibration / prev_calibration, 2)
+    if prev_sched:
+        sched_ratio = round(sched_calibration / prev_sched, 2)
+        env_ratio = max(env_ratio or 0, sched_ratio)
+    return env_ratio
+
+
+def _classify_regressions(
+    timings: dict[str, float],
+    prev_timings: dict[str, float],
+    env_ratio: float | None,
+) -> dict[str, dict]:
+    """Pure tripwire classifier (unit-tested in tests/test_registry.py):
+    flag >1.3x drift vs the previous detail, attach a REGRESSION_NOTES
+    measured cause when one exists, else auto-annotate drift inside the
+    calibration envelope as host noise — annotated, NOT exonerated
+    (ADVICE r5): env-attributed entries carry env_attributed=True and
+    surface as their own named stderr bucket, because a real ~1.4x code
+    regression landing during a slow-host hour fits the envelope too."""
+    regressions: dict[str, dict] = {}
+    for name, now in timings.items():
+        old = prev_timings.get(name)
+        # ignore sub-0.15s absolute drift: trigger-timing noise on tiny
+        # queries would make the tripwire cry wolf
+        if old and now / old > 1.3 and now - old >= 0.15:
+            ratio = round(now / old, 2)
+            note = REGRESSION_NOTES.get(name)
+            env = False
+            if note is None and env_ratio and env_ratio > 1.25 and ratio <= env_ratio * 1.15:
+                note = (
+                    f"within host inflation envelope: calibration probe "
+                    f"x{env_ratio} vs previous detail (shared-VM slowdown, "
+                    f"not query drift)"
+                )
+                env = True
+            regressions[name] = {
+                "prev_sec": old,
+                "now_sec": now,
+                "ratio": ratio,
+                "note": note,
+                "env_attributed": env,
+            }
+    return regressions
 
 
 def main() -> None:
@@ -162,43 +221,11 @@ def main() -> None:
         prev_sched = prev_detail.get("sched_calibration_sec")
     except (OSError, ValueError):
         pass
-    # environmental envelope: if either calibration probe slowed down
-    # since the previous detail, per-query drift up to ~that ratio
-    # (plus 15% headroom) is the machine, not the query
-    env_ratio = None
-    if prev_calibration:
-        env_ratio = round(calibration / prev_calibration, 2)
-    if prev_sched:
-        sched_ratio = round(sched_calibration / prev_sched, 2)
-        env_ratio = max(env_ratio or 0, sched_ratio)
-    regressions: dict[str, dict] = {}
-    env_attributed: list[str] = []
-    for name, now in timings.items():
-        old = prev_timings.get(name)
-        # ignore sub-0.15s absolute drift: trigger-timing noise on tiny
-        # queries would make the tripwire cry wolf
-        if old and now / old > 1.3 and now - old >= 0.15:
-            ratio = round(now / old, 2)
-            note = REGRESSION_NOTES.get(name)
-            if note is None and env_ratio and env_ratio > 1.25 and ratio <= env_ratio * 1.15:
-                # annotated, NOT exonerated (ADVICE r5): a real ~1.4x code
-                # regression landing during a slow-host hour fits this
-                # envelope too, so env-attributed entries are surfaced as
-                # their own named bucket below instead of silently folded
-                # into "explained".
-                note = (
-                    f"within host inflation envelope: calibration probe "
-                    f"x{env_ratio} vs previous detail (shared-VM slowdown, "
-                    f"not query drift)"
-                )
-                env_attributed.append(name)
-            regressions[name] = {
-                "prev_sec": old,
-                "now_sec": now,
-                "ratio": ratio,
-                "note": note,
-                "env_attributed": name in env_attributed,
-            }
+    env_ratio = _env_ratio(
+        calibration, sched_calibration, prev_calibration, prev_sched
+    )
+    regressions = _classify_regressions(timings, prev_timings, env_ratio)
+    env_attributed = [n for n, r in regressions.items() if r["env_attributed"]]
     unexplained = sorted(n for n, r in regressions.items() if not r["note"])
     if regressions:
         print(

@@ -144,6 +144,26 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!Exchange hashpartitioning\([^)]*content",
          "warc blobs never shuffle — only the per-source stats"),
     ],
+    "gr1_khop_bfs": [
+        # round 6: barriers route through audit_barrier, so the real
+        # iterative plans are auditable (previously checkpoint scans).
+        (r"LeftAnti",
+         "each BFS level drops already-reached nodes with a LEFT ANTI join, not a distinct over the union"),
+        (r"InMemoryTableScan",
+         "the persisted edge table and per-level frontiers are reused, not recomputed"),
+    ],
+    "gr2_pagerank": [
+        (r"(?s)(Hash|Sort)Aggregate.*Exchange.*(Hash|Sort)Aggregate",
+         "per-round contribution sums partial-aggregate map-side before the dst shuffle"),
+        (r"InMemoryTableScan",
+         "the persisted edge/degree/rank frames are reused across rounds"),
+    ],
+    "gr4_kcore": [
+        (r"LeftSemi",
+         "each peel round keeps surviving edges via SEMI joins on the qualifying-vertex set"),
+        (r"InMemoryTableScan",
+         "the shared TRI_T edge table and per-round survivors are reused, not recomputed"),
+    ],
     "gr3_weighted_sssp": [
         # round 6: the final barrier routes through audit_barrier, so
         # the audit now sees the real bounded-Bellman-Ford plan instead

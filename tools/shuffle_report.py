@@ -89,6 +89,8 @@ HEADLINERS = [
     "sk6_kmv_per_group",
     "dr1_distribution_drift",
     "qr1_gopher_rules",
+    # round-6 additions
+    "xm1_index_compaction",
 ]
 
 
