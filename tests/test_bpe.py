@@ -152,3 +152,60 @@ def test_replace_chain_matches_aggregate_fold(spark):
         bpe_tokens_replace_expr(F.col("text"), merges).alias("b"),
     ).filter(F.col("a") != F.col("b"))
     assert bad.count() == 0
+
+
+def _encode_word_ref(word, merges):
+    """Independent pure-Python reference: sequential left-to-right
+    non-overlapping merges (the published apply semantics)."""
+    syms = list(word) + [_END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_replace_chain_fuzzed_against_python_reference(spark):
+    """Hypothesis fuzz over the round-6 whole-string regex construction:
+    random texts (whitespace shapes, multi-byte chars, regex
+    metacharacters — everything except the reserved \\x01-\\x03
+    sentinels) x random sequential merge tables must tokenize exactly
+    like the pure-Python reference. Batched: each example is ONE
+    dataframe so the fuzz costs a handful of Spark jobs, not hundreds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aristoteles_spark.operators.bpe import bpe_tokens_replace_expr
+
+    alphabet = st.sampled_from(list("abcé9 .()[]$^\\|*+?\t\n\r"))
+    texts = st.lists(st.text(alphabet, max_size=24), min_size=1, max_size=8)
+    sym = st.sampled_from(["a", "b", "c", "é", "9", ".", "aa", "ab", "a.", _END])
+    merges = st.lists(st.tuples(sym, sym), max_size=6)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts, merges)
+    def run(ts, ms):
+        df = spark.createDataFrame([(t,) for t in ts], "text string")
+        got = [
+            r.toks
+            for r in df.select(
+                bpe_tokens_replace_expr(F.col("text"), ms).alias("toks")
+            ).collect()
+        ]
+        want = [
+            [tok for w in t.lower().split() for tok in _encode_word_ref(w, ms)]
+            for t in ts
+        ]
+        assert got == want, (ts, ms)
+
+    run()
