@@ -387,6 +387,32 @@ class TestWriter:
         assert len(rows) == 12
         assert rows[100] == 99.0 and rows[111] == 11.0
 
+    def test_overwrite_with_scratch_union_replaces_atomically(self, tmp_path):
+        """overwrite + >10 staged batches: the DROP rides the same
+        transaction as the scratch-union insert, so the final archive
+        holds exactly the new rows (and only them)."""
+        import glob
+        import sqlite3
+
+        from aristoteles_spark.sources.wview_datasource import (
+            MEASURES,
+            WviewWriter,
+        )
+
+        w = str(tmp_path / "arch7")
+        app = WviewWriter({"dir": w}, overwrite=False)
+        app.commit([app.write(iter([("a", 1, 1, *[0.0] * len(MEASURES))]))])
+        over = WviewWriter({"dir": w}, overwrite=True)
+        msgs = [
+            over.write(iter([("a", 100 + i, 1, *[float(i)] * len(MEASURES))]))
+            for i in range(11)
+        ]
+        over.commit(msgs)
+        assert glob.glob(f"{w}/.merge-*") == []
+        with sqlite3.connect(f"{w}/a.sqlite") as a:
+            got = [r[0] for r in a.execute("SELECT dateTime FROM archive ORDER BY 1")]
+        assert got == list(range(100, 111))  # old row 1 gone, 11 new rows
+
     def test_writer_rejects_wrong_schema(self, spark, tmp_path):
         spark.dataSource.register(WviewDataSource)
         df = spark.range(3)
