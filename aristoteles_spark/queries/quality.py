@@ -195,6 +195,121 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+# Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446 §A.1.2):
+# the paper removes docs whose most frequent 2-gram covers > 20% of
+# characters or whose duplicated 5-grams cover > 15%. Token-level
+# forms here (the corpus is single-line): top-2-gram CHARACTER MASS
+# ratio (occurrences x gram chars / total token chars — tie-free and
+# exact-integer where the paper's positional-coverage form needs an
+# argmax whose tie-break the paper leaves unspecified; mass orders
+# docs identically when one gram dominates, the regime the gate
+# exists for — mass can exceed 1e6 ppm since adjacent 2-grams share
+# tokens), and duplicated-5-gram POSITION coverage (fraction of token
+# positions inside at least one 5-gram occurring more than once —
+# exactly the paper's coverage semantics at token granularity).
+REP_TOP2_MAX_PPM = 200_000
+REP_DUP5_MAX_PPM = 150_000
+
+
+def q_repetition_rules(spark, sf_dir):
+    """qr2 — Gopher repetition-rule census (see constants above): per
+    document the top-2-gram mass ratio, the duplicated-5-gram position
+    coverage, and the combined keep flag — the repetition half of the
+    published Gopher filter (qr1 covers the shape/ratio half).
+
+    Scale design: grams are built IN-ROW (index-sequence transform, the
+    classifier_features pattern — no per-token explode for
+    construction); the only shuffles are partial-aggregated groupBys
+    keyed by (doc_id, gram) / (doc_id, position) — the tx8 bigram shape,
+    linear in corpus token count. Ratios are floor(1e6 * a / b) on
+    integers: one exact double division + floor, cross-engine-exact
+    (the mx1 rule)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.length(F.concat_ws("", toks)).alias("chars"),
+    )
+
+    g2 = F.when(
+        F.col("n") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 2),
+            lambda i: F.concat(
+                F.get("toks", i), F.lit("_"), F.get("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top2 = (
+        base.select("doc_id", F.explode(g2).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "doc_id",
+            (F.col("c") * (F.length("gram") - 1)).alias("mass"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("mass").alias("top2_mass"))
+    )
+
+    g5 = F.when(
+        F.col("n") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 5),
+            lambda s: F.struct(
+                s.alias("s"),
+                F.concat_ws("_", F.slice("toks", s + 1, F.lit(5))).alias(
+                    "gram"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,gram:string>>"))
+    starts = base.select("doc_id", F.explode(g5).alias("g")).select(
+        "doc_id", F.col("g.s").alias("s"), F.col("g.gram").alias("gram")
+    )
+    dup_starts = (
+        starts.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("s").alias("ss"))
+        .filter(F.col("c") > 1)
+        .select("doc_id", F.explode("ss").alias("s"))
+    )
+    covered = (
+        dup_starts.select(
+            "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + 4)).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+
+    top2_ppm = F.when(F.col("chars") > 0, F.floor(
+        F.coalesce(F.col("top2_mass"), F.lit(0)) * F.lit(1.0e6) / F.col("chars")
+    ).cast("long")).otherwise(F.lit(0).cast("long"))
+    dup5_ppm = F.when(F.col("n") > 0, F.floor(
+        F.coalesce(F.col("covered"), F.lit(0)) * F.lit(1.0e6) / F.col("n")
+    ).cast("long")).otherwise(F.lit(0).cast("long"))
+    return (
+        base.select("doc_id", "n", "chars")
+        .join(top2, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_toks"),
+            top2_ppm.alias("top2_mass_ppm"),
+            dup5_ppm.alias("dup5_cover_ppm"),
+            (
+                (top2_ppm <= REP_TOP2_MAX_PPM)
+                & (dup5_ppm <= REP_DUP5_MAX_PPM)
+            )
+            .cast("int")
+            .alias("rep_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # qc2 threshold grid (ppm of classifier score per feature): spans the
 # measured corpus distribution (min -121M, median ~80M, max ~290M at
 # sf0.01) so every step genuinely moves the yield.
@@ -276,9 +391,59 @@ QUERIES = {
     "qc1_quality_classifier": q_quality_classifier,
     "qc2_threshold_yield": q_threshold_yield,
     "qr1_gopher_rules": q_gopher_rules,
+    "qr2_repetition_rules": q_repetition_rules,
 }
 
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
+
+_QR2_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         length(array_to_string(toks, '')) AS chars
+  FROM base
+), t2 AS (
+  SELECT doc_id, max(c * (length(gram) - 1)) AS top2_mass FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n),
+                    i -> toks[i] || '_' || toks[i + 1])) AS gram
+      FROM b WHERE n >= 2
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), s5 AS (
+  SELECT doc_id,
+         unnest(range(1, n - 3)) AS s,
+         unnest(list_transform(range(1, n - 3),
+                s -> array_to_string(list_slice(toks, s, s + 4), '_'))) AS gram
+  FROM b WHERE n >= 5
+), dupstarts AS (
+  SELECT doc_id, unnest(list(s)) AS s
+  FROM s5 GROUP BY doc_id, gram HAVING count(*) > 1
+), cov AS (
+  SELECT doc_id, count(*) AS covered FROM (
+    SELECT DISTINCT doc_id, s + u AS p FROM (
+      SELECT doc_id, s, unnest(range(0, 5)) AS u FROM dupstarts
+    )
+  ) GROUP BY doc_id
+), m AS (
+  SELECT doc_id, n,
+    CASE WHEN chars > 0
+         THEN CAST(floor(coalesce(top2_mass, 0) * 1000000.0 / chars) AS BIGINT)
+         ELSE 0 END AS top2_mass_ppm,
+    CASE WHEN n > 0
+         THEN CAST(floor(coalesce(covered, 0) * 1000000.0 / n) AS BIGINT)
+         ELSE 0 END AS dup5_cover_ppm
+  FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+)
+SELECT doc_id, n AS n_toks, top2_mass_ppm, dup5_cover_ppm,
+       CASE WHEN top2_mass_ppm <= {REP_TOP2_MAX_PPM}
+             AND dup5_cover_ppm <= {REP_DUP5_MAX_PPM} THEN 1 ELSE 0 END
+         AS rep_ok
+FROM m ORDER BY doc_id
+"""
+
 
 _YIELD_GRID_SQL = ", ".join(f"({t})" for t in YIELD_THRESHOLDS)
 
@@ -386,3 +551,5 @@ SELECT doc_id, n_feats, score_q,
 FROM s ORDER BY doc_id
 """,
 }
+
+ORACLE["qr2_repetition_rules"] = _QR2_SQL

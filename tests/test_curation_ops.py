@@ -239,3 +239,69 @@ def test_dsir_invariants(spark):
             assert r["sum_wn_selected"] == 0
         else:
             assert r["sum_wn_selected"] > 1_000_000 * (r["n_selected"] - 1)
+
+
+def test_repetition_rules_pinned_and_dup5_fires(spark, tmp_path):
+    """qr2 pinned against a pure-Python evaluation on crafted docs that
+    exercise BOTH rules — the synthetic random-word corpus never repeats
+    a 5-gram within a doc (dup5 is structurally 0 there, like qr1's
+    line-shape rules), so the crafted set proves the dup5 path live:
+    heavy spam (both rules fail), one far-apart repeated 5-gram, and
+    the n<2 / n<5 guard shapes."""
+    import re as _re
+
+    from aristoteles_spark.queries.quality import (
+        REP_DUP5_MAX_PPM,
+        REP_TOP2_MAX_PPM,
+        q_repetition_rules,
+    )
+
+    docs = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "a b c d e x a b c d e"),
+        (3, ""),
+        (4, "x"),
+        (5, "a b c d"),
+        # benign doc long enough that no single 2-gram carries >20% of
+        # the character mass (short docs structurally fail the mass
+        # rule — the paper's word-count rule prefilters them)
+        (6, " ".join(f"tok{i} word{i}" for i in range(15))),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_toks, r.top2_mass_ppm, r.dup5_cover_ppm, r.rep_ok)
+        for r in q_repetition_rules(spark, str(tmp_path)).collect()
+    }
+
+    import math
+
+    for i, text in docs:
+        toks = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        n, chars = len(toks), sum(len(w) for w in toks)
+        g2 = ["_".join(toks[i : i + 2]) for i in range(n - 1)] if n >= 2 else []
+        top2 = 0
+        for g in set(g2):
+            top2 = max(top2, g2.count(g) * (len(g) - 1))
+        starts = (
+            {g: [s for s in range(n - 4) if "_".join(toks[s : s + 5]) == g]
+             for g in {"_".join(toks[s : s + 5]) for s in range(n - 4)}}
+            if n >= 5 else {}
+        )
+        covered = set()
+        for g, ss in starts.items():
+            if len(ss) > 1:
+                for s in ss:
+                    covered.update(range(s, s + 5))
+        t2p = math.floor(top2 * 1e6 / chars) if chars else 0
+        d5p = math.floor(len(covered) * 1e6 / n) if n else 0
+        ok = int(t2p <= REP_TOP2_MAX_PPM and d5p <= REP_DUP5_MAX_PPM)
+        assert got[i] == (n, t2p, d5p, ok), (i, got[i], (n, t2p, d5p, ok))
+
+    # both rules genuinely fire in the crafted set
+    assert got[1][3] == 0 and got[1][2] > 0  # spam fails, dup5 nonzero
+    assert got[2][2] == math.floor(10 * 1e6 / 11)  # two occurrences cover 10/11
+    assert got[6][3] == 1

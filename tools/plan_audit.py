@@ -175,6 +175,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"InMemoryTableScan",
          "the persisted per-round distance frames are reused, not recomputed"),
     ],
+    "qr2_repetition_rules": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
+         "per-doc gram counts partial-aggregate map-side before the (doc, gram) shuffle"),
+        (r"Generate",
+         "grams are BUILT in-row (index-sequence transform) and exploded once — no per-token construction shuffle"),
+        (r"!PythonUDF",
+         "gram construction, counting and coverage are pure codegen"),
+    ],
     "xm1_index_compaction": [
         (r"(?s)(Hash|Sort)Aggregate.*Exchange.*(Hash|Sort)Aggregate",
          "latest-version-wins max(struct) partial-aggregates map-side before the one (doc, band) shuffle (SortAggregate: array-typed agg values cannot hash-agg)"),

@@ -91,6 +91,7 @@ HEADLINERS = [
     "qr1_gopher_rules",
     # round-6 additions
     "xm1_index_compaction",
+    "qr2_repetition_rules",
 ]
 
 
