@@ -217,13 +217,23 @@ def q_repetition_rules(spark, sf_dir):
     coverage, and the combined keep flag — the repetition half of the
     published Gopher filter (qr1 covers the shape/ratio half).
 
-    Scale design: grams are built IN-ROW (index-sequence transform, the
-    classifier_features pattern — no per-token explode for
-    construction); the only shuffles are partial-aggregated groupBys
-    keyed by (doc_id, gram) / (doc_id, position) — the tx8 bigram shape,
-    linear in corpus token count. Ratios are floor(1e6 * a / b) on
-    integers: one exact double division + floor, cross-engine-exact
-    (the mx1 rule)."""
+    Scale design (round-6 second pass): ZERO shuffles before the final
+    order-by — the per-doc metrics never leave the row. Grams build
+    in-row (index-sequence transform, the classifier_features pattern)
+    and sort in-row; the top-2-gram mass is a constant-accumulator run
+    fold over the sorted 2-gram array, and the duplicated-5-gram
+    coverage marks duplicated entries with an INDEX-lambda filter
+    (neighbor-equality in the sorted array — linear even on a
+    degenerate all-identical-gram doc, where a fold that concatenates
+    start lists would go quadratic) then counts the distinct covered
+    positions. The first formulation shipped the gram stream through
+    partial-aggregated (doc, gram) groupBys — correct, but it shuffled
+    ~1 row per gram occurrence (15.9 MB / 542k rows at sf0.1, METRICS
+    round 6) because a (doc_id, gram) key cannot collapse across docs;
+    the in-row form measured 1.4x faster at the 100x replica and moves
+    nothing across the network at 100 TB. Ratios are
+    floor(1e6 * a / b) on integers: one exact double division + floor,
+    cross-engine-exact (the mx1 rule)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     base = d.select(
@@ -233,81 +243,90 @@ def q_repetition_rules(spark, sf_dir):
         F.length(F.concat_ws("", toks)).alias("chars"),
     )
 
-    g2 = F.when(
-        F.col("n") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n") - 2),
-            lambda i: F.concat(
-                F.get("toks", i), F.lit("_"), F.get("toks", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    top2 = (
-        base.select("doc_id", F.explode(g2).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "doc_id",
-            (F.col("c") * (F.length("gram") - 1)).alias("mass"),
-        )
-        .groupBy("doc_id")
-        .agg(F.max("mass").alias("top2_mass"))
-    )
-
-    g5 = F.when(
-        F.col("n") >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n") - 5),
-            lambda s: F.struct(
-                s.alias("s"),
-                F.concat_ws("_", F.slice("toks", s + 1, F.lit(5))).alias(
-                    "gram"
+    g2s = F.array_sort(
+        F.when(
+            F.col("n") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 2),
+                lambda i: F.concat(
+                    F.get("toks", i), F.lit("_"), F.get("toks", i + 1)
                 ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<s:int,gram:string>>"))
-    starts = base.select("doc_id", F.explode(g5).alias("g")).select(
-        "doc_id", F.col("g.s").alias("s"), F.col("g.gram").alias("gram")
+        ).otherwise(F.array().cast("array<string>"))
     )
-    dup_starts = (
-        starts.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("s").alias("ss"))
-        .filter(F.col("c") > 1)
-        .select("doc_id", F.explode("ss").alias("s"))
-    )
-    covered = (
-        dup_starts.select(
-            "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + 4)).alias("p")
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("covered"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
 
-    top2_ppm = F.when(F.col("chars") > 0, F.floor(
-        F.coalesce(F.col("top2_mass"), F.lit(0)) * F.lit(1.0e6) / F.col("chars")
-    ).cast("long")).otherwise(F.lit(0).cast("long"))
-    dup5_ppm = F.when(F.col("n") > 0, F.floor(
-        F.coalesce(F.col("covered"), F.lit(0)) * F.lit(1.0e6) / F.col("n")
-    ).cast("long")).otherwise(F.lit(0).cast("long"))
-    return (
-        base.select("doc_id", "n", "chars")
-        .join(top2, "doc_id", "left")
-        .join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n").alias("n_toks"),
-            top2_ppm.alias("top2_mass_ppm"),
-            dup5_ppm.alias("dup5_cover_ppm"),
-            (
-                (top2_ppm <= REP_TOP2_MAX_PPM)
-                & (dup5_ppm <= REP_DUP5_MAX_PPM)
-            )
-            .cast("int")
-            .alias("rep_ok"),
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(
+                acc["best"], (run * (F.length(x) - 1)).cast("long")
+            ).alias("best"),
         )
-        .orderBy("doc_id")
+
+    top2_mass = F.aggregate(g2s, acc0, _run_step, lambda a: a["best"])
+
+    g5sorted = F.array_sort(
+        F.when(
+            F.col("n") >= 5,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 5),
+                lambda s: F.struct(
+                    F.concat_ws("_", F.slice("toks", s + 1, F.lit(5))).alias(
+                        "gram"
+                    ),
+                    s.alias("s"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<gram:string,s:int>>"))
     )
+    b2 = base.select(
+        "doc_id",
+        "n",
+        "chars",
+        top2_mass.alias("top2_mass"),
+        g5sorted.alias("g5"),
+    )
+    n5 = F.size("g5")
+    dups = F.filter(
+        F.col("g5"),
+        lambda x, i: (
+            (i > 0) & (F.get("g5", i - 1)["gram"] == x["gram"])
+        )
+        | ((i < n5 - 1) & (F.get("g5", i + 1)["gram"] == x["gram"])),
+    )
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(dups, lambda x: F.sequence(x["s"], x["s"] + 4))
+            )
+        )
+    )
+    top2_ppm = F.when(
+        F.col("chars") > 0,
+        F.floor(F.col("top2_mass") * F.lit(1.0e6) / F.col("chars")).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    dup5_ppm = F.when(
+        F.col("n") > 0,
+        F.floor(covered.cast("long") * F.lit(1.0e6) / F.col("n")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return b2.select(
+        "doc_id",
+        F.col("n").alias("n_toks"),
+        top2_ppm.alias("top2_mass_ppm"),
+        dup5_ppm.alias("dup5_cover_ppm"),
+        ((top2_ppm <= REP_TOP2_MAX_PPM) & (dup5_ppm <= REP_DUP5_MAX_PPM))
+        .cast("int")
+        .alias("rep_ok"),
+    ).orderBy("doc_id")
 
 
 # qc2 threshold grid (ppm of classifier score per feature): spans the

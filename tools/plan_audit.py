@@ -176,12 +176,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          "the persisted per-round distance frames are reused, not recomputed"),
     ],
     "qr2_repetition_rules": [
-        (r"(?s)HashAggregate.*Exchange.*HashAggregate",
-         "per-doc gram counts partial-aggregate map-side before the (doc, gram) shuffle"),
-        (r"Generate",
-         "grams are BUILT in-row (index-sequence transform) and exploded once — no per-token construction shuffle"),
+        # round-6 second pass: metrics never leave the row — the only
+        # exchanges are fan_out's round-robin scan spread and the final
+        # presentation sort's range partitioning
+        (r"!Exchange hashpartitioning",
+         "no hash shuffle anywhere — the gram stream never crosses the network"),
+        (r"!Generate",
+         "no explode: grams build, sort, fold and filter entirely in-row"),
         (r"!PythonUDF",
-         "gram construction, counting and coverage are pure codegen"),
+         "gram construction, run folds and coverage are engine expressions"),
     ],
     "xm1_index_compaction": [
         (r"(?s)(Hash|Sort)Aggregate.*Exchange.*(Hash|Sort)Aggregate",
