@@ -672,7 +672,10 @@ def _small_vocab_hash_fn(df: DataFrame, text_col: str, max_vocab: int = 256):
         .limit(max_vocab + 1)
         .collect()
     )
-    if len(rows) > max_vocab:
+    if len(rows) > max_vocab or not rows:
+        # empty corpus: create_map() with zero entries types its values
+        # VOID and the lookup fails analysis (round-6 empty-input sweep);
+        # the md5 fallback handles the no-rows plan fine
         return None
     entries = []
     for r in rows:

@@ -238,6 +238,16 @@ def knn_ivf(
     (query, probed-cell) pairs on a small int key; with C cells and
     nprobe probes each query scores ~nprobe·N/C rows instead of N.
     """
+    if not centroids:
+        # empty corpus -> empty quantizer: no cells means no candidates
+        # (round-6 empty-input sweep: the assignment kernel's matmul
+        # axis check crashed instead). Emit the empty result with the
+        # contract schema.
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
     cell_udf, probes_udf = _ivf_assign_udfs(centroids, nprobe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -213,15 +213,24 @@ def kmv_set_overlap(
             "est_b",
             "est_union",
             "n_both",
-            (
+            # guard: two EMPTY sides make the union sketch empty and the
+            # Jaccard denominator 0 (ANSI divide-by-zero; round-6
+            # empty-input sweep) — overlap of nothing is 0 by definition
+            F.when(
+                F.col("est_union_used") > 0,
+                F.col("n_both").cast("double")
+                / F.col("est_union_used").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("est_jaccard"),
+            F.when(
+                F.col("est_union_used") > 0,
                 F.col("n_both").cast("double")
                 / F.col("est_union_used").cast("double")
-            ).alias("est_jaccard"),
-            (
-                F.col("n_both").cast("double")
-                / F.col("est_union_used").cast("double")
-                * F.col("est_union")
-            ).alias("est_intersection"),
+                * F.col("est_union"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("est_intersection"),
         )
     )
     from aristoteles_spark.operators.barrier import audit_barrier

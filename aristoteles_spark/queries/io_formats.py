@@ -214,7 +214,12 @@ def q_webdataset_tar(spark, sf_dir):
         .mapInPandas(write_shards, "shard int, n_members long, path string")
         .collect()
     )
-    assert sum(r.n_members for r in manifest) > 0, "empty webdataset write"
+    assert sum(r.n_members for r in manifest) > 0 or docs.isEmpty(), (
+        "empty webdataset write"
+    )  # or the INPUT was empty (round-6
+    # empty-input sweep): a 0-doc day writing a 0-member container is a
+    # valid no-op, while a silent 0-member write on a real corpus is the
+    # vacuous-oracle bug the assert exists for (isEmpty only runs then)
 
     raw = spark.read.format("binaryFile").load(path)
 
@@ -315,7 +320,9 @@ def q_avro_roundtrip(spark, sf_dir):
         .mapInPandas(write_files, "n_rows long, path string")
         .collect()
     )
-    assert sum(r.n_rows for r in manifest) > 0, "empty avro write"
+    assert sum(r.n_rows for r in manifest) > 0 or ev.isEmpty(), (
+        "empty avro write"  # see the webdataset note
+    )
 
     raw = spark.read.format("binaryFile").load(path)
 
@@ -408,7 +415,9 @@ def q_warc_roundtrip(spark, sf_dir):
         .mapInPandas(write_shards, "shard int, n_members long, path string")
         .collect()
     )
-    assert sum(r.n_members for r in manifest) > 0, "empty warc write"
+    assert sum(r.n_members for r in manifest) > 0 or docs.isEmpty(), (
+        "empty warc write"  # see the webdataset note
+    )
 
     raw = spark.read.format("binaryFile").load(path)
 
@@ -464,9 +473,11 @@ def q_zorder_pruning(spark, sf_dir):
     origin = F.lit("2024-01-01").cast("date")
     x = F.pmod(F.col("user_id"), F.lit(256)).cast("int")
     y = F.pmod(F.datediff(F.to_date("ts"), origin), F.lit(256)).cast("int")
+    laid_out = ev.filter(F.col("user_id").isNotNull()).withColumn(
+        "zc", zcell(x, y)
+    )
     (
-        ev.filter(F.col("user_id").isNotNull())
-        .withColumn("zc", zcell(x, y))
+        laid_out
         .repartition("zc")  # one task per cell group: clustered files
         .write.mode("overwrite")
         .partitionBy("zc")
@@ -478,7 +489,9 @@ def q_zorder_pruning(spark, sf_dir):
     # 0-row oracle match would prove nothing)
     X_LO, X_HI, Y_LO, Y_HI = 4, 95, 8, 23
     cells = cells_for_box(X_LO, X_HI, Y_LO, Y_HI)
-    back = spark.read.parquet(path)
+    # explicit schema: an empty input writes zero part files and
+    # schema inference has nothing to read (round-6 empty-input sweep)
+    back = spark.read.schema(laid_out.schema).parquet(path)
     xb = F.pmod(F.col("user_id"), F.lit(256))
     yb = F.pmod(F.datediff(F.to_date("ts"), origin), F.lit(256))
     boxed = back.filter(F.col("zc").isin(cells)).filter(
@@ -561,7 +574,9 @@ def q_protobuf_log(spark, sf_dir):
         .mapInPandas(write_files, "n_rows long, path string")
         .collect()
     )
-    assert sum(r.n_rows for r in manifest) > 0, "empty protobuf write"
+    assert sum(r.n_rows for r in manifest) > 0 or ev.isEmpty(), (
+        "empty protobuf write"  # see the webdataset note
+    )
 
     raw = spark.read.format("binaryFile").load(path)
 
@@ -748,7 +763,7 @@ def q_merge_upsert(spark, sf_dir):
         spark, path, updates.unionByName(inserts),
         key_cols=["event_id"], partition_col="event_type",
     )
-    merged = spark.read.parquet(path)
+    merged = spark.read.schema(base.schema).parquet(path)
     return (
         merged.groupBy("event_type")
         .agg(
@@ -785,9 +800,10 @@ def q_compaction_roundtrip(spark, sf_dir):
     before = len(glob.glob(f"{path}/event_type=*/*.parquet"))
     compact_partitions(spark, path, ["event_type"], cluster_cols=["ts"])
     after = len(glob.glob(f"{path}/event_type=*/*.parquet"))
-    assert after < before, (before, after)
+    if before:  # an empty input writes no partitions: nothing to shrink
+        assert after < before, (before, after)
     return (
-        spark.read.parquet(path)
+        spark.read.schema(base.schema).parquet(path)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

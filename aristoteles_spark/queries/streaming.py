@@ -80,7 +80,9 @@ def q_stream_sink_parquet(spark, sf_dir):
     out_dir = tempfile.mkdtemp(prefix="st6_sink_")
     run_foreach_batch_parquet(agg, out_dir, "d")
     return (
-        spark.read.parquet(out_dir)
+        # explicit schema: an empty stream writes zero part files and
+        # schema inference has nothing to read (round-6 empty sweep)
+        spark.read.schema(agg.schema).parquet(out_dir)
         .select(
             instant_as_utc_ntz("hour_start").alias("hour_start"),
             "event_type",
@@ -220,8 +222,14 @@ def q_stream_cdc_upsert(spark, sf_dir):
         # needs only >1 trigger to exercise the cross-batch MERGE path
         ev = stream_events_split(spark, sf_dir, "st12", n_files=2)
         run_cdc_upsert(ev, table_dir)
+        # explicit schema: an empty change stream publishes zero part
+        # files and inference has nothing to read (round-6 empty sweep)
+        cdc_schema = (
+            "user_id bigint, ts timestamp, event_id bigint,"
+            " value double, bucket int"
+        )
         return (
-            spark.read.parquet(table_dir)
+            spark.read.schema(cdc_schema).parquet(table_dir)
             .select(
                 "user_id",
                 instant_as_utc_ntz("ts").alias("last_ts"),
@@ -295,7 +303,12 @@ def _stream_neardup_run(spark, sf_dir):
             [p for p in os.listdir(out_dir) if p.startswith("bpart=")]
         )
         result = (
-            spark.read.parquet(out_dir)
+            # explicit schema: an empty batch stream publishes zero part
+            # files and inference has nothing to read (round-6 sweep)
+            spark.read.schema(
+                "batch_doc bigint, n_matches bigint, max_est_sim double,"
+                " is_novel int, bpart int"
+            ).parquet(out_dir)
             .select("batch_doc", "n_matches", "max_est_sim", "is_novel")
             .orderBy("batch_doc")
             # NOT an audit barrier (operators/barrier.py): the

@@ -553,6 +553,14 @@ def q_negative_samples(spark, sf_dir):
     approaches 2^63 would split the multiply with repeated pmod."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     n = d.count()
+    if n == 0:
+        # no corpus -> no pairs; % 0 in the affine hash would raise
+        # driver-side (round-6 empty-input sweep)
+        return d.select(
+            "doc_id",
+            F.lit(1).alias("j"),
+            F.col("doc_id").alias("neg_id"),
+        ).limit(0)
     base = d.select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j")
     )

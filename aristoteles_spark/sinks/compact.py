@@ -103,6 +103,13 @@ def compact_partitions(
     compact yesterday's streaming output, leave history alone. Returns the
     number of rows rewritten.
     """
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        # empty table (e.g. an empty day's write produced no partitions):
+        # nothing to compact, and schema inference would fail (round-6
+        # empty-input sweep)
+        return 0
     df = spark.read.parquet(path)
     if where:
         # the predicate must touch only partition columns: a data-column

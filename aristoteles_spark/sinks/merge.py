@@ -45,7 +45,10 @@ def upsert_by_key(
     must delete-then-insert.
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(
+    # schema from `updates` (the contract says it carries the table's
+    # full schema): an empty table dir has no files to infer from
+    # (round-6 empty-input sweep)
+    existing = spark.read.schema(updates.schema).parquet(path).filter(
         F.col(partition_col).isin(touched)
     )
     merged = existing.join(
