@@ -1102,6 +1102,15 @@ def compact_banded_indexes(
     at most once per daily index). Output is bit-equal to a fresh
     ``minhash_banded()`` build over the live corpus (pytest-pinned;
     xm1's oracle recomputes the fresh build in SQL)."""
+    if not dailies:
+        # no-op-on-empty contract (round 6) extends to the empty LIST:
+        # zero daily indexes compact to an empty index with the
+        # contract schema (ADVICE r6 — dailies[0] raised IndexError)
+        spark = tombstones.sparkSession
+        return spark.createDataFrame(
+            [],
+            "doc long, band int, digest bigint, sig array<bigint>",
+        )
     u = dailies[0]
     for x in dailies[1:]:
         u = u.unionByName(x)

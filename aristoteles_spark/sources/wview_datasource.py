@@ -57,6 +57,18 @@ from aristoteles_spark.schema import ARCHIVE_COLUMNS, ARCHIVE_SCHEMA, MEASURES
 DAY_SECONDS = 86_400
 _SELECT_LIST = ", ".join(ARCHIVE_COLUMNS)
 
+# staged-batch table shape, shared by the executor-side write() and the
+# driver-side scratch pre-merge so the two can never drift apart — and
+# rows always move by NAME, never by position (ADVICE r6)
+STAGED_COLUMNS = ("station", *ARCHIVE_COLUMNS)
+_STAGED_LIST = ", ".join(STAGED_COLUMNS)
+_STAGED_DDL = (
+    "CREATE TABLE staged (station TEXT NOT NULL, "
+    "dateTime INTEGER NOT NULL, usUnits INTEGER NOT NULL, "
+    + ", ".join(f"{m} REAL" for m in MEASURES)
+    + ", PRIMARY KEY (station, dateTime))"
+)
+
 WVIEW_SCHEMA = StructType(
     [StructField("station", StringType(), False)] + list(ARCHIVE_SCHEMA.fields)
 )
@@ -277,16 +289,12 @@ class WviewWriter(DataSourceWriter):
         staged = os.path.join(self.dir, f".stage-{uuid.uuid4().hex}.sqlite")
         n = 0
         with sqlite3.connect(staged) as conn:
-            conn.execute(
-                "CREATE TABLE staged (station TEXT NOT NULL, "
-                "dateTime INTEGER NOT NULL, usUnits INTEGER NOT NULL, "
-                + ", ".join(f"{m} REAL" for m in MEASURES)
-                + ", PRIMARY KEY (station, dateTime))"
-            )
-            ph = ", ".join("?" * (len(ARCHIVE_COLUMNS) + 1))
+            conn.execute(_STAGED_DDL)
+            ph = ", ".join("?" * len(STAGED_COLUMNS))
             for row in iterator:
                 conn.execute(
-                    f"INSERT OR REPLACE INTO staged VALUES ({ph})",
+                    f"INSERT OR REPLACE INTO staged ({_STAGED_LIST}) "
+                    f"VALUES ({ph})",
                     tuple(row),
                 )
                 n += 1
@@ -327,61 +335,72 @@ class WviewWriter(DataSourceWriter):
                         self.dir, f".merge-{uuid.uuid4().hex}.sqlite"
                     )
                     with sqlite3.connect(scratch) as u:
-                        u.execute(
-                            "CREATE TABLE staged (station TEXT NOT NULL, "
-                            "dateTime INTEGER NOT NULL, "
-                            "usUnits INTEGER NOT NULL, "
-                            + ", ".join(f"{m} REAL" for m in MEASURES)
-                            + ", PRIMARY KEY (station, dateTime))"
-                        )
+                        u.execute(_STAGED_DDL)
                         for p in paths:
                             u.execute("ATTACH ? AS src", (p,))
                             u.execute(
-                                "INSERT OR REPLACE INTO staged "
-                                "SELECT * FROM src.staged WHERE station = ?",
+                                f"INSERT OR REPLACE INTO staged "
+                                f"({_STAGED_LIST}) SELECT {_STAGED_LIST} "
+                                f"FROM src.staged WHERE station = ?",
                                 (st,),
                             )
                             u.commit()
                             u.execute("DETACH src")
                     paths = [scratch]
                 try:
-                    with sqlite3.connect(dest) as dst:
-                        # ATTACH + INSERT..SELECT moves rows entirely
-                        # inside the SQLite C engine: no Python row
-                        # materialization (measured 2x faster serially
-                        # than fetchall + executemany) and — decisively —
-                        # the engine releases the GIL, so the station
-                        # workers actually run in parallel (the
-                        # executemany formulation convoyed on the GIL: 8
-                        # threads ran 30x SLOWER than serial).
-                        #
-                        # ONE transaction per station (round 6): the
-                        # overwrite DROP, the DDL, and every staged batch
-                        # commit together or not at all — previously each
-                        # batch committed separately, so a failure midway
-                        # through a multi-batch merge left a PARTIALLY
-                        # updated archive. ATTACH is legal inside the
-                        # transaction (SQLite >= 3.21); DETACH is not, so
-                        # the attachments ride until the connection ends.
+                    # ATTACH + INSERT..SELECT moves rows entirely inside
+                    # the SQLite C engine: no Python row materialization
+                    # (measured 2x faster serially than fetchall +
+                    # executemany) and — decisively — the engine releases
+                    # the GIL, so the station workers actually run in
+                    # parallel (the executemany formulation convoyed on
+                    # the GIL: 8 threads ran 30x SLOWER than serial).
+                    #
+                    # ONE transaction per station, EXPLICITLY (round 7,
+                    # ADVICE r6): Python sqlite3's default isolation only
+                    # opens its implicit transaction at the first DML, so
+                    # under round 6's `with connect(...)` form the
+                    # overwrite DROP and the CREATE autocommitted before
+                    # the INSERTs began — a mid-merge failure with
+                    # overwrite=True destroyed the existing archive
+                    # instead of leaving it untouched. The connection now
+                    # runs in autocommit (isolation_level=None) with an
+                    # explicit BEGIN IMMEDIATE before the DROP: SQLite
+                    # DDL is transactional, so DROP + CREATE + every
+                    # staged batch commit together or roll back together.
+                    # ATTACH happens before BEGIN (it is not a data
+                    # change and some SQLite builds reject it inside an
+                    # open transaction); DETACH is unnecessary — the
+                    # attachments ride until the connection closes.
+                    dst = sqlite3.connect(dest, isolation_level=None)
+                    try:
                         for i, p in enumerate(paths):
                             dst.execute(f"ATTACH ? AS src{i}", (p,))
-                        if self.overwrite:
-                            dst.execute("DROP TABLE IF EXISTS archive")
-                        dst.execute(
-                            "CREATE TABLE IF NOT EXISTS archive ("
-                            "dateTime INTEGER NOT NULL PRIMARY KEY, "
-                            "usUnits INTEGER NOT NULL, "
-                            + ", ".join(f"{m} REAL" for m in MEASURES)
-                            + ")"
-                        )
-                        for i in range(len(paths)):
+                        dst.execute("BEGIN IMMEDIATE")
+                        try:
+                            if self.overwrite:
+                                dst.execute("DROP TABLE IF EXISTS archive")
                             dst.execute(
-                                f"INSERT OR REPLACE INTO archive ({cols}) "
-                                f"SELECT {cols} FROM src{i}.staged "
-                                "WHERE station = ? ORDER BY dateTime",
-                                (st,),
+                                "CREATE TABLE IF NOT EXISTS archive ("
+                                "dateTime INTEGER NOT NULL PRIMARY KEY, "
+                                "usUnits INTEGER NOT NULL, "
+                                + ", ".join(f"{m} REAL" for m in MEASURES)
+                                + ")"
                             )
-                        dst.commit()
+                            for i in range(len(paths)):
+                                dst.execute(
+                                    f"INSERT OR REPLACE INTO archive "
+                                    f"({cols}) SELECT {cols} "
+                                    f"FROM src{i}.staged "
+                                    "WHERE station = ? ORDER BY dateTime",
+                                    (st,),
+                                )
+                            dst.execute("COMMIT")
+                        except BaseException:
+                            dst.execute("ROLLBACK")
+                            raise
+                    finally:
+                        dst.close()
                 finally:
                     if scratch is not None and os.path.exists(scratch):
                         os.unlink(scratch)

@@ -105,7 +105,7 @@ def _classify_regressions(
     prev_timings: dict[str, float],
     env_ratio: float | None,
 ) -> dict[str, dict]:
-    """Pure tripwire classifier (unit-tested in tests/test_registry.py):
+    """Pure tripwire classifier (unit-tested in tests/test_bench_tripwire.py):
     flag >1.3x drift vs the previous detail, attach a REGRESSION_NOTES
     measured cause when one exists, else auto-annotate drift inside the
     calibration envelope as host noise — annotated, NOT exonerated

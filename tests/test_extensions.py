@@ -440,6 +440,22 @@ class TestIndexCompaction:
         assert tombs.count() > 0
         assert len(fresh) < n * BANDS  # tombstones actually dropped rows
 
+    def test_empty_dailies_list_is_a_noop(self, spark):
+        """ADVICE r6: zero daily indexes (an empty LIST, not just empty
+        frames) must compact to an empty index with the contract schema
+        instead of raising IndexError."""
+        from aristoteles_spark.operators.dedup import compact_banded_indexes
+
+        tombs = spark.createDataFrame([(1,)], "doc long")
+        out = compact_banded_indexes([], tombs)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc",
+            "band",
+            "digest",
+            "sig",
+        ]
+
 
 class TestAdaptiveSimhash:
     def test_block_equijoin_matches_allpairs(self, spark):

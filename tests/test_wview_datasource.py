@@ -413,6 +413,71 @@ class TestWriter:
             got = [r[0] for r in a.execute("SELECT dateTime FROM archive ORDER BY 1")]
         assert got == list(range(100, 111))  # old row 1 gone, 11 new rows
 
+    def test_overwrite_failure_keeps_existing_archive(self, tmp_path):
+        """Fault injection for overwrite=True (ADVICE r6): the DROP
+        TABLE must ride the SAME transaction as the inserts, so a
+        mid-merge failure leaves the pre-existing archive byte-intact
+        instead of destroyed. (Under Python sqlite3's default isolation
+        the DROP autocommitted before the first INSERT; the writer now
+        uses an explicit BEGIN IMMEDIATE on an autocommit connection.)"""
+        import glob
+        import os
+        import sqlite3
+        import uuid
+
+        from aristoteles_spark.sources.wview_datasource import (
+            MEASURES,
+            WviewWriter,
+            _StagedDb,
+        )
+
+        w = str(tmp_path / "arch8")
+        seed = WviewWriter({"dir": w}, overwrite=False)
+        seed.commit(
+            [seed.write(iter([("a", 50, 1, *[9.0] * len(MEASURES))]))]
+        )
+
+        over = WviewWriter({"dir": w}, overwrite=True)
+        m1 = over.write(iter([("a", 100, 1, *[1.0] * len(MEASURES))]))
+        # poisoned batch: usUnits NULL violates archive's NOT NULL —
+        # the merge fails AFTER the DROP and after m1's insert
+        bad = os.path.join(w, f".stage-{uuid.uuid4().hex}.sqlite")
+        with sqlite3.connect(bad) as conn:
+            conn.execute(
+                "CREATE TABLE staged (station TEXT, dateTime INTEGER, "
+                "usUnits INTEGER, "
+                + ", ".join(f"{m} REAL" for m in MEASURES)
+                + ")"
+            )
+            conn.execute(
+                "INSERT INTO staged VALUES (?, 200, NULL, "
+                + ", ".join(["2.0"] * len(MEASURES))
+                + ")",
+                ("a",),
+            )
+            conn.commit()
+        m2 = _StagedDb(path=bad, rows=1)
+
+        with pytest.raises(sqlite3.IntegrityError):
+            over.commit([m1, m2])
+
+        assert glob.glob(f"{w}/.stage-*") == []
+        # the seeded archive survives untouched: DROP rolled back
+        with sqlite3.connect(f"{w}/a.sqlite") as a:
+            rows = list(
+                a.execute(f"SELECT dateTime, {MEASURES[0]} FROM archive")
+            )
+        assert rows == [(50, 9.0)]
+        # a retried overwrite with healthy staging then replaces fully
+        retry = WviewWriter({"dir": w}, overwrite=True)
+        retry.commit(
+            [retry.write(iter([("a", 100, 1, *[1.0] * len(MEASURES))]))]
+        )
+        with sqlite3.connect(f"{w}/a.sqlite") as a:
+            assert [
+                r[0] for r in a.execute("SELECT dateTime FROM archive")
+            ] == [100]
+
     def test_writer_rejects_wrong_schema(self, spark, tmp_path):
         spark.dataSource.register(WviewDataSource)
         df = spark.range(3)
