@@ -1189,3 +1189,127 @@ def minhash_index_probe(
             "est_sim",
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+) -> DataFrame:
+    """Variable-length exact repeated-substring dedup — the ExactSubstr
+    family of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), keep-first variant: any token run of
+    length >= ``min_len`` that occurs more than once in the corpus
+    (across documents OR within one) is removed from every occurrence
+    EXCEPT the globally first (min (doc, pos)). The published
+    suffix-array tool removes every occurrence including the first;
+    keep-first is the curation-friendly form and matches ln1's
+    block-level convention. Reference parity: n/a — the reference
+    (aristoteles/aristoteles.py) has no dedup at all; this extends the
+    SURVEY §7.4 dedup family per the round-6 verdict.
+
+    Reduction to fixed windows: a duplicated run of length M >= W
+    (W = min_len) duplicates all M-W+1 of its W-token windows, so
+    flagging every non-first occurrence of a duplicated W-window and
+    merging overlapping/adjacent windows per doc reconstructs the FULL
+    maximal span — variable length via fixed-width analysis, no suffix
+    array, no driver state.
+
+    Plan (100 TB shape): window digests are built IN-ROW (transform
+    over an index sequence + md5 of the joined slice — md5 for
+    value-parity with the duckdb oracle; a production deployment would
+    swap in xxhash64 for an 8-byte shuffle key, same topology), then
+    ONE corpus-wide shuffle keyed by digest computes global
+    first-occurrence as a count + min(struct(doc, pos)) PARTIAL agg
+    (map-side combined, skew-immune — a window duplicated a million
+    times still reduces to one (count, min) row, unlike a
+    collect_list formulation). Non-keeper occurrences come from an
+    equi-join of the window stream against the count>=2 digest set
+    (tiny for real corpora -> AQE broadcasts it; at backfill scale it
+    demotes to SMJ, both correct). The per-doc span merge is a
+    groupBy(doc) over FLAGGED rows only (a small fraction of the
+    corpus) with the gaps-and-islands fold run in-row by a codegen
+    ``aggregate`` over the sorted position list — no second
+    corpus-wide window sort. Total: one full shuffle of (digest, doc,
+    pos) rows — the same O(total tokens) cost profile as the published
+    suffix-array pipeline, partitioned instead of single-node.
+
+    Returns one row per document that had at least one removal:
+    (doc, n_tokens, spans array<struct<s,e>> token-index half-open,
+    n_spans, removed_tokens, span_digest).
+    """
+    W = int(min_len)
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    digests = F.when(
+        n >= W,
+        F.transform(
+            F.sequence(F.lit(0), n - W),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + 1, W), " ").cast("binary")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("long").alias("n_tokens"),
+        F.posexplode(digests).alias("pos", "wh"),
+    )
+    dup = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("doc", "pos")).alias("keep"),
+    ).filter(F.col("c") >= 2)
+    flagged = (
+        wins.join(dup, "wh")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("keep.doc"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("doc", "n_tokens", "pos")
+    )
+    per = flagged.groupBy("doc").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    # gaps-and-islands in-row: fold sorted window starts into maximal
+    # half-open token spans [s, e). CASE branches evaluate lazily, so
+    # element_at(acc, -1) never runs on the empty accumulator (ANSI-safe)
+    spans = F.expr(
+        f"""aggregate(ps, CAST(array() AS array<struct<s:int,e:int>>),
+      (acc, p) -> CASE
+        WHEN size(acc) = 0
+          THEN array(named_struct('s', p, 'e', p + {W}))
+        WHEN p > element_at(acc, -1).e
+          THEN concat(acc, array(named_struct('s', p, 'e', p + {W})))
+        ELSE concat(
+          slice(acc, 1, size(acc) - 1),
+          array(named_struct(
+            's', element_at(acc, -1).s,
+            'e', greatest(element_at(acc, -1).e, p + {W}))))
+      END)"""
+    )
+    return per.select("doc", "n_tokens", spans.alias("spans")).select(
+        "doc",
+        "n_tokens",
+        "spans",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.expr(
+            "aggregate(spans, 0L, (a, x) -> a + CAST(x.e - x.s AS BIGINT))"
+        ).alias("removed_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("spans"),
+                    lambda x: F.concat(
+                        x["s"].cast("string"),
+                        F.lit(":"),
+                        x["e"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("span_digest"),
+    )

@@ -85,6 +85,19 @@ def q_incremental_neardup(spark, sf_dir):
 
 SPAN_W = 8  # non-overlapping block width (tokens)
 
+# ln2 exact-substring dedup: minimum duplicated run length (tokens) and
+# the seeded-clone families that give the rule live data — the synthetic
+# corpus is random words, which never repeat a 16-token window, so the
+# query derives a corpus with verbatim excerpts: clone1 is a straight
+# 200-char excerpt (one long duplicated span), clone2 splices two
+# disjoint excerpts around a per-doc-unique separator (two spans,
+# exercising the interval-merge break). Built identically in Spark and
+# the SQL oracle, so the driver compare covers the live path.
+LN2_W = 16
+LN2_MOD = 23
+LN2_C1_OFF, LN2_C1_BASE = 5, 1_000_000
+LN2_C2_OFF, LN2_C2_BASE = 11, 2_000_000
+
 
 def q_span_dedup(spark, sf_dir):
     """ln1 — cross-document span dedup (the CCNet/RefinedWeb "remove
@@ -157,6 +170,53 @@ def q_span_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ln2 — variable-length exact repeated-substring dedup (ExactSubstr,
+    Lee et al. 2021, keep-first variant; operator:
+    operators/dedup.py:exact_substring_dedup). Any token run >= LN2_W
+    that occurs more than once in the corpus — across documents or
+    within one — is flagged for removal at every occurrence except the
+    globally first; overlapping/adjacent duplicated windows merge into
+    maximal spans, so an 80-token verbatim repeat reports as ONE span of
+    80 tokens, not 65 window hits. Output: per affected doc, token
+    count, span count, removed-token count, and a digest of the exact
+    span extents.
+
+    The corpus is seeded with two deterministic clone families (straight
+    excerpt + two-excerpt splice) because random synthetic text never
+    repeats a 16-token window — the seeding is replicated verbatim in
+    the oracle, so the driver checks the LIVE removal path, including
+    multi-span docs and variable span lengths."""
+    from aristoteles_spark.operators.dedup import exact_substring_dedup
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    c1 = d.filter(F.col("doc_id") % LN2_MOD == LN2_C1_OFF).select(
+        (F.col("doc_id") + LN2_C1_BASE).alias("doc_id"),
+        F.substring("text", 30, 200).alias("text"),
+    )
+    c2 = d.filter(F.col("doc_id") % LN2_MOD == LN2_C2_OFF).select(
+        (F.col("doc_id") + LN2_C2_BASE).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 120),
+            F.lit(" uq"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.substring("text", 180, 120),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(c1).unionByName(c2)
+    out = exact_substring_dedup(corpus, "text", "doc_id", min_len=LN2_W)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "n_spans",
+        "removed_tokens",
+        "span_digest",
+    ).orderBy("doc_id")
 
 
 # The pair-generating operators emit O(cluster^2) rows on a dup-heavy
@@ -607,6 +667,7 @@ QUERIES = {
     "dd4_minhash_lsh_pairs": q_minhash,
     "nd1_incremental_neardup": q_incremental_neardup,
     "ln1_span_dedup": q_span_dedup,
+    "ln2_substring_dedup": q_substring_dedup,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
     "dd7_dup_clusters": q_dup_clusters,
@@ -772,6 +833,54 @@ SELECT doc_id,
        md5(coalesce(array_to_string(list(CASE WHEN is_kept THEN block END ORDER BY idx)
            FILTER (WHERE is_kept), ' '), '')) AS clean_digest
 FROM marked GROUP BY doc_id ORDER BY doc_id
+""",
+    "ln2_substring_dedup": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {LN2_C1_BASE} AS doc_id, substr(text, 30, 200) AS text
+  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C1_OFF}
+  UNION ALL
+  SELECT doc_id + {LN2_C2_BASE} AS doc_id,
+         substr(text, 1, 120) || ' uq' || CAST(doc_id AS VARCHAR)
+           || ' ' || substr(text, 180, 120) AS text
+  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C2_OFF}
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), wins AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(i AS INT) AS pos,
+         md5(array_to_string(toks[i + 1 : i + {LN2_W}], ' ')) AS wh
+  FROM t, LATERAL unnest(range(CAST(len(toks) - {LN2_W - 1} AS BIGINT))) u(i)
+  WHERE len(toks) >= {LN2_W}
+), marked AS (
+  SELECT doc_id, n_tokens, pos,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+  FROM wins
+), flagged AS (
+  SELECT doc_id, n_tokens, pos FROM marked WHERE rn > 1
+), brk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > coalesce(max(pos + {LN2_W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM flagged
+), g AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+), spans AS (
+  SELECT doc_id, min(n_tokens) AS n_tokens,
+         min(pos) AS s, max(pos) + {LN2_W} AS e
+  FROM g GROUP BY doc_id, isl
+)
+SELECT doc_id, min(n_tokens) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+       md5(string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
+                      ',' ORDER BY s)) AS span_digest
+FROM spans GROUP BY doc_id ORDER BY doc_id
 """,
     "nd1_incremental_neardup": f"""
 WITH hashed AS (

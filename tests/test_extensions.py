@@ -574,3 +574,84 @@ class TestUnionFindVsDistributed:
             ).collect()
         }
         assert driver == distributed and len(driver) > 0
+
+
+class TestExactSubstringDedup:
+    @staticmethod
+    def _ref(docs: dict[int, str], w: int):
+        """Pure-Python reference of ExactSubstr keep-first: flag every
+        non-first occurrence (global (doc,pos) order) of any duplicated
+        w-token window, merge overlapping/adjacent windows per doc."""
+        toks = {d: t.split(" ") for d, t in docs.items()}
+        occ: dict[tuple, list[tuple[int, int]]] = {}
+        for d, ts in toks.items():
+            for p in range(len(ts) - w + 1):
+                occ.setdefault(tuple(ts[p : p + w]), []).append((d, p))
+        flagged: dict[int, list[int]] = {}
+        for positions in occ.values():
+            positions.sort()
+            for d, p in positions[1:]:
+                flagged.setdefault(d, []).append(p)
+        out = {}
+        for d, ps in flagged.items():
+            spans: list[list[int]] = []
+            for p in sorted(ps):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + w)
+                else:
+                    spans.append([p, p + w])
+            out[d] = (
+                len(toks[d]),
+                [(s, e) for s, e in spans],
+                sum(e - s for s, e in spans),
+            )
+        return out
+
+    def test_crafted_docs_match_pure_python_reference(self, spark):
+        from aristoteles_spark.operators.dedup import exact_substring_dedup
+
+        w = 4
+        base = "a b c d e f g h i j k l m n o p"  # 16 tokens, doc 1
+        docs = {
+            1: base,
+            # 10-token verbatim run from doc 1 (c..l) -> ONE merged span
+            # of length 10 in doc 2, not seven 4-token hits
+            2: "zz yy " + "c d e f g h i j k l" + " ww vv",
+            # within-doc repetition: the same 5-token phrase twice ->
+            # first occurrence kept, second flagged (5-token span)
+            3: "q r s t u xx1 xx2 xx3 q r s t u",
+            # two DISJOINT duplicated runs (from docs 1 and 3) split by
+            # unique filler -> n_spans == 2
+            4: "e f g h uniq1 uniq2 q r s t uniq3",
+            # shorter than the window -> structurally absent
+            5: "one two three",
+            # exact duplicate of doc 2's text; doc 2 wins every shared
+            # window (doc order), so doc 6 is one full-length span
+            6: "zz yy c d e f g h i j k l ww vv",
+        }
+        expected = self._ref(docs, w)
+        # sanity: the fixture exercises every rule
+        assert 2 in expected and expected[2][1] == [(2, 12)]
+        assert 3 in expected and expected[3][1] == [(8, 13)]
+        assert 4 in expected and len(expected[4][1]) == 2
+        assert 5 not in expected and 1 not in expected
+        assert 6 in expected and expected[6][1] == [(0, 14)]
+
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            r.doc: (r.n_tokens, [(s.s, s.e) for s in r.spans], r.removed_tokens)
+            for r in exact_substring_dedup(df, min_len=w).collect()
+        }
+        assert got == expected
+
+    def test_empty_and_single_doc_are_noops(self, spark):
+        from aristoteles_spark.operators.dedup import exact_substring_dedup
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert exact_substring_dedup(empty, min_len=4).count() == 0
+        one = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        assert exact_substring_dedup(one, min_len=4).count() == 0
