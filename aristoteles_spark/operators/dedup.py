@@ -1191,6 +1191,9 @@ def minhash_index_probe(
     )
 
 
+_POS_SHIFT = 1 << 21  # (doc, pos) -> doc*2^21 + pos, hash-aggregatable
+
+
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1221,10 +1224,12 @@ def exact_substring_dedup(
     value-parity with the duckdb oracle; a production deployment would
     swap in xxhash64 for an 8-byte shuffle key, same topology), then
     ONE corpus-wide shuffle keyed by digest computes global
-    first-occurrence as a count + min(struct(doc, pos)) PARTIAL agg
-    (map-side combined, skew-immune — a window duplicated a million
-    times still reduces to one (count, min) row, unlike a
-    collect_list formulation). Non-keeper occurrences come from an
+    first-occurrence as a count + min(doc*2^21+pos) PARTIAL agg — a
+    plain HashAggregate, map-side combined, skew-immune (a window
+    duplicated a million times still reduces to one (count, min) row,
+    unlike a collect_list formulation) and sort-free (min over a
+    STRUCT would compile to a SortAggregate, i.e. two sorts of the
+    full window stream). Non-keeper occurrences come from an
     equi-join of the window stream against the count>=2 digest set
     (tiny for real corpora -> AQE broadcasts it; at backfill scale it
     demotes to SMJ, both correct). The per-doc span merge is a
@@ -1256,18 +1261,20 @@ def exact_substring_dedup(
         n.cast("long").alias("n_tokens"),
         F.posexplode(digests).alias("pos", "wh"),
     )
+    # (doc, pos) packed into ONE bigint: min(struct) would compile to a
+    # SortAggregate (per-partition sort of the full window stream, twice
+    # — partial + final); min(bigint) is a plain HashAggregate, no
+    # corpus-wide sort. Lexicographic order is preserved for positions
+    # < 2^21 (2M tokens/doc); a longer doc still gets a deterministic
+    # keeper, just code-ordered within its tail
+    code = F.col("doc") * F.lit(_POS_SHIFT) + F.col("pos")
     dup = wins.groupBy("wh").agg(
         F.count(F.lit(1)).alias("c"),
-        F.min(F.struct("doc", "pos")).alias("keep"),
+        F.min(code).alias("keep_code"),
     ).filter(F.col("c") >= 2)
     flagged = (
         wins.join(dup, "wh")
-        .filter(
-            ~(
-                (F.col("doc") == F.col("keep.doc"))
-                & (F.col("pos") == F.col("keep.pos"))
-            )
-        )
+        .filter(code != F.col("keep_code"))
         .select("doc", "n_tokens", "pos")
     )
     per = flagged.groupBy("doc").agg(

@@ -310,3 +310,51 @@ def neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"), "cos_sim")
     )
+
+
+def hashed_feature_embedding(feats: Column, dim: int = 64) -> Column:
+    """Text -> embedding featurization bridge: the hashing trick
+    (Weinberger et al. 2009), which IS a signed random projection of the
+    sparse bag-of-features vector — each feature hashes to one of
+    ``dim`` buckets (low hash bits) with a +/-1 sign (the next bit), and
+    the embedding is the signed count per bucket. This is what lets the
+    sim*/sd1/pq1 family run from ``documents.text`` alone instead of a
+    pre-provided embedding column (cast the result to array<float> to
+    feed the cosine operators; integer output keeps oracle value checks
+    exact). Reference parity: n/a — the reference has no text or vector
+    surface; round-6 verdict item 3.
+
+    In-row, ZERO shuffle at any corpus size. Evaluation-count hygiene:
+    the per-feature h32 array and the embedding are shared through
+    LAMBDA variables (a one-element array + transform wrap), not column
+    aliases — lambda binding guarantees single evaluation per row inside
+    one expression tree, immune to CollapseProject/extract-value
+    re-inlining (the §8.8 deferred-expression lesson), so the md5s run
+    once per FEATURE, not once per feature x dim.
+
+    ``dim`` must be a power of two so bucket (h % dim) and sign
+    (the next hash bit) use disjoint hash bits.
+    """
+    from aristoteles_spark.functions.text import h32
+
+    if dim & (dim - 1) or dim <= 0:
+        raise ValueError("dim must be a power of two")
+    hs = F.transform(feats, lambda x: h32(x))
+
+    def build(hsv: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.aggregate(
+                hsv,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    h % dim == d,
+                    F.when(h % (2 * dim) >= dim, F.lit(-1)).otherwise(
+                        F.lit(1)
+                    ),
+                ).otherwise(F.lit(0)),
+            ),
+        )
+
+    return F.get(F.transform(F.array(hs), build), 0)

@@ -6,6 +6,7 @@ the oracle SQL, so the approximate variants are value-exact reproducible.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from aristoteles_spark.queries.dedup import minlabel_chain
@@ -484,8 +485,151 @@ def _ann_recall_plan(spark, sf_dir):
     return out, q
 
 
+# sd2 text->embedding bridge constants. The clone family gives the
+# near-dup path live data (random synthetic docs are mutually near-
+# orthogonal under feature hashing): a 260-char excerpt keeps most of
+# the source's feature bag, so source/clone pairs clear cos >= 0.5 while
+# unrelated pairs stay far below. Replicated verbatim in the oracle.
+SD2_MOD, SD2_OFF, SD2_BASE = 19, 7, 3_000_000
+SD2_DIM = 64
+SD2_BANDS, SD2_BW = 4, 16  # 4 bands x 16 sign bits = 65536 buckets/band
+
+
+def _sd2_stats(emb):
+    """(emb, n2, digs) struct computed with the single-evaluation lambda
+    wrap (operators/similarity.py:hashed_feature_embedding's hygiene
+    note): n2 is the squared L2 norm (exact integer); digs packs each
+    16-dim band's sign bits into an integer bucket id via a Horner fold
+    (bit i = emb[band*16+i] > 0), matching the oracle's 1<<i sum."""
+
+    def build(e):
+        n2 = F.aggregate(
+            e, F.lit(0).cast("long"), lambda a, x: a + x * x
+        )
+        digs = F.transform(
+            F.sequence(F.lit(0), F.lit(SD2_BANDS - 1)),
+            lambda b: F.aggregate(
+                F.sequence(F.lit(SD2_BW - 1), F.lit(0), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc * 2
+                + F.when(F.get(e, b * SD2_BW + i) > 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            ),
+        )
+        return F.struct(
+            e.alias("emb"), n2.alias("n2"), digs.alias("digs")
+        )
+
+    return F.get(F.transform(F.array(emb), build), 0)
+
+
+def q_text_embed_neardup(spark, sf_dir):
+    """sd2 — semantic near-dup from RAW TEXT alone: the featurization
+    bridge (round-6 verdict item 3). qc1's unigram+bigram feature bag ->
+    hashed signed embedding (operators/similarity.py:
+    hashed_feature_embedding, in-row, zero shuffle) -> sign-bit banded
+    LSH buckets -> SORTED-NEIGHBORHOOD within each bucket (each doc
+    compares only to its doc_id successor, x4 bands of chances — the
+    SemDeDup practical form, sd1's discipline) -> exact integer-cosine
+    verify via cross-multiplication (dot > 0 AND 4*dot^2 >= n2a*n2b
+    <=> cos >= 0.5; no sqrt, no float accumulation — bit-exact in the
+    oracle). End-to-end: raw text -> vectors -> semantic dedup with no
+    pre-provided embedding column.
+
+    Why sorted-neighborhood and not a bucket SELF-JOIN: this synthetic
+    corpus has a 31-word vocabulary, so bags-of-features of unrelated
+    docs are genuinely similar — ~1% of ALL pairs clear cos >= 0.5,
+    which makes any pair-enumeration design inherently quadratic (the
+    first cut's 100x sweep timed out on exactly that). Adjacent-only
+    candidates bound the mass at bands x n rows at ANY corpus size or
+    entropy; the cost is census recall (a near-dup pair is reported
+    only when some band makes it adjacent), the same trade sd1
+    documents. Candidates from different bands dedup via one small
+    groupBy on the (doc_a, doc_b) pair stream (<= 4n rows)."""
+    from aristoteles_spark.queries.quality import classifier_features
+    from aristoteles_spark.functions.text import tokens
+    from aristoteles_spark.operators.similarity import (
+        hashed_feature_embedding,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    c1 = d.filter(F.col("doc_id") % SD2_MOD == SD2_OFF).select(
+        (F.col("doc_id") + SD2_BASE).alias("doc_id"),
+        F.substring("text", 20, 260).alias("text"),
+    )
+    corpus = d.unionByName(c1)
+    st = _sd2_stats(
+        hashed_feature_embedding(
+            classifier_features(tokens("text")), SD2_DIM
+        )
+    )
+    # persist: the banded join consumes this frame on BOTH sides; the
+    # persist is also the materialization barrier that stops the
+    # optimizer re-expanding the embedding fold into its three consumers
+    s = (
+        corpus.select("doc_id", st.alias("st"))
+        .select(
+            "doc_id",
+            F.col("st.emb").alias("emb"),
+            F.col("st.n2").alias("n2"),
+            F.col("st.digs").alias("digs"),
+        )
+        .persist()
+    )
+    ex = s.select(
+        "doc_id", "emb", "n2",
+        F.posexplode("digs").alias("band", "dig"),
+    )
+    w = Window.partitionBy("band", "dig").orderBy("doc_id")
+    nb = ex.select(
+        "doc_id",
+        "emb",
+        "n2",
+        F.lead("doc_id").over(w).alias("doc_b"),
+        F.lead("emb").over(w).alias("emb_b"),
+        F.lead("n2").over(w).alias("n2_b"),
+    ).filter(F.col("doc_b").isNotNull())
+    dot = F.aggregate(
+        F.zip_with("emb", "emb_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    v = nb.select(
+        F.col("doc_id").alias("doc_a"),
+        "doc_b",
+        dot.alias("dot"),
+        "n2",
+        "n2_b",
+    ).filter(
+        (F.col("dot") > 0)
+        & (4 * F.col("dot") * F.col("dot") >= F.col("n2") * F.col("n2_b"))
+    )
+    out = (
+        v.select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("dot") * F.col("dot") * F.lit(1.0e6)
+                / (F.col("n2") * F.col("n2_b"))
+            )
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+        # the same pair can be adjacent in several bands with identical
+        # cos — dedup the <= bands x n pair stream
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("cos2_ppm").alias("cos2_ppm"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return audit_barrier(out, s)
+
+
 QUERIES = {
     "gr4_kcore": q_kcore,
+    "sd2_text_embed_neardup": q_text_embed_neardup,
     "sim6_ann_recall": q_ann_recall,
     "tc1_triangles": q_triangles,
     "gr1_khop_bfs": q_khop_bfs,
@@ -571,7 +715,67 @@ SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {{k}}
 ORDER BY query_id, neighbor_id
 """
 
+_SD2_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')"
+)
+_SD2_H32 = "CAST(concat('0x', substr(md5(concat('0', ':', x)), 1, 8)) AS BIGINT)"
 ORACLE = {
+    "sd2_text_embed_neardup": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SD2_BASE} AS doc_id, substr(text, 20, 260) AS text
+  FROM documents WHERE doc_id % {SD2_MOD} = {SD2_OFF}
+), t AS (
+  SELECT doc_id, {_SD2_TOKS} AS toks FROM corpus
+), f AS (
+  SELECT doc_id, list_concat(toks, CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)),
+                          i -> toks[i] || '_' || toks[i + 1])
+      ELSE [] END) AS feats
+  FROM t
+), hsd AS (
+  SELECT doc_id, list_transform(feats, x -> {_SD2_H32}) AS hs FROM f
+), e AS (
+  SELECT doc_id, list_transform(range(0, {SD2_DIM}), d ->
+      coalesce(CAST(list_sum(list_transform(hs, h ->
+        CASE WHEN h % {SD2_DIM} = d
+             THEN CASE WHEN h % {2 * SD2_DIM} >= {SD2_DIM}
+                       THEN -1 ELSE 1 END
+             ELSE 0 END)) AS BIGINT), 0)) AS emb
+  FROM hsd
+), s AS (
+  SELECT doc_id, emb,
+         CAST(list_sum(list_transform(emb, x -> x * x)) AS BIGINT) AS n2,
+         list_transform(range(0, {SD2_BANDS}), b ->
+           coalesce(CAST(list_sum(list_transform(range(0, {SD2_BW}), i ->
+             CASE WHEN emb[b * {SD2_BW} + i + 1] > 0
+                  THEN (1 << i) ELSE 0 END)) AS BIGINT), 0)) AS digs
+  FROM e
+), ex AS (
+  SELECT doc_id, emb, n2, u.band AS band, digs[u.band + 1] AS dig
+  FROM s, LATERAL unnest(range(0, {SD2_BANDS})) u(band)
+), nb AS (
+  SELECT doc_id AS doc_a, emb, n2 AS n2a,
+         lead(doc_id) OVER w AS doc_b,
+         lead(emb) OVER w AS emb_b,
+         lead(n2) OVER w AS n2b
+  FROM ex WINDOW w AS (PARTITION BY band, dig ORDER BY doc_id)
+), v AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum(list_transform(range(1, {SD2_DIM} + 1),
+              i -> emb[i] * emb_b[i])) AS BIGINT) AS dot,
+         n2a, n2b
+  FROM nb WHERE doc_b IS NOT NULL
+)
+SELECT doc_a, doc_b,
+       CAST(max(floor(dot * dot * 1000000.0 / (n2a * n2b))) AS BIGINT)
+         AS cos2_ppm
+FROM v WHERE dot > 0 AND 4 * dot * dot >= n2a * n2b
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+""",
     "gr3_weighted_sssp": f"""
 WITH RECURSIVE v AS (
   SELECT vec_id, e, nrm, {_SIG.format(e='e')} AS sig FROM ({_V})

@@ -655,3 +655,57 @@ class TestExactSubstringDedup:
             [(1, "a b c d e f")], "doc_id long, text string"
         )
         assert exact_substring_dedup(one, min_len=4).count() == 0
+
+
+class TestHashedFeatureEmbedding:
+    @staticmethod
+    def _h32(s: str) -> int:
+        return int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:8], 16)
+
+    def _ref(self, text: str, dim: int) -> list[int]:
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        emb = [0] * dim
+        for f_ in feats:
+            h = self._h32(f_)
+            emb[h % dim] += -1 if h % (2 * dim) >= dim else 1
+        return emb
+
+    def test_matches_pure_python_reference(self, spark):
+        from aristoteles_spark.operators.similarity import (
+            hashed_feature_embedding,
+        )
+        from aristoteles_spark.functions.text import tokens
+        from aristoteles_spark.queries.quality import classifier_features
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "the quick brown fox jumps over the lazy dog",  # dup of row 0
+            "",  # empty -> all zeros
+            "one",  # single token, no bigrams
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: list(r.emb)
+            for r in df.select(
+                "doc_id",
+                hashed_feature_embedding(
+                    classifier_features(tokens("text")), 64
+                ).alias("emb"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == self._ref(t, 64), i
+        assert got[0] == got[2]  # identical text, identical embedding
+        assert got[3] == [0] * 64
+
+    def test_rejects_non_power_of_two_dim(self):
+        from aristoteles_spark.operators.similarity import (
+            hashed_feature_embedding,
+        )
+
+        with pytest.raises(ValueError):
+            hashed_feature_embedding(F.col("x"), dim=48)

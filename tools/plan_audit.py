@@ -46,6 +46,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"InMemoryTableScan", "signatures persisted — tokenize+hash subtree computed once"),
         (r"BroadcastNestedLoopJoin", "distinct signatures compared all-pairs with the small side broadcast"),
     ],
+    "ln2_substring_dedup": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "first-occurrence min is a PARTIAL hash agg (packed bigint key, no SortAggregate) before the one corpus shuffle"),
+        (r"(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate", "per-doc span fold collects flagged positions with map-side partial collect_list"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", "scan reads only id+text"),
+    ],
+    "sd2_text_embed_neardup": [
+        (r"InMemoryTableScan", "embedding/norm/band frame persisted — featurization computed once for all four bands"),
+        (r"(?s)Window.*Sort.*Exchange", "sorted-neighborhood via lead() over (band, digest) — candidate mass is bands x n, no bucket self-join"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "cross-band pair dedup is a partial-agged groupBy"),
+    ],
     "dd3_jaccard_pairs": [
         (r"BroadcastNestedLoopJoin", "distinct bitsets compared all-pairs, popcount in codegen, no inverted-index shuffle"),
         (r"InMemoryTableScan", "membership persisted — tokenize+encode computed once"),
