@@ -210,6 +210,14 @@ def q_gopher_rules(spark, sf_dir):
 REP_TOP2_MAX_PPM = 200_000
 REP_DUP5_MAX_PPM = 150_000
 
+# dup5 live-data seeding (round-7, VERDICT r6 item 6): random synthetic
+# words never repeat a 5-gram, so without seeding the dup5 rule fires
+# only in the crafted-doc pytest. The census corpus therefore includes
+# derived docs whose text appends the doc's own first 80 chars —
+# genuine within-doc repetition, so the DRIVER oracle exercises both
+# rule paths. Replicated verbatim in _QR2_SQL.
+QR2_SEED_MOD, QR2_SEED_OFF, QR2_SEED_BASE = 31, 2, 4_000_000
+
 
 def q_repetition_rules(spark, sf_dir):
     """qr2 — Gopher repetition-rule census (see constants above): per
@@ -234,9 +242,18 @@ def q_repetition_rules(spark, sf_dir):
     nothing across the network at 100 TB. Ratios are
     floor(1e6 * a / b) on integers: one exact double division + floor,
     cross-engine-exact (the mx1 rule)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    seeded = d.filter(F.col("doc_id") % QR2_SEED_MOD == QR2_SEED_OFF).select(
+        (F.col("doc_id") + QR2_SEED_BASE).alias("doc_id"),
+        F.concat("text", F.lit(" "), F.substring("text", 1, 80)).alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(seeded)
     toks = tokens("text")
-    base = d.select(
+    base = corpus.select(
         "doc_id",
         toks.alias("toks"),
         F.size(toks).alias("n"),
@@ -416,8 +433,14 @@ QUERIES = {
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
 
 _QR2_SQL = f"""
-WITH base AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {QR2_SEED_BASE} AS doc_id,
+         text || ' ' || substr(text, 1, 80) AS text
+  FROM documents WHERE doc_id % {QR2_SEED_MOD} = {QR2_SEED_OFF}
+), base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM corpus
 ), b AS (
   SELECT doc_id, toks, len(toks) AS n,
          length(array_to_string(toks, '')) AS chars
