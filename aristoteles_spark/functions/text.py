@@ -95,6 +95,7 @@ def minhash_signature(token_col: Column, num_hashes: int = 16, hash_fn=None) -> 
     dictionary lookup — md5 inside an interpreted higher-order lambda is
     the dominant cost at small vocabularies.
     """
+    expensive_base = hash_fn is None
     hash_fn = hash_fn or h32
     base = F.transform(token_col, lambda t: hash_fn(t))
 
@@ -103,9 +104,31 @@ def minhash_signature(token_col: Column, num_hashes: int = 16, hash_fn=None) -> 
         # binding would be miscounted as a 3-arg higher-order lambda
         return lambda h: (F.lit(a) * h + F.lit(b)).bitwiseAND(F.lit(_MINHASH_MASK))
 
-    return F.array(
-        *[F.array_min(F.transform(base, perm(a, b))) for a, b in _minhash_constants(num_hashes)]
-    )
+    def build(bv: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(bv, perm(a, b)))
+                for a, b in _minhash_constants(num_hashes)
+            ]
+        )
+
+    if not expensive_base:
+        # cheap base hash (small-vocab dictionary lookup): keep the
+        # flat array-of-folds form. It re-evaluates `base` once per
+        # permutation, but the lookups cost ~nothing and the OPEN form
+        # lets the optimizer extract single elements / band slices
+        # without forcing full-signature evaluation — wrapping this
+        # path measured nd1 5.4s -> 8.6s and xm1 4.7s -> 7.7s.
+        return build(base)
+    # md5 base hash: single-evaluation wrap (round 7). Referencing
+    # `base` in all num_hashes permutation folds re-evaluated the md5
+    # transform once PER PERMUTATION in the interpreted HOF — 16x the
+    # md5 cost, the dominant term wherever the small-vocab dictionary
+    # is off (the streaming probe's batch side, large-vocab corpora).
+    # The lambda binding via a one-element-array transform guarantees
+    # one evaluation per row; measured 7x on this path (2.65s -> 0.38s
+    # per sf0.1 single-core pass), values bit-identical.
+    return F.get(F.transform(F.array(base), build), 0)
 
 
 def simhash32(token_col: Column, hash_fn=None) -> Column:

@@ -1143,6 +1143,7 @@ def minhash_index_probe(
     threshold: float = 0.5,
     index_banded: DataFrame | None = None,
     batch_small_vocab: bool = True,
+    batch_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW batch of documents against an EXISTING corpus's LSH
     index: (batch_doc, index_doc, est_sim) for every banded-LSH
@@ -1163,8 +1164,16 @@ def minhash_index_probe(
         if index_banded is not None
         else minhash_banded(index, "i", text_col, id_col, num_hashes, bands)
     )
-    xb = minhash_banded(
-        batch, "b", text_col, id_col, num_hashes, bands, batch_small_vocab
+    xb = (
+        # caller-materialized batch side (the streaming probe eager-
+        # checkpoints one tiny frame per trigger so the signature fold
+        # runs ONCE instead of once per band-digest consumer)
+        batch_banded
+        if batch_banded is not None
+        else minhash_banded(
+            batch, "b", text_col, id_col, num_hashes, bands,
+            batch_small_vocab,
+        )
     )
     earlier = None
     for bi in range(bands - 1):

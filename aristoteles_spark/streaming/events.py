@@ -736,7 +736,7 @@ def stream_documents_split(
 
 def run_neardup_probe(
     docs_stream: DataFrame,
-    index_banded: DataFrame,
+    index_grouped: DataFrame,
     out_dir: str,
     num_hashes: int,
     bands: int,
@@ -744,40 +744,81 @@ def run_neardup_probe(
 ) -> None:
     """Streaming incremental near-dup probe: each microbatch of newly
     ingested documents is MinHash-signed in-row and hash-joined against
-    the PERSISTED banded LSH index of the historical corpus
-    (operators/dedup.py:minhash_banded — materialized once, reused by
-    every trigger, exactly what production stores). Per-doc results are
+    the PERSISTED signature-grouped LSH index of the historical corpus
+    (``index_grouped`` = the stored banded index collapsed to
+    (sig_i, band, digest, cnt_i) — materialized once, reused by every
+    trigger, exactly what production stores). Per-doc results are
     complete within the doc's own microbatch (a document is one row),
     so the job is STATE-FREE: no watermark, no state store — the sink
     is batch-id-partitioned dynamic overwrite, so replaying a trigger
-    rewrites only its own partition (st11's replay-safe discipline)."""
-    from aristoteles_spark.operators.dedup import minhash_index_probe
+    rewrites only its own partition (st11's replay-safe discipline).
+
+    The probe runs at DISTINCT-SIGNATURE granularity (round 7):
+    est_sim is a pure function of the signature pair, so identical-
+    signature docs — the common case in a dup-heavy ingest, and ~2.6x
+    of this corpus — collapse on both sides before the band join;
+    n_matches recovers exact doc counts via sum(cnt_i) and batch docs
+    re-expand through a signature join. Measured at sf0.1: candidate
+    rows 1.82M -> ~0.4M per trigger, the dominant per-trigger cost on
+    the degenerate 31-word corpus (round-7 profile). The batch
+    signatures are eager-localCheckpointed once per trigger so the
+    interpreted signature fold runs once, not once per consumer
+    (previously ~1.9s of a 2.4s trigger). No small-vocab probe either:
+    that is a blocking driver-side collect JOB per microbatch for an
+    equivalent-value hash — a per-trigger latency tax a streaming
+    probe must not pay."""
+    from aristoteles_spark.operators.dedup import minhash_signatures
 
     spark = docs_stream.sparkSession
+    rpb = num_hashes // bands
 
     def process(df: DataFrame, batch_id: int) -> None:
-        # batch_small_vocab=False: the small-vocab probe is a blocking
-        # driver-side collect JOB per microbatch (it only selects an
-        # equivalent hash implementation — values are identical); a
-        # per-trigger latency tax a streaming probe must not pay
-        m = minhash_index_probe(
-            None,
-            df,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            index_banded=index_banded,
-            batch_small_vocab=False,
+        sb = minhash_signatures(
+            df, num_hashes=num_hashes, use_small_vocab=False
+        ).localCheckpoint(eager=True)
+        bgb = sb.select("sig").distinct().select(
+            "sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bi), F.slice("sig", bi * rpb + 1, rpb)
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("band", "digest"),
         )
-        per = m.groupBy("batch_doc").agg(
-            F.count("*").alias("n_matches"),
-            F.max("est_sim").alias("max_est_sim"),
+        j = bgb.join(index_grouped, ["band", "digest"])
+        earlier = None
+        for bi in range(bands - 1):
+            eq = (F.col("band") > bi) & (
+                F.slice("sig", bi * rpb + 1, rpb)
+                == F.slice("sig_i", bi * rpb + 1, rpb)
+            )
+            earlier = eq if earlier is None else (earlier | eq)
+        if earlier is None:
+            earlier = F.lit(False)
+        matches = None
+        for i in range(1, num_hashes + 1):
+            m = (
+                F.element_at("sig", i) == F.element_at("sig_i", i)
+            ).cast("int")
+            matches = m if matches is None else matches + m
+        per_sig = (
+            j.filter(~earlier)
+            .withColumn("est_sim", matches / F.lit(float(num_hashes)))
+            .filter(F.col("est_sim") >= threshold)
+            .groupBy("sig")
+            .agg(
+                F.sum("cnt_i").cast("long").alias("n_matches"),
+                F.max("est_sim").alias("max_est_sim"),
+            )
         )
         (
-            df.select(F.col("doc_id").alias("batch_doc"))
-            .join(per, "batch_doc", "left")
+            sb.join(per_sig, "sig", "left")
             .select(
-                "batch_doc",
+                F.col("doc").alias("batch_doc"),
                 F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
                 F.coalesce("max_est_sim", F.lit(0.0)).alias("max_est_sim"),
                 F.col("n_matches").isNull().cast("int").alias("is_novel"),
