@@ -98,6 +98,13 @@ LN2_MOD = 23
 LN2_C1_OFF, LN2_C1_BASE = 5, 1_000_000
 LN2_C2_OFF, LN2_C2_BASE = 11, 2_000_000
 
+# fp1 winnowing: k-gram size, window size, and the clone family that
+# gives the shared-fingerprint census live data. Robust winnowing
+# guarantees: any shared token run of length >= FP_W + FP_K - 1 (= 7)
+# between two documents shares at least one selected fingerprint.
+FP_K, FP_W = 4, 4
+FP_MOD, FP_OFF, FP_BASE = 29, 13, 5_000_000
+
 
 def q_span_dedup(spark, sf_dir):
     """ln1 — cross-document span dedup (the CCNet/RefinedWeb "remove
@@ -217,6 +224,104 @@ def q_substring_dedup(spark, sf_dir):
         "removed_tokens",
         "span_digest",
     ).orderBy("doc_id")
+
+
+def q_winnowing_fps(spark, sf_dir):
+    """fp1 — robust winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): per document, hash every FP_K-token
+    gram, slide a FP_W-hash window, and select the RIGHTMOST minimal
+    hash in each window; the distinct selected hashes are the doc's
+    fingerprint set. Guarantee (pytest-pinned): any shared token run of
+    length >= FP_W + FP_K - 1 between two docs shares >= 1 fingerprint
+    — the sub-linear candidate generator for exact-substring dedup
+    (ln2 verifies extents; winnowing finds WHO to compare at ~1/W the
+    index size). Output: per fingerprinted doc, gram/fingerprint
+    counts, how many of its fingerprints are shared with other docs,
+    and the max document frequency among them.
+
+    Plan (100 TB shape): gram hashing AND window selection run in-row
+    (the gram-hash array is lambda-bound once — the sd2 hygiene);
+    per-window rightmost-min is a W-element fold, O(grams x W) per
+    row. The only corpus exchanges are a partial-agged groupBy on the
+    fingerprint (doc frequency) and the join-back — both linear in
+    selected fingerprints (~grams/W rows, the winnowing density bound),
+    never pairs. Docs shorter than FP_K + FP_W - 1 tokens select
+    nothing and are structurally absent (standard winnowing semantics).
+    Clone seeding (FP_MOD family) mirrors the oracle verbatim so the
+    shared-fingerprint path is driver-live."""
+    from aristoteles_spark.functions.text import h32
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % FP_MOD == FP_OFF).select(
+        (F.col("doc_id") + FP_BASE).alias("doc_id"),
+        F.substring("text", 25, 220).alias("text"),
+    )
+    corpus = d.unionByName(clones)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= FP_K,
+        F.transform(
+            F.sequence(F.lit(0), n - FP_K),
+            lambda i: h32(F.array_join(F.slice(toks, i + 1, FP_K), " ")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+
+    def build(g):
+        ng = F.size(g)
+        # rightmost minimal hash per window: <= keeps the RIGHTMOST on
+        # ties (the paper's robust variant); positions are 1-based so
+        # the duckdb mirror indexes identically
+        win_pos = F.transform(
+            F.sequence(F.lit(1), ng - FP_W + 1),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), F.lit(FP_W - 1)),
+                F.struct(
+                    F.lit(1 << 62).cast("long").alias("best"),
+                    F.lit(0).alias("pos"),
+                ),
+                lambda acc, o: F.when(
+                    F.element_at(g, (j + o).cast("int")) <= acc["best"],
+                    F.struct(
+                        F.element_at(g, (j + o).cast("int")).alias("best"),
+                        (j + o).cast("int").alias("pos"),
+                    ),
+                ).otherwise(acc),
+                lambda acc: acc["pos"],
+            ),
+        )
+        fps = F.array_distinct(
+            F.transform(
+                F.array_distinct(win_pos),
+                lambda p: F.element_at(g, p),
+            )
+        )
+        return F.when(ng >= FP_W, fps).otherwise(
+            F.expr("CAST(array() AS array<bigint>)")
+        )
+
+    per = corpus.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.get(F.transform(F.array(grams), build), 0).alias("fps"),
+    )
+    ex = per.select(
+        "doc_id", "n_grams", F.explode("fps").alias("fp")
+    )
+    dfc = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("dfx"))
+    return (
+        ex.join(dfc, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.sum((F.col("dfx") >= 2).cast("long")).alias("n_shared"),
+            F.max("dfx").cast("long").alias("max_df"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # The pair-generating operators emit O(cluster^2) rows on a dup-heavy
@@ -668,6 +773,7 @@ QUERIES = {
     "nd1_incremental_neardup": q_incremental_neardup,
     "ln1_span_dedup": q_span_dedup,
     "ln2_substring_dedup": q_substring_dedup,
+    "fp1_winnowing_fps": q_winnowing_fps,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
     "dd7_dup_clusters": q_dup_clusters,
@@ -881,6 +987,43 @@ SELECT doc_id, min(n_tokens) AS n_tokens,
        md5(string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
                       ',' ORDER BY s)) AS span_digest
 FROM spans GROUP BY doc_id ORDER BY doc_id
+""",
+    "fp1_winnowing_fps": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {FP_BASE} AS doc_id, substr(text, 25, 220) AS text
+  FROM documents WHERE doc_id % {FP_MOD} = {FP_OFF}
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {FP_K} + 2),
+             i -> {_h32(f"array_to_string(toks[i : i + {FP_K - 1}], ' ')")})
+           AS gh
+  FROM t WHERE len(toks) >= {FP_K}
+), w AS (
+  SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams, gh,
+         list_distinct(list_transform(range(1, len(gh) - {FP_W} + 2), j ->
+           list_max(list_transform(range(0, {FP_W}), o ->
+             CASE WHEN gh[j + o] = list_min(gh[j : j + {FP_W} - 1])
+                  THEN j + o ELSE 0 END)))) AS sel
+  FROM g WHERE len(gh) >= {FP_W}
+), perdoc AS (
+  SELECT doc_id, n_grams,
+         list_distinct(list_transform(sel, p -> gh[p])) AS fps
+  FROM w
+), ex AS (
+  SELECT doc_id, n_grams, unnest(fps) AS fp FROM perdoc
+), dfc AS (
+  SELECT fp, count(*) AS dfx FROM ex GROUP BY fp
+)
+SELECT doc_id, min(n_grams) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(sum(CASE WHEN dfx >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(max(dfx) AS BIGINT) AS max_df
+FROM ex JOIN dfc USING (fp) GROUP BY doc_id ORDER BY doc_id
 """,
     "nd1_incremental_neardup": f"""
 WITH hashed AS (

@@ -46,6 +46,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"InMemoryTableScan", "signatures persisted — tokenize+hash subtree computed once"),
         (r"BroadcastNestedLoopJoin", "distinct signatures compared all-pairs with the small side broadcast"),
     ],
+    "fp1_winnowing_fps": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "fingerprint doc-frequency is a partial-agged groupBy on the selected hashes (~grams/W rows), never pairs"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", "scan reads only id+text"),
+    ],
     "ln2_substring_dedup": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "first-occurrence min is a PARTIAL hash agg (packed bigint key, no SortAggregate) before the one corpus shuffle"),
         (r"(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate", "per-doc span fold collects flagged positions with map-side partial collect_list"),
