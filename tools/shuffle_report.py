@@ -92,6 +92,10 @@ HEADLINERS = [
     # round-6 additions
     "xm1_index_compaction",
     "qr2_repetition_rules",
+    # round-7 additions
+    "ln2_substring_dedup",
+    "sd2_text_embed_neardup",
+    "fp1_winnowing_fps",
 ]
 
 
