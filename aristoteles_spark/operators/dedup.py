@@ -1329,3 +1329,88 @@ def exact_substring_dedup(
             ).cast("binary")
         ).alias("span_digest"),
     )
+
+
+def banded_index_grouped(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    use_small_vocab: bool = True,
+) -> DataFrame:
+    """(sig_i, band, digest, cnt_i) — the banded LSH index collapsed to
+    DISTINCT signatures with per-signature doc counts: the stored
+    probe-side form (round 7). est_sim is a pure function of the
+    signature pair, so identical-signature docs (the common case in a
+    dup-heavy corpus — 2.6x on the synthetic one) collapse once here
+    instead of multiplying every probe's candidate join."""
+    return (
+        minhash_banded(
+            docs, "i", text_col, id_col, num_hashes, bands, use_small_vocab
+        )
+        .groupBy("sig_i", "band", "digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_i"))
+    )
+
+
+def minhash_probe_census(
+    index_grouped: DataFrame,
+    batch_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(batch_doc, n_matches, max_est_sim, is_novel) for EVERY batch
+    doc — the census form of ``minhash_index_probe``, run at
+    DISTINCT-SIGNATURE granularity against a ``banded_index_grouped``
+    index. Exact: each (sig_b, sig_i) pair still emits at its first
+    matching band; n_matches recovers per-doc index counts as
+    sum(cnt_i); batch docs re-expand through a signature join.
+    Measured at sf0.1: candidate rows 1.82M -> ~0.4M per probe on the
+    degenerate 31-word corpus (st13's round-7 profile). ``batch_sigs``
+    is ``minhash_signatures()`` output (doc, sig) and is consumed by
+    BOTH the distinct pass and the re-expansion join — persist or
+    eager-checkpoint it at the caller."""
+    rpb = num_hashes // bands
+    bgb = batch_sigs.select("sig").distinct().select(
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(bi), F.slice("sig", bi * rpb + 1, rpb))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "digest"),
+    )
+    j = bgb.join(index_grouped, ["band", "digest"])
+    earlier = None
+    for bi in range(bands - 1):
+        eq = (F.col("band") > bi) & (
+            F.slice("sig", bi * rpb + 1, rpb)
+            == F.slice("sig_i", bi * rpb + 1, rpb)
+        )
+        earlier = eq if earlier is None else (earlier | eq)
+    if earlier is None:
+        earlier = F.lit(False)
+    matches = None
+    for i in range(1, num_hashes + 1):
+        m = (F.element_at("sig", i) == F.element_at("sig_i", i)).cast("int")
+        matches = m if matches is None else matches + m
+    per_sig = (
+        j.filter(~earlier)
+        .withColumn("est_sim", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_sim") >= threshold)
+        .groupBy("sig")
+        .agg(
+            F.sum("cnt_i").cast("long").alias("n_matches"),
+            F.max("est_sim").alias("max_est_sim"),
+        )
+    )
+    return batch_sigs.join(per_sig, "sig", "left").select(
+        F.col("doc").alias("batch_doc"),
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce("max_est_sim", F.lit(0.0)).alias("max_est_sim"),
+        F.col("n_matches").isNull().cast("int").alias("is_novel"),
+    )

@@ -58,29 +58,29 @@ def q_incremental_neardup(spark, sf_dir):
     novelty flag a filter stage would gate on. The production dedup
     shape — daily batches never re-pair the historical corpus."""
     from aristoteles_spark.functions.text import h32
-    from aristoteles_spark.operators.dedup import minhash_index_probe
+    from aristoteles_spark.operators.dedup import (
+        _finalize,
+        banded_index_grouped,
+        minhash_probe_census,
+        minhash_signatures,
+    )
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     is_batch = h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD == 0
     batch = d.filter(is_batch)
     index = d.filter(~is_batch)
-    m = minhash_index_probe(
-        index, batch, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
-    )
-    per = m.groupBy("batch_doc").agg(
-        F.count("*").alias("n_matches"), F.max("est_sim").alias("max_est_sim")
-    )
-    return (
-        batch.select(F.col("doc_id").alias("batch_doc"))
-        .join(per, "batch_doc", "left")
-        .select(
-            "batch_doc",
-            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
-            F.coalesce("max_est_sim", F.lit(0.0)).alias("max_est_sim"),
-            F.col("n_matches").isNull().cast("int").alias("is_novel"),
-        )
-        .orderBy("batch_doc")
-    )
+    # round 7: the shared DISTINCT-SIGNATURE census (st13's probe
+    # collapse, operators/dedup.py:minhash_probe_census) — est_sim is a
+    # pure function of the signature pair, so both sides collapse to
+    # distinct signatures before the band join and per-doc counts
+    # recover exactly via sum(cnt_i). Output (and oracle) unchanged.
+    idxg = banded_index_grouped(index, num_hashes=NUM_HASHES, bands=BANDS)
+    # persist: consumed by the distinct pass AND the re-expansion join
+    sb = minhash_signatures(batch, num_hashes=NUM_HASHES).persist()
+    out = minhash_probe_census(
+        idxg, sb, NUM_HASHES, BANDS, threshold=0.5
+    ).orderBy("batch_doc")
+    return _finalize(out, sb)
 
 
 SPAN_W = 8  # non-overlapping block width (tokens)

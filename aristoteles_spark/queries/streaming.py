@@ -276,7 +276,7 @@ def _stream_neardup_run(spark, sf_dir):
     owned by the process-level staging cache (streaming/events.py)."""
     import shutil
 
-    from aristoteles_spark.operators.dedup import minhash_banded
+    from aristoteles_spark.operators.dedup import banded_index_grouped
     from aristoteles_spark.functions.text import h32
     from aristoteles_spark.queries.dedup import BANDS, NDSPLIT_MOD, NUM_HASHES
     from aristoteles_spark.sources.parquet_source import fan_out, load_table
@@ -303,14 +303,9 @@ def _stream_neardup_run(spark, sf_dir):
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     idx = _IDX_CACHE.get(key)
     if idx is None:
-        idx = (
-            minhash_banded(
-                index_docs, "i", num_hashes=NUM_HASHES, bands=BANDS
-            )
-            .groupBy("sig_i", "band", "digest")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt_i"))
-            .persist()
-        )
+        idx = banded_index_grouped(
+            index_docs, num_hashes=NUM_HASHES, bands=BANDS
+        ).persist()
         idx.count()  # materialize once; every trigger joins into it
         _IDX_CACHE[key] = idx
     out_dir = scratch_dir("st13_out_")

@@ -767,63 +767,22 @@ def run_neardup_probe(
     that is a blocking driver-side collect JOB per microbatch for an
     equivalent-value hash — a per-trigger latency tax a streaming
     probe must not pay."""
-    from aristoteles_spark.operators.dedup import minhash_signatures
+    from aristoteles_spark.operators.dedup import (
+        minhash_probe_census,
+        minhash_signatures,
+    )
 
     spark = docs_stream.sparkSession
-    rpb = num_hashes // bands
 
     def process(df: DataFrame, batch_id: int) -> None:
         sb = minhash_signatures(
             df, num_hashes=num_hashes, use_small_vocab=False
         ).localCheckpoint(eager=True)
-        bgb = sb.select("sig").distinct().select(
-            "sig",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(bi), F.slice("sig", bi * rpb + 1, rpb)
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("band", "digest"),
-        )
-        j = bgb.join(index_grouped, ["band", "digest"])
-        earlier = None
-        for bi in range(bands - 1):
-            eq = (F.col("band") > bi) & (
-                F.slice("sig", bi * rpb + 1, rpb)
-                == F.slice("sig_i", bi * rpb + 1, rpb)
-            )
-            earlier = eq if earlier is None else (earlier | eq)
-        if earlier is None:
-            earlier = F.lit(False)
-        matches = None
-        for i in range(1, num_hashes + 1):
-            m = (
-                F.element_at("sig", i) == F.element_at("sig_i", i)
-            ).cast("int")
-            matches = m if matches is None else matches + m
-        per_sig = (
-            j.filter(~earlier)
-            .withColumn("est_sim", matches / F.lit(float(num_hashes)))
-            .filter(F.col("est_sim") >= threshold)
-            .groupBy("sig")
-            .agg(
-                F.sum("cnt_i").cast("long").alias("n_matches"),
-                F.max("est_sim").alias("max_est_sim"),
-            )
-        )
         (
-            sb.join(per_sig, "sig", "left")
-            .select(
-                F.col("doc").alias("batch_doc"),
-                F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
-                F.coalesce("max_est_sim", F.lit(0.0)).alias("max_est_sim"),
-                F.col("n_matches").isNull().cast("int").alias("is_novel"),
-                F.lit(batch_id).alias("bpart"),
+            minhash_probe_census(
+                index_grouped, sb, num_hashes, bands, threshold
             )
+            .withColumn("bpart", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bpart")
