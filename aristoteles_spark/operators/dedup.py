@@ -1208,6 +1208,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 16,
+    keep_first: bool = True,
 ) -> DataFrame:
     """Variable-length exact repeated-substring dedup — the ExactSubstr
     family of Lee et al. 2021 ("Deduplicating Training Data Makes
@@ -1215,9 +1216,11 @@ def exact_substring_dedup(
     length >= ``min_len`` that occurs more than once in the corpus
     (across documents OR within one) is removed from every occurrence
     EXCEPT the globally first (min (doc, pos)). The published
-    suffix-array tool removes every occurrence including the first;
-    keep-first is the curation-friendly form and matches ln1's
-    block-level convention. Reference parity: n/a — the reference
+    suffix-array tool removes every occurrence including the first —
+    ``keep_first=False`` reproduces that exact semantics (and skips
+    the keeper bookkeeping: any window with count >= 2 flags all its
+    occurrences); keep-first is the curation-friendly default and
+    matches ln1's block-level convention. Reference parity: n/a — the reference
     (aristoteles/aristoteles.py) has no dedup at all; this extends the
     SURVEY §7.4 dedup family per the round-6 verdict.
 
@@ -1281,11 +1284,10 @@ def exact_substring_dedup(
         F.count(F.lit(1)).alias("c"),
         F.min(code).alias("keep_code"),
     ).filter(F.col("c") >= 2)
-    flagged = (
-        wins.join(dup, "wh")
-        .filter(code != F.col("keep_code"))
-        .select("doc", "n_tokens", "pos")
-    )
+    flagged = wins.join(dup, "wh")
+    if keep_first:
+        flagged = flagged.filter(code != F.col("keep_code"))
+    flagged = flagged.select("doc", "n_tokens", "pos")
     per = flagged.groupBy("doc").agg(
         F.min("n_tokens").alias("n_tokens"),
         F.sort_array(F.collect_list("pos")).alias("ps"),

@@ -774,3 +774,51 @@ class TestWinnowingFingerprints:
         assert got[1].n_shared >= 1 and got[2].n_shared >= 1
         assert got[0].n_shared == 0
         assert got[1].max_df >= 2
+
+    def test_remove_all_matches_published_semantics(self, spark):
+        """keep_first=False reproduces the released Lee et al. tool's
+        behavior: EVERY occurrence of a duplicated window is removed,
+        including the first — pinned against the same pure-Python
+        reference with the keeper step disabled."""
+        from aristoteles_spark.operators.dedup import exact_substring_dedup
+
+        w = 4
+        docs = {
+            1: "a b c d e f g h",
+            2: "x y a b c d e f z",   # shares a 6-token run with doc 1
+            3: "q r s t u q r s t u",  # within-doc repeat
+        }
+        # reference: flag ALL occurrences of any duplicated window
+        toks = {d: t.split(" ") for d, t in docs.items()}
+        occ: dict[tuple, list[tuple[int, int]]] = {}
+        for d, ts in toks.items():
+            for p in range(len(ts) - w + 1):
+                occ.setdefault(tuple(ts[p : p + w]), []).append((d, p))
+        flagged: dict[int, list[int]] = {}
+        for positions in occ.values():
+            if len(positions) >= 2:
+                for d, p in positions:
+                    flagged.setdefault(d, []).append(p)
+        expected = {}
+        for d, ps in flagged.items():
+            spans: list[list[int]] = []
+            for p in sorted(ps):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + w)
+                else:
+                    spans.append([p, p + w])
+            expected[d] = [(s, e) for s, e in spans]
+        # the fixture exercises it: doc 1's run IS removed here (it
+        # would be kept under keep_first)
+        assert 1 in expected
+
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            r.doc: [(s.s, s.e) for s in r.spans]
+            for r in exact_substring_dedup(
+                df, min_len=w, keep_first=False
+            ).collect()
+        }
+        assert got == expected
