@@ -70,44 +70,65 @@ def q_release_pipeline(spark, sf_dir):
     )
     c2 = cand.join(firsts, "doc_id")
 
-    # 4: near-dup filter — drop any doc with a banded-LSH match of
-    # smaller doc_id (semi-join shape: no pair stream materialized)
+    # 4: near-dup filter at GROUP granularity (round 7, the probe-
+    # census collapse applied to the earlier-doc-wins SEMI filter):
+    # est_sim is a pure function of the signature pair, so the filter
+    # reduces exactly to group arithmetic — within an identical-
+    # signature group every doc except the min id has an earlier
+    # est_sim=1 match (identical sigs share all bands); across groups,
+    # a group's min survives iff no band-colliding group with
+    # est_sim >= 0.5 has a smaller min. The banded self-join therefore
+    # runs over DISTINCT signatures (dup-factor^2 fewer candidate rows
+    # — ~6.7x on this corpus), multi-band pair duplicates collapse in
+    # the min-agg (no first-band bookkeeping), and the doc-level pair
+    # stream never exists. Provably identical to the pair-level form:
+    # any earlier match e of d is either same-sig (then gmin <= e < d)
+    # or in a qualifying group B (then gmin_B <= e < d), and conversely
+    # both group conditions exhibit a real qualifying earlier pair.
     rpb = NUM_HASHES // BANDS
-    # materialized: the banded self-join consumes this twice (x and y
-    # sides), and the signature pass is the pipeline's priciest map
+    # materialized: the signature pass is the pipeline's priciest map
     sigs = audit_barrier(
         minhash_signatures(c2, "text", "doc_id", NUM_HASHES), eager=False
     )
-    banded = sigs.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(bi), F.slice("sig", bi * rpb + 1, rpb))
-                    for bi in range(BANDS)
-                ]
-            )
-        ).alias("digest"),
-    )
+    groups = sigs.groupBy("sig").agg(F.min("doc").alias("gmin"))
+
+    def g_banded(side):
+        return groups.select(
+            F.col("sig").alias(f"sig_{side}"),
+            F.col("gmin").alias(f"gmin_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bi), F.slice("sig", bi * rpb + 1, rpb)
+                        )
+                        for bi in range(BANDS)
+                    ]
+                )
+            ).alias("digest"),
+        )
+
     matches = None
     for i in range(1, NUM_HASHES + 1):
         m = (F.element_at("sig_a", i) == F.element_at("sig_b", i)).cast("int")
         matches = m if matches is None else matches + m
-    x = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "digest")
-    y = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "digest")
-    later_dups = (
-        y.join(x, "digest")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    threat = (
+        g_banded("a").join(g_banded("b"), "digest")
+        .filter(F.col("sig_a") != F.col("sig_b"))
         .withColumn("est_sim", matches / F.lit(float(NUM_HASHES)))
         .filter(F.col("est_sim") >= 0.5)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .groupBy("sig_a")
+        .agg(F.min("gmin_b").alias("threat"))
+    )
+    survivors = (
+        groups.join(threat, groups["sig"] == threat["sig_a"], "left")
+        .filter(F.col("threat").isNull() | (F.col("threat") > F.col("gmin")))
+        .select(F.col("gmin").alias("doc_id"))
     )
     # second stage boundary: c3 feeds the decontamination probe AND the
     # two consumers below it — without this the banded-LSH joins re-run
     # per consumer (see the stage-materialization note above)
-    c3 = audit_barrier(c2.join(later_dups, "doc_id", "left_anti"), eager=False)
+    c3 = audit_barrier(c2.join(survivors, "doc_id"), eager=False)
 
     # 5: decontamination — any shared 8-gram with the eval set drops it
     eval_grams = (
