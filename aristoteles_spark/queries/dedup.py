@@ -198,6 +198,22 @@ def q_substring_dedup(spark, sf_dir):
     multi-span docs and variable span lengths."""
     from aristoteles_spark.operators.dedup import exact_substring_dedup
 
+    out = exact_substring_dedup(
+        _ln_corpus(spark, sf_dir), "text", "doc_id", min_len=LN2_W
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "n_spans",
+        "removed_tokens",
+        "span_digest",
+    ).orderBy("doc_id")
+
+
+def _ln_corpus(spark, sf_dir):
+    """The ln2/ln3 seeded corpus (docs + excerpt clone + two-span
+    splice clone) — shared so both variants diff only in keeper
+    semantics."""
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
@@ -215,8 +231,24 @@ def q_substring_dedup(spark, sf_dir):
             F.substring("text", 180, 120),
         ).alias("text"),
     )
-    corpus = d.unionByName(c1).unionByName(c2)
-    out = exact_substring_dedup(corpus, "text", "doc_id", min_len=LN2_W)
+    return d.unionByName(c1).unionByName(c2)
+
+
+def q_substring_remove_all(spark, sf_dir):
+    """ln3 — exact-substring dedup, REMOVE-ALL variant: the released
+    Lee et al. 2021 tool's exact semantics — every occurrence of a
+    duplicated >= LN2_W-token run is removed, INCLUDING the first
+    (ln2 keeps the global first). Same seeded corpus, same operator
+    (operators/dedup.py:exact_substring_dedup keep_first=False), same
+    output shape; the keeper join against the dup digest set
+    disappears entirely (any count >= 2 window flags all its
+    occurrences), so this variant is one shuffle + the per-doc fold."""
+    from aristoteles_spark.operators.dedup import exact_substring_dedup
+
+    out = exact_substring_dedup(
+        _ln_corpus(spark, sf_dir), "text", "doc_id",
+        min_len=LN2_W, keep_first=False,
+    )
     return out.select(
         F.col("doc").alias("doc_id"),
         "n_tokens",
@@ -773,6 +805,7 @@ QUERIES = {
     "nd1_incremental_neardup": q_incremental_neardup,
     "ln1_span_dedup": q_span_dedup,
     "ln2_substring_dedup": q_substring_dedup,
+    "ln3_substring_remove_all": q_substring_remove_all,
     "fp1_winnowing_fps": q_winnowing_fps,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
@@ -842,6 +875,65 @@ def minlabel_chain(k: int = CC_ITERS) -> str:
 )"""
     return chain
 
+
+
+def _ln_sql(remove_all: bool) -> str:
+    """Shared ln2/ln3 oracle: the two variants differ ONLY in which
+    occurrences of a duplicated window are flagged — every non-first
+    (rn > 1, keep-first) vs every one in a count>=2 group (remove-all,
+    the released Lee et al. tool's semantics)."""
+    flag = (
+        "count(*) OVER (PARTITION BY wh) >= 2"
+        if remove_all
+        else "row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) > 1"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {LN2_C1_BASE} AS doc_id, substr(text, 30, 200) AS text
+  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C1_OFF}
+  UNION ALL
+  SELECT doc_id + {LN2_C2_BASE} AS doc_id,
+         substr(text, 1, 120) || ' uq' || CAST(doc_id AS VARCHAR)
+           || ' ' || substr(text, 180, 120) AS text
+  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C2_OFF}
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), wins AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(i AS INT) AS pos,
+         md5(array_to_string(toks[i + 1 : i + {LN2_W}], ' ')) AS wh
+  FROM t, LATERAL unnest(range(CAST(len(toks) - {LN2_W - 1} AS BIGINT))) u(i)
+  WHERE len(toks) >= {LN2_W}
+), marked AS (
+  SELECT doc_id, n_tokens, pos, {flag} AS is_flagged
+  FROM wins
+), flagged AS (
+  SELECT doc_id, n_tokens, pos FROM marked WHERE is_flagged
+), brk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > coalesce(max(pos + {LN2_W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM flagged
+), g AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+), spans AS (
+  SELECT doc_id, min(n_tokens) AS n_tokens,
+         min(pos) AS s, max(pos) + {LN2_W} AS e
+  FROM g GROUP BY doc_id, isl
+)
+SELECT doc_id, min(n_tokens) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+       md5(string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
+                      ',' ORDER BY s)) AS span_digest
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
 
 ORACLE = {
     "dd1_exact_groups": (
@@ -940,54 +1032,8 @@ SELECT doc_id,
            FILTER (WHERE is_kept), ' '), '')) AS clean_digest
 FROM marked GROUP BY doc_id ORDER BY doc_id
 """,
-    "ln2_substring_dedup": f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {LN2_C1_BASE} AS doc_id, substr(text, 30, 200) AS text
-  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C1_OFF}
-  UNION ALL
-  SELECT doc_id + {LN2_C2_BASE} AS doc_id,
-         substr(text, 1, 120) || ' uq' || CAST(doc_id AS VARCHAR)
-           || ' ' || substr(text, 180, 120) AS text
-  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C2_OFF}
-), t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
-), wins AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(i AS INT) AS pos,
-         md5(array_to_string(toks[i + 1 : i + {LN2_W}], ' ')) AS wh
-  FROM t, LATERAL unnest(range(CAST(len(toks) - {LN2_W - 1} AS BIGINT))) u(i)
-  WHERE len(toks) >= {LN2_W}
-), marked AS (
-  SELECT doc_id, n_tokens, pos,
-         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
-  FROM wins
-), flagged AS (
-  SELECT doc_id, n_tokens, pos FROM marked WHERE rn > 1
-), brk AS (
-  SELECT doc_id, n_tokens, pos,
-         CASE WHEN pos > coalesce(max(pos + {LN2_W}) OVER (
-                PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS b
-  FROM flagged
-), g AS (
-  SELECT doc_id, n_tokens, pos,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS UNBOUNDED PRECEDING) AS isl
-  FROM brk
-), spans AS (
-  SELECT doc_id, min(n_tokens) AS n_tokens,
-         min(pos) AS s, max(pos) + {LN2_W} AS e
-  FROM g GROUP BY doc_id, isl
-)
-SELECT doc_id, min(n_tokens) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(e - s) AS BIGINT) AS removed_tokens,
-       md5(string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
-                      ',' ORDER BY s)) AS span_digest
-FROM spans GROUP BY doc_id ORDER BY doc_id
-""",
+    "ln2_substring_dedup": _ln_sql(remove_all=False),
+    "ln3_substring_remove_all": _ln_sql(remove_all=True),
     "fp1_winnowing_fps": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
