@@ -71,7 +71,18 @@ _R6_AB_CLEAN = (
     "SAME-tree session spread reached 2.3x (dd7) and the sched probe "
     "swung 1.8x during the A/B — suite context/host steal, not code."
 )
+_R7_AB_CLEAN = (
+    "attributed (worktree A/B 2026-08-16 round 7, AB_BENCH.json): "
+    "flagged at +0.18s/+0.16s absolute between two SAME-DAY bench runs "
+    "whose window diff never touches these functions (q_exact / "
+    "mm1 binary stats are byte-identical; the window adds unrelated "
+    "queries to the same modules). Alternating fresh-session A/B x2 "
+    "times the trees at B/A 1.05 and 1.10 with same-tree session "
+    "spreads of 1.23-1.25 — host noise, not code."
+)
 REGRESSION_NOTES: dict[str, str] = {
+    "dd1_exact_groups": _R7_AB_CLEAN,
+    "mm1_binary_stats": _R7_AB_CLEAN,
     "dd7_dup_clusters": _R6_AB_CLEAN,
     "j3_semi_join": _R6_AB_CLEAN,
     "cd1_snapshot_diff": _R6_AB_CLEAN,
