@@ -104,6 +104,28 @@ LN2_C2_OFF, LN2_C2_BASE = 11, 2_000_000
 # between two documents shares at least one selected fingerprint.
 FP_K, FP_W = 4, 4
 FP_MOD, FP_OFF, FP_BASE = 29, 13, 5_000_000
+# gram hash = per-token h32 combined by a 40-bit polynomial: each step
+# (acc * FP_C + next) & FP_MASK stays under 2^61 (no ANSI bigint
+# overflow; & is the same operator in duckdb), and hashing the TOKEN
+# array once then combining with integer math avoids materializing one
+# K-token STRING per position — measured at the 100x replica, the
+# slice+array_join gram-string construction alone cost 33s of the 50s
+# hashing pass (md5-of-gram-string added 17s more); the polynomial is
+# integer-only. 40-bit space over ~25M grams keeps expected collisions
+# in the hundreds (vs ~150k at 31 bits).
+FP_C = 1_000_003
+FP_MASK = (1 << 40) - 1
+
+def _fp_poly_sql() -> str:
+    """duckdb mirror of fp1's per-gram polynomial over the token-hash
+    list (1-based i is the gram start)."""
+    acc = "th[i]"
+    for o in range(1, FP_K):
+        acc = f"(({acc}) * {FP_C} + th[i + {o}]) & {FP_MASK}"
+    return acc
+
+
+_FP_POLY = _fp_poly_sql()
 
 
 def q_span_dedup(spark, sf_dir):
@@ -293,13 +315,31 @@ def q_winnowing_fps(spark, sf_dir):
     corpus = d.unionByName(clones)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    grams = F.when(
-        n >= FP_K,
+    th = F.transform(toks, lambda t: h32(t))
+
+    def poly(thv, i):
+        acc = F.element_at(thv, (i + 1).cast("int"))
+        for o in range(1, FP_K):
+            acc = (acc * F.lit(FP_C) + F.element_at(
+                thv, (i + o + 1).cast("int")
+            )).bitwiseAND(F.lit(FP_MASK))
+        return acc
+
+    # token-hash array lambda-bound once (the sd2 hygiene), then each
+    # gram is pure integer math over it — no per-position gram string
+    grams = F.get(
         F.transform(
-            F.sequence(F.lit(0), n - FP_K),
-            lambda i: h32(F.array_join(F.slice(toks, i + 1, FP_K), " ")),
+            F.array(th),
+            lambda thv: F.when(
+                n >= FP_K,
+                F.transform(
+                    F.sequence(F.lit(0), n - FP_K),
+                    lambda i: poly(thv, i),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
         ),
-    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        0,
+    )
 
     def build(g):
         ng = F.size(g)
@@ -1042,12 +1082,14 @@ WITH corpus AS (
   FROM documents WHERE doc_id % {FP_MOD} = {FP_OFF}
 ), t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), th AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {_h32('t')}) AS th
+  FROM t
 ), g AS (
   SELECT doc_id,
-         list_transform(range(1, len(toks) - {FP_K} + 2),
-             i -> {_h32(f"array_to_string(toks[i : i + {FP_K - 1}], ' ')")})
-           AS gh
-  FROM t WHERE len(toks) >= {FP_K}
+         list_transform(range(1, n - {FP_K} + 2), i -> {_FP_POLY}) AS gh
+  FROM th WHERE n >= {FP_K}
 ), w AS (
   SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams, gh,
          list_distinct(list_transform(range(1, len(gh) - {FP_W} + 2), j ->

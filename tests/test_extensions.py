@@ -718,12 +718,20 @@ class TestWinnowingFingerprints:
 
     def _ref(self, text: str, k: int, w: int) -> set[int]:
         """Pure-Python robust winnowing (Schleimer et al. 2003):
-        rightmost minimal k-gram hash per w-window."""
+        rightmost minimal k-gram hash per w-window; gram hash = the
+        engine's per-token h32 + 40-bit polynomial combine."""
+        from aristoteles_spark.queries.dedup import FP_C, FP_MASK
+
         toks = text.split(" ")
-        gh = [
-            self._h32(" ".join(toks[i : i + k]))
-            for i in range(len(toks) - k + 1)
-        ]
+        th = [self._h32(t) for t in toks]
+
+        def poly(i):
+            acc = th[i]
+            for o in range(1, k):
+                acc = (acc * FP_C + th[i + o]) & FP_MASK
+            return acc
+
+        gh = [poly(i) for i in range(len(toks) - k + 1)]
         if len(gh) < w:
             return set()
         sel = set()
