@@ -1234,7 +1234,14 @@ def exact_substring_dedup(
     Plan (100 TB shape): window digests are built IN-ROW (transform
     over an index sequence + md5 of the joined slice — md5 for
     value-parity with the duckdb oracle; a production deployment would
-    swap in xxhash64 for an 8-byte shuffle key, same topology), then
+    swap in xxhash64 for an 8-byte shuffle key, same topology).
+    Measured-both-ways note (round 7, AB_BENCH.json): fp1's
+    string-free token-hash + 40-bit polynomial combine was tried here
+    too and LOST — at W=16 the polynomial is 16 interpreted
+    multiply-add-mask steps per window while the join+md5 runs as two
+    JVM intrinsics (A/B at sf0.1: polynomial 1.02-1.11x SLOWER; at the
+    100x replica 42s vs 26s). The crossover is gram width: at fp1's
+    K=4 the polynomial measured 3x FASTER. Then
     ONE corpus-wide shuffle keyed by digest computes global
     first-occurrence as a count + min(doc*2^21+pos) PARTIAL agg — a
     plain HashAggregate, map-side combined, skew-immune (a window
