@@ -1200,15 +1200,13 @@ def minhash_index_probe(
     )
 
 
-_POS_SHIFT = 1 << 21  # (doc, pos) -> doc*2^21 + pos, hash-aggregatable
-
-
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 16,
     keep_first: bool = True,
+    pos_bits: int = 21,
 ) -> DataFrame:
     """Variable-length exact repeated-substring dedup — the ExactSubstr
     family of Lee et al. 2021 ("Deduplicating Training Data Makes
@@ -1283,14 +1281,44 @@ def exact_substring_dedup(
     # (doc, pos) packed into ONE bigint: min(struct) would compile to a
     # SortAggregate (per-partition sort of the full window stream, twice
     # — partial + final); min(bigint) is a plain HashAggregate, no
-    # corpus-wide sort. Lexicographic order is preserved for positions
-    # < 2^21 (2M tokens/doc); a longer doc still gets a deterministic
-    # keeper, just code-ordered within its tail
-    code = F.col("doc") * F.lit(_POS_SHIFT) + F.col("pos")
-    dup = wins.groupBy("wh").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.min(code).alias("keep_code"),
-    ).filter(F.col("c") >= 2)
+    # corpus-wide sort. The packing is only injective (and only
+    # lexicographic) for 0 <= pos < 2^pos_bits AND doc >= 0 — outside
+    # that range codes COLLIDE ACROSS DOCUMENTS, so keep_first could
+    # silently spare a wrong occurrence in another doc. Rather than
+    # return a wrong answer, the guard below raises in-row on the first
+    # out-of-range row (one codegen comparison per row; remove-all mode
+    # never consults the code, so it skips both the guard and the min).
+    # Callers with >2M-token docs widen pos_bits: doc < 2^(63-pos_bits)
+    # must still hold, e.g. pos_bits=32 -> 4B-token docs, 2^31 doc ids.
+    shift = 1 << int(pos_bits)
+    code = F.col("doc") * F.lit(shift) + F.col("pos")
+    if keep_first:
+        code = F.when(
+            (F.col("pos") < shift) & (F.col("doc") >= 0), code
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "exact_substring_dedup: (doc,pos) packing out of "
+                        f"range (need 0<=pos<2^{int(pos_bits)} and doc>=0; "
+                        "widen pos_bits) — doc="
+                    ),
+                    F.col("doc").cast("string"),
+                    F.lit(" pos="),
+                    F.col("pos").cast("string"),
+                )
+            ).cast("long")
+        )
+        dup = wins.groupBy("wh").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(code).alias("keep_code"),
+        ).filter(F.col("c") >= 2)
+    else:
+        dup = (
+            wins.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+        )
     flagged = wins.join(dup, "wh")
     if keep_first:
         flagged = flagged.filter(code != F.col("keep_code"))

@@ -597,24 +597,26 @@ def q_text_embed_neardup(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, p: acc + p,
     )
+    # guard and ppm arithmetic run in DOUBLE on both engines: the bigint
+    # form (4*dot*dot vs n2*n2_b) silently wraps int64 in non-ANSI Spark
+    # while duckdb raises, i.e. the engines would diverge exactly at the
+    # ~1M-token doc sizes the 100 TB shape cares about. dot < 2^53 is
+    # exact in double, and both engines square the same double, so the
+    # oracle hash still matches bit-for-bit.
+    dot_d = F.col("dot").cast("double")
+    n2prod = F.col("n2").cast("double") * F.col("n2_b").cast("double")
     v = nb.select(
         F.col("doc_id").alias("doc_a"),
         "doc_b",
         dot.alias("dot"),
         "n2",
         "n2_b",
-    ).filter(
-        (F.col("dot") > 0)
-        & (4 * F.col("dot") * F.col("dot") >= F.col("n2") * F.col("n2_b"))
-    )
+    ).filter((F.col("dot") > 0) & (4.0 * dot_d * dot_d >= n2prod))
     out = (
         v.select(
             "doc_a",
             "doc_b",
-            F.floor(
-                F.col("dot") * F.col("dot") * F.lit(1.0e6)
-                / (F.col("n2") * F.col("n2_b"))
-            )
+            F.floor(dot_d * dot_d * F.lit(1.0e6) / n2prod)
             .cast("long")
             .alias("cos2_ppm"),
         )
@@ -770,9 +772,12 @@ WITH corpus AS (
   FROM nb WHERE doc_b IS NOT NULL
 )
 SELECT doc_a, doc_b,
-       CAST(max(floor(dot * dot * 1000000.0 / (n2a * n2b))) AS BIGINT)
-         AS cos2_ppm
-FROM v WHERE dot > 0 AND 4 * dot * dot >= n2a * n2b
+       CAST(max(floor(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
+                      / (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))))
+            AS BIGINT) AS cos2_ppm
+FROM v WHERE dot > 0
+  AND 4.0 * CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)
 GROUP BY doc_a, doc_b
 ORDER BY doc_a, doc_b
 """,

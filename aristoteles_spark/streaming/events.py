@@ -761,9 +761,13 @@ def run_neardup_probe(
     re-expand through a signature join. Measured at sf0.1: candidate
     rows 1.82M -> ~0.4M per trigger, the dominant per-trigger cost on
     the degenerate 31-word corpus (round-7 profile). The batch
-    signatures are eager-localCheckpointed once per trigger so the
-    interpreted signature fold runs once, not once per consumer
-    (previously ~1.9s of a 2.4s trigger). No small-vocab probe either:
+    signatures are eagerly persisted (persist + count) once per trigger
+    so the interpreted signature fold runs once, not once per consumer
+    (previously ~1.9s of a 2.4s trigger) — and EXPLICITLY unpersisted
+    after the batch write: the earlier eager-localCheckpoint form had no
+    release path from PySpark, so on a long-running stream per-trigger
+    checkpoint blocks accumulated in the block manager until a JVM GC
+    noticed the dropped references. No small-vocab probe either:
     that is a blocking driver-side collect JOB per microbatch for an
     equivalent-value hash — a per-trigger latency tax a streaming
     probe must not pay."""
@@ -777,17 +781,21 @@ def run_neardup_probe(
     def process(df: DataFrame, batch_id: int) -> None:
         sb = minhash_signatures(
             df, num_hashes=num_hashes, use_small_vocab=False
-        ).localCheckpoint(eager=True)
-        (
-            minhash_probe_census(
-                index_grouped, sb, num_hashes, bands, threshold
+        ).persist()
+        sb.count()  # eager: materialize BEFORE the multi-consumer write
+        try:
+            (
+                minhash_probe_census(
+                    index_grouped, sb, num_hashes, bands, threshold
+                )
+                .withColumn("bpart", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bpart")
+                .parquet(out_dir)
             )
-            .withColumn("bpart", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bpart")
-            .parquet(out_dir)
-        )
+        finally:
+            sb.unpersist()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -656,6 +656,43 @@ class TestExactSubstringDedup:
         )
         assert exact_substring_dedup(one, min_len=4).count() == 0
 
+    def test_packing_guard_raises_instead_of_cross_doc_collision(self, spark):
+        """The (doc,pos) packed-bigint keeper is only injective for
+        0 <= pos < 2^pos_bits and doc >= 0; outside that range keep_first
+        must raise in-row (loud) rather than silently spare a wrong
+        occurrence in another document (round-8 ADVICE item)."""
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        from aristoteles_spark.operators.dedup import exact_substring_dedup
+
+        # pos_bits=2 -> shift 4; an 8-token doc with a duplicated window
+        # beyond pos 3 trips the guard
+        docs = [(0, "a b c d e f a b c d e f"), (1, "a b c d x y z w")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)) as ei:
+            exact_substring_dedup(df, min_len=3, pos_bits=2).collect()
+        assert "packing out of range" in str(ei.value)
+        # negative doc ids trip it too
+        neg = spark.createDataFrame(
+            [(-1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+            exact_substring_dedup(neg, min_len=4).collect()
+        # remove-all mode never consults the packing -> still works on
+        # the same out-of-range inputs
+        got = exact_substring_dedup(
+            df, min_len=3, keep_first=False, pos_bits=2
+        ).collect()
+        # doc 0's repeat AND doc 1's shared "a b c d" prefix both flagged
+        assert {r.doc for r in got} == {0, 1}
+        # widening pos_bits restores keep_first on the long doc
+        wide = {
+            r.doc: [(s.s, s.e) for s in r.spans]
+            for r in exact_substring_dedup(df, min_len=3, pos_bits=21).collect()
+        }
+        assert wide == {0: [(6, 12)], 1: [(0, 4)]}
+
 
 class TestHashedFeatureEmbedding:
     @staticmethod

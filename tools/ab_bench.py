@@ -99,10 +99,14 @@ def main() -> None:
     sessions = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     passes = int(os.environ.get("AB_PASSES", "3"))
 
-    # mirrored order cancels a linear host-speed trend across sessions
-    order = (["A", "B"] * sessions)[: sessions] + (["B", "A"] * sessions)[
-        : sessions
-    ]
+    # mirrored order cancels a linear host-speed trend across sessions:
+    # the second half is the REVERSE of the first, so each tree's mean
+    # session position equals (len-1)/2 for ANY sessions count (the
+    # simple A B / B A interleave only balances when sessions is even —
+    # odd counts put tree B systematically later, biasing B/A under a
+    # linear drift)
+    first = (["A", "B"] * sessions)[:sessions]
+    order = first + first[::-1]
     record = {"tree_a": tree_a, "tree_b": tree_b, "sessions": []}
     mins: dict[str, dict[str, list[float]]] = {
         n: {"A": [], "B": []} for n in names
