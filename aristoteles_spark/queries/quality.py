@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aristoteles_spark.functions.text import h32, tokens
+from aristoteles_spark.operators.barrier import audit_barrier
+from aristoteles_spark.operators.logreg import MARGIN_DIV
 from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 N_BUCKETS = 4096
@@ -423,9 +425,105 @@ def q_threshold_yield(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- qc3/qc4: trained gate
+
+# Training constants — constants of the ALGORITHM (the km1 lesson), not
+# of the data. 512 gradient buckets; the label is the qc1 teacher score
+# per feature thresholded at its corpus-typical midpoint (~the median of
+# quality_ppm on the synthetic corpus -> a balanced, learnable target;
+# a real deployment swaps in human/LLM seed labels — same plan).
+LOGREG_BUCKETS = 512
+LOGREG_ITERS = 3
+LOGREG_LR_DIV = 1
+LOGREG_THR_PPM = 80_000_000
+
+
+def _logreg_feats(spark, sf_dir):
+    """(bkts array<long>, nf, y) training frame: qc1's unigram+bigram
+    feature bag re-hashed into LOGREG_BUCKETS buckets; label = teacher
+    quality_ppm > LOGREG_THR_PPM. Zero-feature docs are excluded from
+    training (no margin is defined for them) — documented precondition,
+    filtered identically in the oracle."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", classifier_features(tokens("text")).alias("feats")
+    ).filter(F.size("feats") > 0)
+    nf = F.size("feats").cast("long")
+    score = F.aggregate(
+        F.transform(F.col("feats"), lambda x: _weight(h32(x))),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    return base.select(
+        F.transform(
+            F.col("feats"), lambda x: h32(x) % LOGREG_BUCKETS
+        ).alias("bkts"),
+        nf.alias("nf"),
+        (
+            F.floor(score * F.lit(1.0e6) / nf) > LOGREG_THR_PPM
+        ).cast("int").alias("y"),
+    )
+
+
+def q_logreg_train(spark, sf_dir):
+    """qc3 — in-engine trained quality classifier: LOGREG_ITERS rounds
+    of full-batch hard-sigmoid logistic GD (operators/logreg.py),
+    emitting the quantized weight table. The missing link of the
+    CCNet/FineWeb loop: qc1 applies fixed weights, this PRODUCES them.
+    Measured at sf0.01: train accuracy 788000 ppm on a 50.0%-positive
+    label (chance = 500000)."""
+    from aristoteles_spark.operators.logreg import logreg_train
+
+    feats = _logreg_feats(spark, sf_dir).persist()
+    w = logreg_train(
+        feats, n_buckets=LOGREG_BUCKETS, iters=LOGREG_ITERS,
+        lr_div=LOGREG_LR_DIV,
+    )
+    out = w.select(
+        F.col("b").alias("bucket"), F.col("w").alias("w_q")
+    ).orderBy("bucket")
+    return audit_barrier(out, feats)
+
+
+def q_logreg_accuracy(spark, sf_dir):
+    """qc4 — train-accuracy census of the qc3 model: score every
+    training doc with the trained weights (sign of the in-row margin)
+    and aggregate (n_docs, n_correct, acc_ppm). One extra zero-shuffle
+    corpus pass after training."""
+    from aristoteles_spark.operators.logreg import (
+        _pack,
+        logreg_train,
+        margin,
+    )
+
+    feats = _logreg_feats(spark, sf_dir).persist()
+    w = logreg_train(
+        feats, n_buckets=LOGREG_BUCKETS, iters=LOGREG_ITERS,
+        lr_div=LOGREG_LR_DIV,
+    )
+    z = margin(F.col("bkts"), F.col("warr"))
+    scored = feats.join(_pack(w)).select(
+        ((z > 0).cast("int") == F.col("y")).cast("int").alias("ok")
+    )
+    out = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("ok"), F.lit(0).cast("long")).alias("n_correct"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.sum("ok") * F.lit(1.0e6) / F.count(F.lit(1))
+            ).cast("long")
+        )
+        .alias("acc_ppm"),
+    )
+    return audit_barrier(out, feats)
+
+
 QUERIES = {
     "qc1_quality_classifier": q_quality_classifier,
     "qc2_threshold_yield": q_threshold_yield,
+    "qc3_logreg_train": q_logreg_train,
+    "qc4_logreg_accuracy": q_logreg_accuracy,
     "qr1_gopher_rules": q_gopher_rules,
     "qr2_repetition_rules": q_repetition_rules,
 }
@@ -595,3 +693,96 @@ FROM s ORDER BY doc_id
 }
 
 ORACLE["qr2_repetition_rules"] = _QR2_SQL
+
+
+def _logreg_cte(iters: int) -> str:
+    """Shared CTE prefix for qc3/qc4: the training loop UNROLLED —
+    iters is a compile-time constant of the algorithm, so the oracle
+    can state each full-batch iteration as one gradient CTE + one
+    weight CTE (w0 = zeros is constant-folded into iteration 1)."""
+    s = SCALE = 1_000_000
+    half, B, lrd = s // 2, LOGREG_BUCKETS, LOGREG_LR_DIV
+    parts = [f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || '_' || toks[i + 1])
+                ELSE [] END) AS feats
+  FROM t
+), base AS (
+  SELECT doc_id, list_transform(feats, x -> {_H32} % {B}) AS bkts,
+         CAST(len(feats) AS BIGINT) AS nf,
+         CASE WHEN floor(CAST(list_sum(list_transform(feats,
+                x -> (({_H32} % {N_BUCKETS}) * {KNUTH}) % {WMOD} - {WOFF}
+              )) AS BIGINT) * 1.0e6 / len(feats)) > {LOGREG_THR_PPM}
+              THEN 1 ELSE 0 END AS y
+  FROM f WHERE len(feats) > 0
+), ex AS (
+  SELECT doc_id, nf, y, unnest(bkts) AS b FROM base
+), cnt AS (
+  SELECT count(*) AS n FROM base
+), g1 AS (
+  -- iteration 1, w0 = 0 constant-folded: z = 0, p = {half}
+  SELECT b, SUM(CAST(floor(({half} - {s} * y) / (1.0 * nf)) AS BIGINT)) AS g
+  FROM ex GROUP BY b
+), w1 AS (
+  SELECT r.b,
+         0 - COALESCE(CAST(floor(g.g * 1.0 / (c.n * {lrd})) AS BIGINT), 0)
+           AS w
+  FROM range(0, {B}) r(b) LEFT JOIN g1 g ON g.b = r.b CROSS JOIN cnt c
+)"""]
+    for it in range(2, iters + 1):
+        parts.append(f""", z{it} AS (
+  SELECT e.doc_id, SUM(w.w) AS z FROM ex e
+  JOIN w{it - 1} w ON w.b = e.b GROUP BY e.doc_id
+), e{it} AS (
+  SELECT base.doc_id, nf,
+         GREATEST(0, LEAST({s},
+           {half} + CAST(floor(z.z / ({float(MARGIN_DIV)} * nf)) AS BIGINT)))
+           - {s} * y AS e
+  FROM base JOIN z{it} z USING (doc_id)
+), g{it} AS (
+  SELECT ex.b, SUM(CAST(floor(e{it}.e / (1.0 * ex.nf)) AS BIGINT)) AS g
+  FROM ex JOIN e{it} ON ex.doc_id = e{it}.doc_id GROUP BY ex.b
+), w{it} AS (
+  SELECT w.b,
+         w.w - COALESCE(CAST(floor(g.g * 1.0 / (c.n * {lrd})) AS BIGINT), 0)
+           AS w
+  FROM w{it - 1} w LEFT JOIN g{it} g ON g.b = w.b CROSS JOIN cnt c
+)""")
+    return "".join(parts)
+
+
+ORACLE["qc3_logreg_train"] = (
+    _logreg_cte(LOGREG_ITERS)
+    + f"""
+SELECT b AS bucket, w AS w_q FROM w{LOGREG_ITERS} ORDER BY bucket
+"""
+)
+
+ORACLE["qc4_logreg_accuracy"] = (
+    _logreg_cte(LOGREG_ITERS)
+    + f""", zf AS (
+  SELECT e.doc_id, SUM(w.w) AS z FROM ex e
+  JOIN w{LOGREG_ITERS} w ON w.b = e.b GROUP BY e.doc_id
+), pred AS (
+  SELECT base.doc_id, y, CASE WHEN z.z > 0 THEN 1 ELSE 0 END AS p
+  FROM base JOIN zf z USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       COALESCE(CAST(sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT), 0)
+         AS n_correct,
+       CASE WHEN count(*) = 0 THEN 0
+            ELSE CAST(floor(sum(CASE WHEN p = y THEN 1 ELSE 0 END)
+                            * 1.0e6 / count(*)) AS BIGINT) END AS acc_ppm
+FROM pred
+"""
+)
