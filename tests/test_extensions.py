@@ -656,6 +656,85 @@ class TestExactSubstringDedup:
         )
         assert exact_substring_dedup(one, min_len=4).count() == 0
 
+    def test_incremental_probe_equals_fresh_dedup_on_batch(self, spark):
+        """ln4's identity: index(history) + probe(batch, batch mode)
+        == fresh keep-first dedup over history UNION batch, restricted
+        to batch docs — including batch-internal repeats and the
+        cross-side keeper tie-breaks."""
+        from aristoteles_spark.operators.dedup import (
+            exact_substring_dedup,
+            exact_substring_index,
+            exact_substring_probe,
+        )
+
+        w = 4
+        hist_docs = [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (3, "q r s t u xx1 xx2 xx3 q r s t u"),
+        ]
+        batch_docs = [
+            # duplicates history (c..l run)
+            (10, "zz yy c d e f g h i j k l ww vv"),
+            # batch-internal pair: 10 wins the shared prefix? no — doc
+            # 12/14 share a run absent from history; 12 is the keeper
+            (12, "n1 n2 n3 n4 n5 n6 n7 n8"),
+            (14, "k1 k2 n1 n2 n3 n4 n5 n6 n7 n8 k3"),
+            # within-doc repeat only
+            (16, "w1 w2 w3 w4 zz9 w1 w2 w3 w4"),
+            (18, "totally unique words only here"),
+        ]
+        hist = spark.createDataFrame(hist_docs, "doc_id long, text string")
+        batch = spark.createDataFrame(batch_docs, "doc_id long, text string")
+        full = hist.unionByName(batch)
+        batch_ids = {d for d, _ in batch_docs}
+        exp = {
+            r.doc: (r.n_tokens, [(s.s, s.e) for s in r.spans])
+            for r in exact_substring_dedup(full, min_len=w).collect()
+            if r.doc in batch_ids
+        }
+        idx = exact_substring_index(hist, min_len=w)
+        got = {
+            r.doc: (r.n_tokens, [(s.s, s.e) for s in r.spans])
+            for r in exact_substring_probe(idx, batch, min_len=w).collect()
+        }
+        assert got == exp
+        assert 10 in got and 14 in got and 16 in got and 18 not in got
+
+    def test_per_doc_probe_is_split_independent(self, spark):
+        """st14's semantics: batch_internal=False results are a pure
+        function of (doc, index) — probing the batch in ANY split of
+        sub-batches yields the union of the whole-batch result."""
+        from aristoteles_spark.operators.dedup import (
+            exact_substring_index,
+            exact_substring_probe,
+        )
+
+        w = 4
+        hist = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        batch_docs = [
+            (10, "c d e f zz1 zz2"),          # history dup
+            (12, "m1 m2 m3 m4 q q m1 m2 m3 m4"),  # within-doc repeat
+            (14, "c d e f yy1 yy2"),          # history dup, other doc
+        ]
+        idx = exact_substring_index(hist, min_len=w)
+
+        def run(docs):
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            return {
+                r.doc: [(s.s, s.e) for s in r.spans]
+                for r in exact_substring_probe(
+                    idx, df, min_len=w, batch_internal=False
+                ).collect()
+            }
+
+        whole = run(batch_docs)
+        split = {**run(batch_docs[:1]), **run(batch_docs[1:])}
+        assert whole == split == {
+            10: [(0, 4)], 12: [(6, 10)], 14: [(0, 4)],
+        }
+
     def test_packing_guard_raises_instead_of_cross_doc_collision(self, spark):
         """The (doc,pos) packed-bigint keeper is only injective for
         0 <= pos < 2^pos_bits and doc >= 0; outside that range keep_first
