@@ -238,3 +238,21 @@ def bpe_tokens_replace_expr(text: Column, merges: list[tuple[str, str]]) -> Colu
     s = F.replace(s, F.lit(_S + _S), F.lit(_T))
     s = F.replace(s, F.lit(_S), F.lit(""))
     return F.filter(F.split(s, f"[{_W}{_T}]"), lambda t: t != F.lit(""))
+
+
+def bpe_decode_expr(toks: Column) -> Column:
+    """Detokenize a BPE token array back to text (tx15) — the exact
+    inverse of the encode pass up to its normalization: merges only
+    ever concatenate symbols WITHIN a word (the </w> marker is the
+    word's last symbol), so decoding is merge-table-free and O(bytes):
+    concatenate the token stream, split at the word-end markers, join
+    the recovered words with single spaces. decode(encode(t)) equals
+    lowercase(t) with whitespace collapsed — byte-identical, pinned in
+    tests/test_bpe.py and census-checked across the corpus by tx15.
+
+    Plan: three codegen string ops per row (join/split/join), zero
+    shuffle — runs at scan speed at any corpus size."""
+    words = F.filter(
+        F.split(F.array_join(toks, ""), _END), lambda w: w != F.lit("")
+    )
+    return F.array_join(words, " ")

@@ -806,6 +806,74 @@ FROM enc ORDER BY doc_id
 """
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """tx15 — BPE decode / detokenize round-trip census (the inverse of
+    tx14, round-7 verdict item 6): every document is encoded with the
+    shipped merge table and decoded back (operators/bpe.py:
+    bpe_decode_expr — merge-table-free: merges only concatenate within
+    a word, so word-end markers fully delimit the inverse). Per source:
+    docs, docs surviving EXACT round-trip (must be all — the encode's
+    only lossy step is its own lowercase+whitespace normalization,
+    which the comparison target applies identically), and total token
+    count. The byte-level identity is additionally pytest-pinned.
+
+    Plan (100 TB shape): per-doc work is the tx14 codegen replace chain
+    + three string ops for the decode; ONE partial-aggregated groupBy
+    on the tiny source key."""
+    from aristoteles_spark.operators.bpe import (
+        bpe_decode_expr,
+        bpe_tokens_replace_expr,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = bpe_tokens_replace_expr(F.col("text"), _BPE_MERGES)
+    norm = F.array_join(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""), " "
+    )
+    per = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (bpe_decode_expr(toks) == norm).cast("long").alias("rt_ok"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("rt_ok").alias("n_roundtrip_exact"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).orderBy("source")
+
+
+def _bpe_roundtrip_oracle_sql() -> str:
+    """tx15: tx14's per-word merge chain, decoded back by splitting the
+    concatenated token stream at word-end markers — compared against
+    the same lowercase+whitespace normalization the encode applies."""
+    X = chr(1)
+    s = _bpe_word_merge_sql()
+    return f"""
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), enc AS (
+  SELECT doc_id, source, ws,
+         flatten(list_transform(ws,
+             w -> string_split(trim({s}, '{X}'), '{X}{X}'))) AS toks
+  FROM words
+), per AS (
+  SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN array_to_string(
+                list_filter(string_split(array_to_string(toks, ''),
+                                         '</w>'), w -> w <> ''), ' ')
+              = array_to_string(ws, ' ') THEN 1 ELSE 0 END AS rt_ok
+  FROM enc
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rt_ok) AS BIGINT) AS n_roundtrip_exact,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """tv1 — tokenizer-fit census: per (source, lang), corpus totals and
     the two numbers that say whether a tokenizer suits a corpus —
@@ -920,6 +988,7 @@ QUERIES = {
     "vo1_oov_census": q_oov_census,
     "tv1_tokenizer_fertility": q_tokenizer_fertility,
     "tx14_bpe_encode": q_bpe_encode,
+    "tx15_bpe_roundtrip": q_bpe_roundtrip,
     "tx13_sentence_stats": q_sentence_stats,
     "pk2_length_buckets": q_length_buckets,
     "ct2_bloom_decontamination": q_bloom_decontamination,
@@ -1047,6 +1116,7 @@ FROM totals ORDER BY source, lang
 """,
     "tv1_tokenizer_fertility": _fertility_oracle_sql(),
     "tx14_bpe_encode": _bpe_oracle_sql(),
+    "tx15_bpe_roundtrip": _bpe_roundtrip_oracle_sql(),
     "ct2_bloom_decontamination": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS t FROM documents

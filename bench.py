@@ -80,7 +80,20 @@ _R7_AB_CLEAN = (
     "times the trees at B/A 1.05 and 1.10 with same-tree session "
     "spreads of 1.23-1.25 — host noise, not code."
 )
+_R8_TX4_NOTE = (
+    "attributed (plan-hash + worktree A/B 2026-08-16 round 8, "
+    "AB_BENCH.json): the r7 flag (0.464 -> 0.671s, x1.45, "
+    "env_attributed false because the CPU probe got FASTER) has no "
+    "possible code cause — tx4's EXECUTED plan is byte-identical "
+    "(same md5, 46be9ee1) between the r6-final worktree and HEAD, so "
+    "the code cannot run differently. The mirrored fresh-session A/B "
+    "that measured B/A 1.34 is itself the evidence for host steal: the "
+    "r6 tree's own sessions drifted 0.639 -> 0.821s (x1.28) WITHIN the "
+    "run and the scheduler probe swung 2.76 -> 4.17s (x1.5) — the "
+    "documented hourly-steal pattern, not code."
+)
 REGRESSION_NOTES: dict[str, str] = {
+    "tx4_fingerprint": _R8_TX4_NOTE,
     "dd1_exact_groups": _R7_AB_CLEAN,
     "mm1_binary_stats": _R7_AB_CLEAN,
     "dd7_dup_clusters": _R6_AB_CLEAN,

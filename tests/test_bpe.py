@@ -209,3 +209,63 @@ def test_replace_chain_fuzzed_against_python_reference(spark):
         assert got == want, (ts, ms)
 
     run()
+
+
+class TestDecode:
+    def test_roundtrip_byte_identity_on_documents_table(self, spark):
+        """tx15's property at the byte level: decode(encode(text)) ==
+        lowercase(text) with whitespace collapsed, for EVERY document
+        in the real test table."""
+        from aristoteles_spark.operators.bpe import (
+            bpe_decode_expr,
+            bpe_tokens_replace_expr,
+        )
+        from aristoteles_spark.queries.text import _BPE_MERGES
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        toks = bpe_tokens_replace_expr(F.col("text"), _BPE_MERGES)
+        norm = F.array_join(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""),
+            " ",
+        )
+        bad = d.select(
+            (bpe_decode_expr(toks) == norm).alias("ok")
+        ).filter(~F.col("ok"))
+        assert bad.count() == 0
+
+    def test_roundtrip_random_texts_and_merges(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from aristoteles_spark.operators.bpe import (
+            bpe_decode_expr,
+            bpe_tokens_replace_expr,
+        )
+
+        alpha = st.text(alphabet="abc ", min_size=0, max_size=30)
+        texts = st.lists(alpha, min_size=1, max_size=4)
+        sym = st.sampled_from(["a", "b", "c", "ab", "bc", "</w>"])
+        merges = st.lists(st.tuples(sym, sym), min_size=0, max_size=6)
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(texts, merges)
+        def run(ts, ms):
+            df = spark.createDataFrame([(t,) for t in ts], "text string")
+            rows = df.select(
+                bpe_decode_expr(
+                    bpe_tokens_replace_expr(F.col("text"), ms)
+                ).alias("d"),
+                F.array_join(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda w: w != ""
+                    ),
+                    " ",
+                ).alias("norm"),
+            ).collect()
+            assert all(r.d == r.norm for r in rows), (ts, ms)
+
+        run()
