@@ -1077,6 +1077,33 @@ def minhash_banded(
     )
 
 
+def compact_latest_wins(
+    dailies: list[DataFrame],
+    tombstones: DataFrame,
+    key: str = "doc_id",
+    ver_col: str = "ver",
+) -> DataFrame:
+    """Latest-version-wins compaction for indexes whose per-doc payload
+    is a variable-size ROW SET (e.g. one row per winnowing fingerprint,
+    xm2) rather than a fixed per-key record: an older version's rows
+    must drop as a UNIT, so version resolution is per-doc — ONE
+    partial-aggregated max(ver) per key plus an equi-join filter — not
+    compact_banded_indexes' per-row max(struct) (which would keep stale
+    fingerprints a newer version no longer selects). Tombstone LEFT
+    ANTI join strategy left to AQE (xm1's rule: the tombstone set grows
+    with the corpus). Requires a non-empty frame list (zero-ROW frames
+    are fine); a doc appears at most once per daily index by
+    construction, so ver ties are impossible."""
+    u = dailies[0]
+    for x in dailies[1:]:
+        u = u.unionByName(x)
+    mx = u.groupBy(key).agg(F.max(ver_col).alias("_mx"))
+    live = (
+        u.join(mx, key).filter(F.col(ver_col) == F.col("_mx")).drop("_mx")
+    )
+    return live.join(tombstones, key, "left_anti")
+
+
 def compact_banded_indexes(
     dailies: list[DataFrame],
     tombstones: DataFrame,

@@ -313,39 +313,14 @@ def q_substring_probe(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def q_winnowing_fps(spark, sf_dir):
-    """fp1 — robust winnowing fingerprints (Schleimer/Wilkerson/Aiken
-    2003, the MOSS algorithm): per document, hash every FP_K-token
-    gram, slide a FP_W-hash window, and select the RIGHTMOST minimal
-    hash in each window; the distinct selected hashes are the doc's
-    fingerprint set. Guarantee (pytest-pinned): any shared token run of
-    length >= FP_W + FP_K - 1 between two docs shares >= 1 fingerprint
-    — the sub-linear candidate generator for exact-substring dedup
-    (ln2 verifies extents; winnowing finds WHO to compare at ~1/W the
-    index size). Output: per fingerprinted doc, gram/fingerprint
-    counts, how many of its fingerprints are shared with other docs,
-    and the max document frequency among them.
-
-    Plan (100 TB shape): gram hashing AND window selection run in-row
-    (the gram-hash array is lambda-bound once — the sd2 hygiene);
-    per-window rightmost-min is a W-element fold, O(grams x W) per
-    row. The only corpus exchanges are a partial-agged groupBy on the
-    fingerprint (doc frequency) and the join-back — both linear in
-    selected fingerprints (~grams/W rows, the winnowing density bound),
-    never pairs. Docs shorter than FP_K + FP_W - 1 tokens select
-    nothing and are structurally absent (standard winnowing semantics).
-    Clone seeding (FP_MOD family) mirrors the oracle verbatim so the
-    shared-fingerprint path is driver-live."""
+def winnow_per_doc(corpus):
+    """(doc_id, n_grams, fps) — fp1's robust-winnowing fingerprint set
+    per document, all in-row (the gram-hash array is lambda-bound once
+    — the sd2 hygiene; per-window rightmost-min is a W-element fold).
+    Factored out so xm2's daily index tables build through the SAME
+    expression the fresh fp1 census uses."""
     from aristoteles_spark.functions.text import h32
 
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text"
-    )
-    clones = d.filter(F.col("doc_id") % FP_MOD == FP_OFF).select(
-        (F.col("doc_id") + FP_BASE).alias("doc_id"),
-        F.substring("text", 25, 220).alias("text"),
-    )
-    corpus = d.unionByName(clones)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     th = F.transform(toks, lambda t: h32(t))
@@ -407,11 +382,44 @@ def q_winnowing_fps(spark, sf_dir):
             F.expr("CAST(array() AS array<bigint>)")
         )
 
-    per = corpus.select(
+    return corpus.select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),
         F.get(F.transform(F.array(grams), build), 0).alias("fps"),
     )
+
+
+def q_winnowing_fps(spark, sf_dir):
+    """fp1 — robust winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): per document, hash every FP_K-token
+    gram, slide a FP_W-hash window, and select the RIGHTMOST minimal
+    hash in each window; the distinct selected hashes are the doc's
+    fingerprint set. Guarantee (pytest-pinned): any shared token run of
+    length >= FP_W + FP_K - 1 between two docs shares >= 1 fingerprint
+    — the sub-linear candidate generator for exact-substring dedup
+    (ln2 verifies extents; winnowing finds WHO to compare at ~1/W the
+    index size). Output: per fingerprinted doc, gram/fingerprint
+    counts, how many of its fingerprints are shared with other docs,
+    and the max document frequency among them.
+
+    Plan (100 TB shape): gram hashing AND window selection run in-row
+    (the gram-hash array is lambda-bound once — the sd2 hygiene);
+    per-window rightmost-min is a W-element fold, O(grams x W) per
+    row. The only corpus exchanges are a partial-agged groupBy on the
+    fingerprint (doc frequency) and the join-back — both linear in
+    selected fingerprints (~grams/W rows, the winnowing density bound),
+    never pairs. Docs shorter than FP_K + FP_W - 1 tokens select
+    nothing and are structurally absent (standard winnowing semantics).
+    Clone seeding (FP_MOD family) mirrors the oracle verbatim so the
+    shared-fingerprint path is driver-live."""
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % FP_MOD == FP_OFF).select(
+        (F.col("doc_id") + FP_BASE).alias("doc_id"),
+        F.substring("text", 25, 220).alias("text"),
+    )
+    per = winnow_per_doc(d.unionByName(clones))
     ex = per.select(
         "doc_id", "n_grams", F.explode("fps").alias("fp")
     )

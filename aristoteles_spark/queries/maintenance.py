@@ -16,9 +16,12 @@ from pyspark.sql import functions as F
 from aristoteles_spark.functions.text import h32, tokens
 from aristoteles_spark.queries.dedup import (
     BANDS,
+    FP_K,
+    FP_W,
     NUM_HASHES,
     ROWS_PER_BAND,
     _band_cols,
+    _FP_POLY,
     _h32,
     _sig_cols,
 )
@@ -223,11 +226,74 @@ def q_index_compaction(spark, sf_dir):
     )
 
 
+def q_winnow_compaction(spark, sf_dir):
+    """xm2 — winnowing-fingerprint index compaction (round-7 verdict
+    item 7): fp1's fingerprint sets ARE the MOSS candidate index; this
+    is its xm1-style upkeep job. N daily fingerprint tables (same
+    corpus slicing constants as xm1: ingest day = doc_id % N_DAYS,
+    re-ingests revised on the last day, tombstones dropped at
+    compaction) merge latest-version-wins via operators/dedup.py:
+    compact_latest_wins — per-DOC version resolution, because a newer
+    version's fingerprint SET replaces the old one as a unit (per-row
+    max would keep stale fingerprints the revised text no longer
+    selects). The oracle is a FRESH fp1-style rebuild over the live
+    corpus, so a hash-match proves compaction == rebuild without ever
+    paying the rebuild — the index's correctness contract.
+
+    Scale design: stored daily (doc, fp, ver) rows are reused as-is (no
+    re-fingerprinting); ONE partial-aggregated max(ver) per doc; the
+    per-doc digest agg carries only surviving fingerprints (~grams/W
+    per doc, the winnowing density bound)."""
+    from aristoteles_spark.operators.dedup import compact_latest_wins
+    from aristoteles_spark.queries.dedup import winnow_per_doc
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    day = F.col("doc_id") % N_DAYS
+    revised = (F.col("doc_id") % REINGEST_MOD == REINGEST_OFF) & (
+        day != N_DAYS - 1
+    )
+    dailies = []
+    for i in range(N_DAYS):
+        batch = d.filter(day == i).select("doc_id", "text")
+        if i == N_DAYS - 1:
+            batch = batch.unionByName(
+                d.filter(revised).select(
+                    "doc_id", F.concat("text", F.lit(" rev7")).alias("text")
+                )
+            )
+        dailies.append(
+            winnow_per_doc(batch)
+            .select("doc_id", F.explode("fps").alias("fp"))
+            .withColumn("ver", F.lit(i))
+        )
+    tombs = d.filter(F.col("doc_id") % TOMB_MOD == TOMB_OFF).select(
+        "doc_id"
+    )
+    live = compact_latest_wins(dailies, tombs)
+    return (
+        live.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("fp")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("fps_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "xs1_weighted_sample": q_weighted_sample,
     "xc1_lsh_bucket_census": q_lsh_bucket_census,
     "xh1_histogram_drift": q_histogram_drift,
     "xm1_index_compaction": q_index_compaction,
+    "xm2_winnow_compaction": q_winnow_compaction,
 }
 
 _ENTRIES = " UNION ALL ".join(
@@ -334,4 +400,44 @@ SELECT doc, band, band_key FROM (
   {_XM_BAND_KEYS}
 )
 ORDER BY doc, band
+"""
+
+# xm2 oracle: FRESH winnowing-fingerprint build over the live corpus
+# (latest text per doc, tombstones excluded) — fp1's t/th/g/w/perdoc
+# chain over xm1's live CTE, digested per doc. Hash-match proves
+# compaction == rebuild.
+ORACLE["xm2_winnow_compaction"] = f"""
+WITH live AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {REINGEST_MOD} = {REINGEST_OFF}
+                   AND doc_id % {N_DAYS} <> {N_DAYS - 1}
+              THEN text || ' rev7' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {TOMB_MOD} <> {TOMB_OFF}
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM live
+), th AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {_h32('t')}) AS th
+  FROM t
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, n - {FP_K} + 2), i -> {_FP_POLY}) AS gh
+  FROM th WHERE n >= {FP_K}
+), w AS (
+  SELECT doc_id, gh,
+         list_distinct(list_transform(range(1, len(gh) - {FP_W} + 2), j ->
+           list_max(list_transform(range(0, {FP_W}), o ->
+             CASE WHEN gh[j + o] = list_min(gh[j : j + {FP_W} - 1])
+                  THEN j + o ELSE 0 END)))) AS sel
+  FROM g WHERE len(gh) >= {FP_W}
+), perdoc AS (
+  SELECT doc_id, list_distinct(list_transform(sel, p -> gh[p])) AS fps
+  FROM w
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(array_to_string(list_transform(list_sort(fps),
+                                          x -> CAST(x AS VARCHAR)), ','))
+         AS fps_digest
+FROM perdoc WHERE len(fps) > 0 ORDER BY doc_id
 """

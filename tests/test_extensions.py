@@ -773,6 +773,71 @@ class TestExactSubstringDedup:
         assert wide == {0: [(6, 12)], 1: [(0, 4)]}
 
 
+class TestCompactLatestWins:
+    def test_stale_rows_drop_as_a_unit_and_tombstones_vanish(self, spark):
+        """xm2's contract: a newer version's row SET replaces the old
+        one entirely (per-row max would keep stale fingerprints), and
+        tombstoned docs vanish."""
+        from aristoteles_spark.operators.dedup import compact_latest_wins
+
+        d0 = spark.createDataFrame(
+            [(1, 100, 0), (1, 101, 0), (2, 200, 0), (3, 300, 0)],
+            "doc_id long, fp long, ver int",
+        )
+        # doc 1 re-ingested: fp 101 no longer selected, fp 102 new
+        d1 = spark.createDataFrame(
+            [(1, 100, 1), (1, 102, 1)], "doc_id long, fp long, ver int"
+        )
+        tombs = spark.createDataFrame([(3,)], "doc_id long")
+        got = {
+            (r.doc_id, r.fp)
+            for r in compact_latest_wins([d0, d1], tombs).collect()
+        }
+        assert got == {(1, 100), (1, 102), (2, 200)}
+
+    def test_xm2_equals_fresh_rebuild(self, spark):
+        """Digest equality: the compacted index's per-doc fingerprint
+        digests equal a fresh winnow_per_doc build over the live
+        corpus (latest text, tombstones out) on the real table."""
+        from aristoteles_spark.queries.dedup import winnow_per_doc
+        from aristoteles_spark.queries.maintenance import (
+            N_DAYS,
+            REINGEST_MOD,
+            REINGEST_OFF,
+            TOMB_MOD,
+            TOMB_OFF,
+            q_winnow_compaction,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.doc_id: (r.n_fps, r.fps_digest)
+            for r in q_winnow_compaction(spark, sf).collect()
+        }
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        day = F.col("doc_id") % N_DAYS
+        revised = (F.col("doc_id") % REINGEST_MOD == REINGEST_OFF) & (
+            day != N_DAYS - 1
+        )
+        live = d.filter(F.col("doc_id") % TOMB_MOD != TOMB_OFF).select(
+            "doc_id",
+            F.when(revised, F.concat("text", F.lit(" rev7")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        fresh = winnow_per_doc(live).filter(F.size("fps") > 0)
+        exp = {
+            r.doc_id: (
+                len(r.fps),
+                __import__("hashlib").md5(
+                    ",".join(str(x) for x in sorted(r.fps)).encode()
+                ).hexdigest(),
+            )
+            for r in fresh.collect()
+        }
+        assert got == exp and len(got) > 0
+
+
 class TestHashedFeatureEmbedding:
     @staticmethod
     def _h32(s: str) -> int:
