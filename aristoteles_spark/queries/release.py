@@ -4,9 +4,13 @@ The full curation chain a data-release run executes, composed from the
 engine's own operators into ONE DataFrame DAG — quality gate (qc1's
 classifier), language gate (tx3's langid), exact dedup (first
 occurrence per content digest), near-dup filter (dd4's banded minhash,
-earlier-doc-wins), eval-set decontamination (ct1's 8-gram overlap), and
-content-hash shard assignment (sh1's coordination-free sharding) — with
-a per-shard release manifest as the output. This is the "a user of the
+earlier-doc-wins), verbatim-duplication gate (round 8: fp1's winnowing
+fingerprints generate the candidates, ln2's exact-substring dedup
+verifies the extents, docs >= 25% duplicated drop — catches excerpt
+clones that sit BELOW the near-dup Jaccard threshold), eval-set
+decontamination (ct1's 8-gram overlap), and content-hash shard
+assignment (sh1's coordination-free sharding) — with a per-shard
+release manifest as the output. This is the "a user of the
 reference could run their whole pipeline here" composition query; every
 stage reuses the already-oracle-checked building block rather than a
 re-implementation. (Reference scope: aristoteles/aristoteles.py is
@@ -35,13 +39,30 @@ EVAL_MOD = 7  # doc_id % 7 == 0 is the held-out eval set (as ct1)
 N_SHARDS = 8
 NUM_HASHES = 16
 BANDS = 4
+# rl1 clone seeding (round 8): a straight-excerpt clone family gives the
+# substring-duplication gate live data — random synthetic text never
+# repeats a 16-token window (ln2's lesson), so without seeding the new
+# stage would be structurally vacuous. Mirrored verbatim in the oracle.
+RL_CLONE_MOD, RL_CLONE_OFF, RL_CLONE_BASE = 13, 4, 4_000_000
+# drop rule: >= 25% of the doc's tokens inside cross-doc duplicated
+# spans (integer cross-multiply; Lee et al.'s "heavily duplicated
+# documents" curation rule)
+RL_DUP_NUM, RL_DUP_DEN = 1, 4
+RL_SUBSTR_W = 16  # ln2's minimum duplicated-run length
 
 
 def q_release_pipeline(spark, sf_dir):
     from aristoteles_spark.operators.dedup import minhash_signatures
     from aristoteles_spark.queries.text import _gram_hashes
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    raw = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    clones = raw.filter(F.col("doc_id") % RL_CLONE_MOD == RL_CLONE_OFF).select(
+        (F.col("doc_id") + RL_CLONE_BASE).alias("doc_id"),
+        F.substring("text", 30, 200).alias("text"),
+    )
+    d = raw.unionByName(clones)
     train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
     evald = d.filter(F.col("doc_id") % EVAL_MOD == 0)
 
@@ -130,17 +151,55 @@ def q_release_pipeline(spark, sf_dir):
     # per consumer (see the stage-materialization note above)
     c3 = audit_barrier(c2.join(survivors, "doc_id"), eager=False)
 
+    # 4.5 (round 8): verbatim-duplication gate — the round-7 operators
+    # composed the production way: winnowing fingerprints (fp1) find
+    # WHO to compare (any shared run >= FP_W + FP_K - 1 = 7 tokens
+    # shares a fingerprint, so for the 16-token rule the pre-filter is
+    # provably lossless for CROSS-doc spans); exact-substring dedup
+    # (ln2) verifies the extents over candidates only; docs with
+    # >= 25% of tokens inside cross-doc duplicated spans drop (the
+    # excerpt clones that slipped past the near-dup stage: a 200-char
+    # excerpt is ~100% duplicated content but < 0.5 Jaccard).
+    # Within-doc repetition is qr2's territory, not this gate's.
+    from aristoteles_spark.operators.dedup import exact_substring_dedup
+    from aristoteles_spark.queries.dedup import winnow_per_doc
+
+    # materialized: the winnow fold is consumed by BOTH the doc-freq agg
+    # and the candidate join-back — unbarriered it runs twice
+    fps_ex = audit_barrier(
+        winnow_per_doc(c3).select("doc_id", F.explode("fps").alias("fp")),
+        eager=False,
+    )
+    shared_fp = (
+        fps_ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfx"))
+        .filter(F.col("dfx") >= 2)
+        .select("fp")
+    )
+    cand_docs = fps_ex.join(shared_fp, "fp").select("doc_id").distinct()
+    dup_spans = exact_substring_dedup(
+        c3.join(cand_docs, "doc_id"), "text", "doc_id",
+        min_len=RL_SUBSTR_W,
+    )
+    too_dup = dup_spans.filter(
+        F.col("removed_tokens") * RL_DUP_DEN
+        >= F.col("n_tokens") * RL_DUP_NUM
+    ).select(F.col("doc").alias("doc_id"))
+    # third stage boundary: the winnow+substring subtree must not
+    # re-run per downstream consumer
+    c4 = audit_barrier(c3.join(too_dup, "doc_id", "left_anti"), eager=False)
+
     # 5: decontamination — any shared 8-gram with the eval set drops it
     eval_grams = (
         evald.select(F.explode(_gram_hashes(tokens("text"))).alias("g")).distinct()
     )
     contaminated = (
-        c3.select("doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g"))
+        c4.select("doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g"))
         .join(eval_grams, "g")
         .select("doc_id")
         .distinct()
     )
-    clean = c3.join(contaminated, "doc_id", "left_anti")
+    clean = c4.join(contaminated, "doc_id", "left_anti")
 
     # 6: shard manifest — content-hash sharding, tiny-key partial agg
     return (
@@ -159,9 +218,12 @@ def q_release_pipeline(spark, sf_dir):
 
 def _rl1_sql() -> str:
     from aristoteles_spark.queries.dedup import (
+        FP_K,
+        FP_W,
         _band_cols,
         _band_match,
         _est_sim,
+        _FP_POLY,
         _h32,
         _sig_cols,
     )
@@ -171,9 +233,15 @@ def _rl1_sql() -> str:
         f"list_distinct(list_transform(range(1, len(toks) - {_GRAM - 2}), s -> "
         f"md5(array_to_string(list_slice(toks, s, s + {_GRAM - 1}), ' '))))"
     )
+    W = RL_SUBSTR_W
     return f"""
-WITH base AS (
-  SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RL_CLONE_BASE} AS doc_id, substr(text, 30, 200) AS text
+  FROM documents WHERE doc_id % {RL_CLONE_MOD} = {RL_CLONE_OFF}
+), base AS (
+  SELECT doc_id, text, {_TOKENS} AS toks FROM corpus
 ), cand AS (
   SELECT doc_id, text, toks FROM base
   WHERE doc_id % {EVAL_MOD} <> 0
@@ -200,16 +268,74 @@ WITH base AS (
   WHERE {_est_sim} >= 0.5
 ), c3 AS (
   SELECT * FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+), wtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS wt FROM c3
+), wth AS (
+  SELECT doc_id, len(wt) AS n, list_transform(wt, t -> {_h32('t')}) AS th
+  FROM wtoks
+), wg AS (
+  SELECT doc_id,
+         list_transform(range(1, n - {FP_K} + 2), i -> {_FP_POLY}) AS gh
+  FROM wth WHERE n >= {FP_K}
+), ww AS (
+  SELECT doc_id, gh,
+         list_distinct(list_transform(range(1, len(gh) - {FP_W} + 2), j ->
+           list_max(list_transform(range(0, {FP_W}), o ->
+             CASE WHEN gh[j + o] = list_min(gh[j : j + {FP_W} - 1])
+                  THEN j + o ELSE 0 END)))) AS sel
+  FROM wg WHERE len(gh) >= {FP_W}
+), wex AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(sel, p -> gh[p]))) AS fp
+  FROM ww
+), wshared AS (
+  SELECT fp FROM wex GROUP BY fp HAVING count(*) >= 2
+), wcand AS (
+  SELECT DISTINCT doc_id FROM wex JOIN wshared USING (fp)
+), swins AS (
+  SELECT w.doc_id, CAST(len(wt) AS BIGINT) AS n_tokens, CAST(i AS INT) AS pos,
+         md5(array_to_string(wt[i + 1 : i + {W}], ' ')) AS wh
+  FROM wtoks w JOIN wcand USING (doc_id),
+       LATERAL unnest(range(CAST(len(wt) - {W - 1} AS BIGINT))) u(i)
+  WHERE len(wt) >= {W}
+), sflag AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+    FROM swins
+  ) WHERE rn > 1
+), sbrk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > coalesce(max(pos + {W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM sflag
+), sg AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM sbrk
+), sspans AS (
+  SELECT doc_id, min(n_tokens) AS n_tokens,
+         min(pos) AS s, max(pos) + {W} AS e
+  FROM sg GROUP BY doc_id, isl
+), toodup AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(n_tokens) AS n_tokens, sum(e - s) AS removed
+    FROM sspans GROUP BY doc_id
+  ) WHERE removed * {RL_DUP_DEN} >= n_tokens * {RL_DUP_NUM}
+), c4 AS (
+  SELECT * FROM c3 WHERE doc_id NOT IN (SELECT doc_id FROM toodup)
 ), eg AS (
   SELECT DISTINCT unnest({grams}) AS g
   FROM base WHERE doc_id % {EVAL_MOD} = 0 AND len(toks) >= {_GRAM}
 ), contaminated AS (
   SELECT DISTINCT doc_id
   FROM (SELECT doc_id, unnest({grams}) AS g
-        FROM c3 WHERE len(toks) >= {_GRAM}) dg
+        FROM c4 WHERE len(toks) >= {_GRAM}) dg
   JOIN eg USING (g)
 ), clean AS (
-  SELECT * FROM c3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  SELECT * FROM c4 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
 SELECT {_h32("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
        count(*) AS n_docs,
