@@ -551,6 +551,42 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "keepers join back on the block-hash key"),
         (r"!PythonUDF", "block building + digests are codegen"),
     ],
+    # ---- round 8 additions
+    "qc3_logreg_train": [
+        (r"InMemoryTableScan", "featurized training frame persisted — tokenize/hash/label computed once for all 3 GD iterations"),
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-iteration gradient is a partial (map-side combined) 512-key aggregate — the only corpus-sized exchange"),
+        (r"BroadcastNestedLoopJoin", "the 512-weight array rides a 1-row broadcast; the margin fold is in-row, zero shuffle per scan"),
+        (r"!PythonUDF", "hard-sigmoid GD is entirely codegen integer arithmetic"),
+    ],
+    "qc4_logreg_accuracy": [
+        (r"ReadSchema: struct<text:string>", "scan reads only text — doc ids pruned"),
+        (r"BroadcastNestedLoopJoin", "trained weights broadcast for the in-row scoring pass"),
+    ],
+    "sim7_knn_ivfpq": [
+        (r"WindowGroupLimit", "per-query rank<=k executes as partial (map-side) top-k"),
+        (r"BroadcastHashJoin", "code table joins the queries-x-nprobe broadcast on the small int cell key — corpus never shuffled"),
+        (r"BroadcastNestedLoopJoin", "packed codebook/centroid arrays ride 1-row broadcasts; encode + LUTs are in-row"),
+        (r"!PythonUDF", "ADC is codegen integer arithmetic (map lookups + adds)"),
+    ],
+    "sim8_ivfpq_recall": [
+        (r"WindowGroupLimit", "both truth and ADC top-k run as partial top-k"),
+        (r"TakeOrderedAndProject", "the fixed 50-query budget is a partial top-k over h32"),
+    ],
+    "ln4_substring_probe": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "batch-local (count, min-code) aggregates partial-combine map-side before merging with the stored index"),
+        (r"BroadcastHashJoin", "the small batch digest set broadcasts against the index join at this scale (AQE decides; bucketed co-location at 100 TB)"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", "scan reads only id+text"),
+    ],
+    "tx15_bpe_roundtrip": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "round-trip census partial-aggregates on the tiny source key"),
+        (r"ReadSchema: struct<text:string,source:string>", "scan reads only text+source"),
+        (r"!PythonUDF", "encode chain and decode (join/split/join) are codegen"),
+    ],
+    "xm2_winnow_compaction": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "per-doc max(ver) is a partial (map-side combined) aggregate"),
+        (r"Join type: LeftAnti", "tombstones drop via anti-join, strategy left to AQE (the tombstone set grows with the corpus)"),
+        (r"ObjectHashAggregate", "per-doc fingerprint digest folds with map-side partial collect_list"),
+    ],
 }
 
 

@@ -96,6 +96,13 @@ HEADLINERS = [
     "ln2_substring_dedup",
     "sd2_text_embed_neardup",
     "fp1_winnowing_fps",
+    # round-8 additions
+    "qc3_logreg_train",
+    "sim7_knn_ivfpq",
+    "sim8_ivfpq_recall",
+    "ln4_substring_probe",
+    "xm2_winnow_compaction",
+    "tx15_bpe_roundtrip",
 ]
 
 
