@@ -572,6 +572,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit", "both truth and ADC top-k run as partial top-k"),
         (r"TakeOrderedAndProject", "the fixed 50-query budget is a partial top-k over h32"),
     ],
+    "sim9_ivfpq_rerank": [
+        (r"WindowGroupLimit", "both the R*k ADC nomination and the exact re-rank run as partial top-k"),
+        (r"BroadcastHashJoin", "the R*|queries|-row candidate list broadcasts against the vector store (point-lookup pattern at 100 TB)"),
+    ],
     "ln4_substring_probe": [
         (r"(?s)HashAggregate.*Exchange.*HashAggregate", "batch-local (count, min-code) aggregates partial-combine map-side before merging with the stored index"),
         (r"BroadcastHashJoin", "the small batch digest set broadcasts against the index join at this scale (AQE decides; bucketed co-location at 100 TB)"),

@@ -100,6 +100,7 @@ HEADLINERS = [
     "qc3_logreg_train",
     "sim7_knn_ivfpq",
     "sim8_ivfpq_recall",
+    "sim9_ivfpq_rerank",
     "ln4_substring_probe",
     "xm2_winnow_compaction",
     "tx15_bpe_roundtrip",
