@@ -773,6 +773,25 @@ class TestExactSubstringDedup:
         assert wide == {0: [(6, 12)], 1: [(0, 4)]}
 
 
+class TestIvfPqRerank:
+    def test_rerank_never_loses_to_pure_adc(self, spark):
+        """Per query, sim9's reranked hits >= sim8's pure-ADC hits —
+        provable: the ADC top-5 is a subset of the R*k candidate set,
+        and within any candidate set exact re-ranking places every
+        truth member above every non-member (truth = exact-L2 top-k,
+        so members beat non-members on the exact metric)."""
+        from aristoteles_spark.queries.clustering import (
+            q_ivfpq_recall,
+            q_ivfpq_rerank,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        adc = {r.query_id: r.pq_hits for r in q_ivfpq_recall(spark, sf).collect()}
+        rr = {r.query_id: r.rr_hits for r in q_ivfpq_rerank(spark, sf).collect()}
+        assert set(adc) == set(rr) and len(rr) > 0
+        assert all(rr[q] >= adc[q] for q in rr), (adc, rr)
+
+
 class TestCompactLatestWins:
     def test_stale_rows_drop_as_a_unit_and_tombstones_vanish(self, spark):
         """xm2's contract: a newer version's row SET replaces the old
