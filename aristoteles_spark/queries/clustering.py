@@ -375,6 +375,26 @@ def _ivfpq_query_ids(vq):
     )
 
 
+def _ivfpq_vq(spark, sf_dir):
+    """Quantized-vector table shared across the sim7/sim8/sim9 family
+    (operators/materialize.shared_table — the production shape: the
+    int table is written once). Under the scale sweep's
+    NO_SHARED_TABLES regime each query still materializes its own copy
+    (audit_barrier), so per-query growth ratios stay honest."""
+    import os
+
+    from aristoteles_spark.operators.barrier import audit_barrier
+    from aristoteles_spark.operators.materialize import shared_table
+
+    if os.environ.get("SPARK_GRAFT_NO_SHARED_TABLES") == "1":
+        return audit_barrier(_vq(spark, sf_dir))
+    return shared_table(
+        spark,
+        ("ivfpq_vq", os.path.abspath(sf_dir)),
+        lambda: _vq(spark, sf_dir),
+    )
+
+
 def _ivfpq_parts(spark, sf_dir):
     """Shared IVF-PQ build: returns (vq, index, qx) where
 
@@ -396,27 +416,39 @@ def _ivfpq_parts(spark, sf_dir):
     the code table against a <= queries x nprobe row broadcast on the
     small int cell key and never reads the embedding column — scan
     width 6 ints, no shuffle before the final per-query top-k."""
-    from functools import reduce
+    import os
 
-    from aristoteles_spark.operators.barrier import audit_barrier
     from aristoteles_spark.operators.clustering import dist2q
+    from aristoteles_spark.operators.materialize import shared_table
 
-    vq = audit_barrier(_vq(spark, sf_dir))
+    sfa = os.path.abspath(sf_dir)
+    vq = _ivfpq_vq(spark, sf_dir)
     c0 = _init_cents(vq)
     packed_c0 = F.broadcast(
         c0.select(F.struct("cid", "cq").alias("c"))
         .groupBy()
         .agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
-    cbs = []
-    for s in range(N_SUB):
-        sub = vq.select(
-            "vec_id", F.slice("xq", s * SUB_DIM + 1, SUB_DIM).alias("xq")
-        )
-        seeds = _init_cents(sub, IVFPQ_CB_MOD, IVFPQ_CB_OFF, IVFPQ_CB_CAP)
-        cb = pack_centroids(update(assign(sub, seeds)))
-        cbs.append(cb.withColumn("sub", F.lit(s)))
-    allcb = reduce(lambda a, b: a.unionByName(b), cbs)
+
+    def build_allcb():
+        from functools import reduce
+
+        cbs = []
+        for s in range(N_SUB):
+            sub = vq.select(
+                "vec_id", F.slice("xq", s * SUB_DIM + 1, SUB_DIM).alias("xq")
+            )
+            seeds = _init_cents(
+                sub, IVFPQ_CB_MOD, IVFPQ_CB_OFF, IVFPQ_CB_CAP
+            )
+            cb = pack_centroids(update(assign(sub, seeds)))
+            cbs.append(cb.withColumn("sub", F.lit(s)))
+        return reduce(lambda a, b: a.unionByName(b), cbs)
+
+    # the trained codebook table (~4 x <=286 tiny rows, but its BUILD is
+    # the 4 subspace Lloyd passes) is the second stored artifact —
+    # training runs once per session, not once per family member
+    allcb = shared_table(spark, ("ivfpq_cb", sfa), build_allcb)
     packed_cb = F.broadcast(
         allcb.select(F.struct("sub", "cid", "cq").alias("c"))
         .groupBy()
@@ -444,7 +476,7 @@ def _ivfpq_parts(spark, sf_dir):
         )["cid"]
 
     enc = vq.join(packed_c0).join(packed_cb)
-    index = enc.select(
+    index_built = enc.select(
         F.col("vec_id").alias("neighbor_id"),
         F.array_min(cell_structs)["cid"].alias("cell"),
         *[code_for(s).alias(f"code{s}") for s in range(N_SUB)],
@@ -477,6 +509,15 @@ def _ivfpq_parts(spark, sf_dir):
             *[f"m{s}" for s in range(N_SUB)],
         )
     )
+    # the code table IS the stored index (what a deployment writes);
+    # the exploded query/LUT frame is tiny — memoizing both makes
+    # sim7/sim8/sim9 consume the same artifacts instead of re-encoding
+    # the corpus per family member
+    index = shared_table(
+        spark, ("ivfpq_index", sfa), lambda: index_built
+    )
+    qx_built = qx
+    qx = shared_table(spark, ("ivfpq_qx", sfa), lambda: qx_built)
     return vq, index, qx
 
 

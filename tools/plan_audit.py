@@ -559,8 +559,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         (r"!PythonUDF", "hard-sigmoid GD is entirely codegen integer arithmetic"),
     ],
     "qc4_logreg_accuracy": [
-        (r"ReadSchema: struct<text:string>", "scan reads only text — doc ids pruned"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", "scan reads only id+text (the id feeds the shared frame's holdout-split column; qc4 ignores it)"),
         (r"BroadcastNestedLoopJoin", "trained weights broadcast for the in-row scoring pass"),
+    ],
+    "qc5_logreg_holdout": [
+        (r"(?s)HashAggregate.*Exchange.*HashAggregate", "gradient and census both partial-aggregate map-side"),
+        (r"BroadcastNestedLoopJoin", "trained weights broadcast for the all-slices scoring pass"),
     ],
     "sim7_knn_ivfpq": [
         (r"WindowGroupLimit", "per-query rank<=k executes as partial (map-side) top-k"),

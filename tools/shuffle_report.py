@@ -98,6 +98,7 @@ HEADLINERS = [
     "fp1_winnowing_fps",
     # round-8 additions
     "qc3_logreg_train",
+    "qc5_logreg_holdout",
     "sim7_knn_ivfpq",
     "sim8_ivfpq_recall",
     "sim9_ivfpq_rerank",
