@@ -52,8 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if df is None:
             from pyspark import StorageLevel
 
-            df = _load_table_scan(spark, sf_dir, name).persist(
-                StorageLevel.MEMORY_AND_DISK
+            # Cache at full parallelism, not at scan parallelism: the test
+            # tables are single-row-group parquet, so the raw scan is ONE
+            # partition and the cache would hold ONE block. Catalyst pushes
+            # filters through Repartition, so an expensive predicate above a
+            # later fan_out() lands directly on the cached scan — and a
+            # 1-block cache then runs it on one core (measured: rl1's
+            # classifier+langid gate 8.5 s single-task vs ~0.4 s parallel at
+            # sf0.1). On a cluster the hot-table cache is partitioned by the
+            # cluster's scan splits; local single-file inputs need the
+            # explicit spread. Round-robin repartition keeps results
+            # partition-independent (no declared query depends on row
+            # placement; oracle runs don't set the cache flag at all).
+            df = (
+                _load_table_scan(spark, sf_dir, name)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             _TABLE_CACHE[key] = df
         return df
