@@ -120,6 +120,8 @@ def logreg_train(
     Empty input is a valid no-op: the gradient left-join yields NULL
     for every bucket, coalesced to a zero update BEFORE the /n division
     is evaluated — the returned weights are all zero, no 0-division."""
+    from aristoteles_spark.operators.barrier import audit_barrier
+
     spark = feats.sparkSession
     cnt = F.broadcast(feats.groupBy().agg(F.count(F.lit(1)).alias("n")))
     w = spark.range(n_buckets).select(
@@ -160,4 +162,13 @@ def logreg_train(
                 ).alias("w"),
             )
         )
+        # Iteration barrier (the km/Lloyd loop discipline, ADVICE r8):
+        # w is consumed twice next iteration (the _pack broadcast margin
+        # AND the update join), so without a checkpoint the unresolved
+        # subtree doubles per iteration — O(2^iters) corpus passes at
+        # execution time (measured at sf0.1: qc3 ran ~8 gradient-sized
+        # jobs for iters=3, 3 after this barrier). Checkpointing the
+        # n_buckets-row weight table is trivial; flag-aware so the plan
+        # audit still sees the full multi-iteration strategy plan.
+        w = audit_barrier(w, eager=True)
     return w
