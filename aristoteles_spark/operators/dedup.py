@@ -829,6 +829,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_allpairs_sigs: int = 4096,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs with signature-estimated similarity.
 
@@ -858,8 +859,19 @@ def minhash_lsh_pairs(
       quadratic compare anywhere), then distinct + est_sim verification.
       Cost is O(n·bands) shuffle + per-bucket pair expansion — exactly
       what LSH bucket sizing controls.
+
+    ``sigs`` (optional): a precomputed ``minhash_signatures()`` frame
+    (doc, sig) for exactly ``df``'s rows — the stored signature-index
+    table of a production pipeline (round 9: the suite materializes it
+    once per session and every minhash consumer reads it instead of
+    re-hashing the corpus). Signatures are pure per-row functions of the
+    text, so results are identical either way.
     """
-    members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    members = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes)
+    ).persist()
     n_members = members.count()
     uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
     sig_pairs = _minhash_sig_pairs(uniq, num_hashes, bands, threshold, max_allpairs_sigs)
@@ -908,6 +920,7 @@ def minhash_cluster_edges(
     bands: int = 4,
     threshold: float = 0.5,
     max_allpairs_sigs: int = 4096,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) edge set with the SAME connected components as
     ``minhash_lsh_pairs`` but without clique expansion.
@@ -926,8 +939,15 @@ def minhash_cluster_edges(
     ``minhash_lsh_pairs`` — the agreement count null-propagates and the
     identical-signature path filters them — so they get no star edges
     here either and stay isolated, keeping components identical.
+
+    ``sigs``: optional precomputed signature frame (see
+    ``minhash_lsh_pairs``) — identical results, no re-hash pass.
     """
-    members = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    members = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes)
+    ).persist()
     members.count()
     full = members.filter(F.forall("sig", lambda x: x.isNotNull()))
     uniq = members.groupBy("sig").agg(F.count("*").alias("n")).persist()
@@ -1054,15 +1074,21 @@ def minhash_banded(
     num_hashes: int = 16,
     bands: int = 4,
     use_small_vocab: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_<side>, sig_<side>, band, digest) — the stored form of a
     banded LSH index: each doc's signature exploded into its per-band
     digests. In production this frame is materialized ONCE (bucketed on
     the digest) and incremental batches hash-join straight into it; the
     streaming probe (st13) persists it across microbatches for exactly
-    that reason."""
+    that reason. ``sigs``: optional precomputed signature frame (see
+    ``minhash_lsh_pairs``) — identical results, no re-hash pass."""
     rpb = num_hashes // bands
-    s = minhash_signatures(df, text_col, id_col, num_hashes, use_small_vocab)
+    s = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, use_small_vocab)
+    )
     return s.select(
         F.col("doc").alias(f"doc_{side}"),
         F.col("sig").alias(f"sig_{side}"),
@@ -1514,16 +1540,19 @@ def banded_index_grouped(
     num_hashes: int = 16,
     bands: int = 4,
     use_small_vocab: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(sig_i, band, digest, cnt_i) — the banded LSH index collapsed to
     DISTINCT signatures with per-signature doc counts: the stored
     probe-side form (round 7). est_sim is a pure function of the
     signature pair, so identical-signature docs (the common case in a
     dup-heavy corpus — 2.6x on the synthetic one) collapse once here
-    instead of multiplying every probe's candidate join."""
+    instead of multiplying every probe's candidate join. ``sigs``:
+    optional precomputed signature frame (see ``minhash_lsh_pairs``)."""
     return (
         minhash_banded(
-            docs, "i", text_col, id_col, num_hashes, bands, use_small_vocab
+            docs, "i", text_col, id_col, num_hashes, bands, use_small_vocab,
+            sigs=sigs,
         )
         .groupBy("sig_i", "band", "digest")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt_i"))

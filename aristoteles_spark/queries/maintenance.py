@@ -189,25 +189,38 @@ def q_index_compaction(spark, sf_dir):
     from aristoteles_spark.operators.dedup import (
         compact_banded_indexes,
         minhash_banded,
+        minhash_signatures,
     )
+    from aristoteles_spark.queries.dedup import minhash_sig_table
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     day = F.col("doc_id") % N_DAYS
     revised = (F.col("doc_id") % REINGEST_MOD == REINGEST_OFF) & (
         day != N_DAYS - 1
     )
+    # Round 9: daily signatures are day-predicate slices of the session-
+    # shared signature table (per-row purity — a filtered slice is
+    # bit-identical to re-signing the slice); only the ~n/(3*11) REVISED
+    # docs (text differs: ' rev7' suffix) are signed fresh. Through
+    # round 8 each daily re-ran the full tokenize+md5+minhash scan, so
+    # the corpus was signed 3x per xm1 call (plus 3 vocab-probe jobs).
+    sig_all = minhash_sig_table(spark, sf_dir)
+    sig_day = F.col("doc") % N_DAYS
     dailies = []
     for i in range(N_DAYS):
-        batch = d.filter(day == i).select("doc_id", "text")
+        sigs_i = sig_all.filter(sig_day == i)
         if i == N_DAYS - 1:
-            batch = batch.unionByName(
-                d.filter(revised).select(
-                    "doc_id", F.concat("text", F.lit(" rev7")).alias("text")
+            rev_batch = d.filter(revised).select(
+                "doc_id", F.concat("text", F.lit(" rev7")).alias("text")
+            )
+            sigs_i = sigs_i.unionByName(
+                minhash_signatures(
+                    rev_batch, num_hashes=NUM_HASHES, use_small_vocab=False
                 )
             )
         dailies.append(
             minhash_banded(
-                batch, "i", num_hashes=NUM_HASHES, bands=BANDS
+                d, "i", num_hashes=NUM_HASHES, bands=BANDS, sigs=sigs_i
             ).withColumn("ver", F.lit(i))
         )
     tombs = d.filter(F.col("doc_id") % TOMB_MOD == TOMB_OFF).select(
@@ -245,25 +258,31 @@ def q_winnow_compaction(spark, sf_dir):
     per-doc digest agg carries only surviving fingerprints (~grams/W
     per doc, the winnowing density bound)."""
     from aristoteles_spark.operators.dedup import compact_latest_wins
-    from aristoteles_spark.queries.dedup import winnow_per_doc
+    from aristoteles_spark.queries.dedup import (
+        winnow_fp_table,
+        winnow_per_doc,
+    )
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     day = F.col("doc_id") % N_DAYS
     revised = (F.col("doc_id") % REINGEST_MOD == REINGEST_OFF) & (
         day != N_DAYS - 1
     )
+    # Round 9: daily fingerprint sets are day-predicate slices of the
+    # session-shared base fingerprint table (selection is per-row pure);
+    # only the revised docs' new text is fingerprinted fresh. Through
+    # round 8 each daily re-ran the full gram-hash + window-select scan.
+    fp_all = winnow_fp_table(spark, sf_dir)
     dailies = []
     for i in range(N_DAYS):
-        batch = d.filter(day == i).select("doc_id", "text")
+        per_i = fp_all.filter(F.col("doc_id") % N_DAYS == i)
         if i == N_DAYS - 1:
-            batch = batch.unionByName(
-                d.filter(revised).select(
-                    "doc_id", F.concat("text", F.lit(" rev7")).alias("text")
-                )
+            rev_batch = d.filter(revised).select(
+                "doc_id", F.concat("text", F.lit(" rev7")).alias("text")
             )
+            per_i = per_i.unionByName(winnow_per_doc(rev_batch))
         dailies.append(
-            winnow_per_doc(batch)
-            .select("doc_id", F.explode("fps").alias("fp"))
+            per_i.select("doc_id", F.explode("fps").alias("fp"))
             .withColumn("ver", F.lit(i))
         )
     tombs = d.filter(F.col("doc_id") % TOMB_MOD == TOMB_OFF).select(

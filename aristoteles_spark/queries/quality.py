@@ -494,6 +494,34 @@ def _logreg_feats_shared(spark, sf_dir):
     )
 
 
+def _logreg_weights_shared(spark, sf_dir, feats):
+    """The full-corpus trained weight table shared by qc3 (which emits
+    it) and qc4 (which scores with it) — the model-registry shape: a
+    production pipeline trains the gate once and writes the weights;
+    every scoring pass reads them (round 9, the _logreg_feats_shared
+    discipline one level up). Training is fixed-iteration integer-exact
+    GD, so the memoized table is value-identical to a rebuild. qc5's
+    weights are NOT shared: its model trains on the 80% split only — a
+    different artifact. Under the scale sweep's NO_SHARED_TABLES regime
+    both queries train their own model (growth ratios stay honest)."""
+    import os
+
+    from aristoteles_spark.operators.logreg import logreg_train
+    from aristoteles_spark.operators.materialize import shared_table
+
+    return shared_table(
+        spark,
+        (
+            "logreg_weights", os.path.abspath(sf_dir),
+            LOGREG_BUCKETS, LOGREG_ITERS, LOGREG_LR_DIV,
+        ),
+        lambda: logreg_train(
+            feats, n_buckets=LOGREG_BUCKETS, iters=LOGREG_ITERS,
+            lr_div=LOGREG_LR_DIV,
+        ),
+    )
+
+
 def q_logreg_train(spark, sf_dir):
     """qc3 — in-engine trained quality classifier: LOGREG_ITERS rounds
     of full-batch hard-sigmoid logistic GD (operators/logreg.py),
@@ -501,13 +529,8 @@ def q_logreg_train(spark, sf_dir):
     CCNet/FineWeb loop: qc1 applies fixed weights, this PRODUCES them.
     Measured at sf0.01: train accuracy 788000 ppm on a 50.0%-positive
     label (chance = 500000)."""
-    from aristoteles_spark.operators.logreg import logreg_train
-
     feats = _logreg_feats_shared(spark, sf_dir).persist()
-    w = logreg_train(
-        feats, n_buckets=LOGREG_BUCKETS, iters=LOGREG_ITERS,
-        lr_div=LOGREG_LR_DIV,
-    )
+    w = _logreg_weights_shared(spark, sf_dir, feats)
     out = w.select(
         F.col("b").alias("bucket"), F.col("w").alias("w_q")
     ).orderBy("bucket")
@@ -519,17 +542,10 @@ def q_logreg_accuracy(spark, sf_dir):
     training doc with the trained weights (sign of the in-row margin)
     and aggregate (n_docs, n_correct, acc_ppm). One extra zero-shuffle
     corpus pass after training."""
-    from aristoteles_spark.operators.logreg import (
-        _pack,
-        logreg_train,
-        margin,
-    )
+    from aristoteles_spark.operators.logreg import _pack, margin
 
     feats = _logreg_feats_shared(spark, sf_dir).persist()
-    w = logreg_train(
-        feats, n_buckets=LOGREG_BUCKETS, iters=LOGREG_ITERS,
-        lr_div=LOGREG_LR_DIV,
-    )
+    w = _logreg_weights_shared(spark, sf_dir, feats)
     z = margin(F.col("bkts"), F.col("warr"))
     scored = feats.join(_pack(w)).select(
         ((z > 0).cast("int") == F.col("y")).cast("int").alias("ok")

@@ -303,8 +303,17 @@ def _stream_neardup_run(spark, sf_dir):
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     idx = _IDX_CACHE.get(key)
     if idx is None:
+        # round 9: index-side signatures are a slice of the session-
+        # shared signature table (queries/dedup.minhash_sig_table) —
+        # same values, no re-sign pass on first build
+        from aristoteles_spark.queries.dedup import minhash_sig_table
+
+        sig_all = minhash_sig_table(spark, sf_dir)
         idx = banded_index_grouped(
-            index_docs, num_hashes=NUM_HASHES, bands=BANDS
+            index_docs, num_hashes=NUM_HASHES, bands=BANDS,
+            sigs=sig_all.filter(
+                h32(F.col("doc").cast("string")) % NDSPLIT_MOD != 0
+            ),
         ).persist()
         idx.count()  # materialize once; every trigger joins into it
         _IDX_CACHE[key] = idx

@@ -243,6 +243,54 @@ class TestAdaptiveLsh:
         }
         assert banded == allpairs and len(allpairs) > 0
 
+    def test_precomputed_sigs_identical(self, spark):
+        """Round 9: every minhash consumer may pass a precomputed
+        signature frame (the session-shared signature table). The sigs=
+        route must be value-identical to in-operator signing, including
+        for FILTERED slices (signatures are per-row pure)."""
+        from pyspark.sql import functions as F
+
+        from aristoteles_spark.operators.dedup import (
+            banded_index_grouped,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        kw = dict(num_hashes=16, bands=4, threshold=0.5)
+        sigs = minhash_signatures(d, num_hashes=16)
+        direct = {
+            (r.doc_a, r.doc_b, round(r.est_sim, 9))
+            for r in minhash_lsh_pairs(d, **kw).collect()
+        }
+        via_sigs = {
+            (r.doc_a, r.doc_b, round(r.est_sim, 9))
+            for r in minhash_lsh_pairs(d, sigs=sigs, **kw).collect()
+        }
+        assert via_sigs == direct and len(direct) > 0
+
+        # filtered-slice equivalence (nd1/xm1's pattern): signing the
+        # subset == slicing the full signature table
+        subset = d.filter(F.col("doc_id") % 3 == 0)
+        a = {
+            tuple(r)
+            for r in banded_index_grouped(subset, num_hashes=16, bands=4)
+            .select("band", "digest", "cnt_i")
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in banded_index_grouped(
+                subset,
+                num_hashes=16,
+                bands=4,
+                sigs=sigs.filter(F.col("doc") % 3 == 0),
+            )
+            .select("band", "digest", "cnt_i")
+            .collect()
+        }
+        assert a == b and len(a) > 0
+
 
 class TestAdaptiveJaccard:
     def test_prefix_index_path_matches_bitset(self, spark):
