@@ -19,6 +19,7 @@ avoids the shuffle when bucket counts match or divide evenly).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -35,7 +36,13 @@ def write_bucketed(
     sort-merge join needs no per-task Sort either.
     """
     w = (
-        df.write.mode("overwrite")
+        # cluster by the bucket key first: bucketBy writes one file per
+        # (task, bucket) pair, so a T-task upstream lands T*num_buckets
+        # files and every later bucketed scan opens them all; hash-
+        # repartitioning to the bucket count gives exactly one file per
+        # bucket (the layout a bucketed table is supposed to have)
+        df.repartition(num_buckets, F.col(key))
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, key)
     )

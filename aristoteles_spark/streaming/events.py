@@ -616,7 +616,11 @@ def run_cdc_upsert(
             upsert_by_key(spark, table_dir, w, ["user_id"], "bucket")
         else:
             (
-                w.write.mode("overwrite")
+                # cluster by bucket before the seed write — one file per
+                # bucket dir instead of one per (task x bucket); see
+                # sinks/merge.py on the small-file cascade
+                w.repartition(F.col("bucket"))
+                .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(table_dir)
             )
