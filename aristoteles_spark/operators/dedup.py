@@ -983,6 +983,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_allpairs_sketches: int = 65536,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with banded blocking.
 
@@ -999,7 +1000,13 @@ def simhash_pairs(
     """
     nblocks = max_hamming + 1
     width = 32 // nblocks + (1 if 32 % nblocks else 0)
-    members = simhash_sketches(df, text_col, id_col).persist()
+    # ``sketches``: optional precomputed (doc, simhash) frame — sketches
+    # are per-row pure, so a shared table is bit-identical to re-hashing
+    members = (
+        sketches
+        if sketches is not None
+        else simhash_sketches(df, text_col, id_col)
+    ).persist()
     n_members = members.count()
     uniq = members.groupBy("simhash").agg(F.count("*").alias("n")).persist()
     n_uniq = uniq.count()

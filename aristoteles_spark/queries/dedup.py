@@ -533,9 +533,27 @@ def q_minhash(spark, sf_dir):
     )
 
 
+def simhash_sketch_table(spark, sf_dir):
+    """The full-corpus SimHash sketch table (doc, simhash) — materialized
+    once per session (the minhash_sig_table discipline): sketches are
+    per-row pure, so dd5's census and dd6's pair generation read the
+    same stored table a production pipeline would write once. Bypassed
+    under NO_SHARED_TABLES / the plan audit's NO_BARRIER flag."""
+    import os
+
+    from aristoteles_spark.operators.materialize import shared_table
+
+    def build():
+        d = fan_out(load_table(spark, sf_dir, "documents"))
+        return simhash_sketches(d)
+
+    return shared_table(
+        spark, ("simhash_sketches", os.path.abspath(sf_dir)), build
+    )
+
+
 def q_simhash(spark, sf_dir):
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    return simhash_sketches(d).orderBy("doc")
+    return simhash_sketch_table(spark, sf_dir).orderBy("doc")
 
 
 MAX_HAMMING = 2
@@ -547,7 +565,10 @@ _BWIDTH = 32 // _NBLOCKS + (1 if 32 % _NBLOCKS else 0)
 
 def q_simhash_pairs(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = simhash_pairs(d, max_hamming=MAX_HAMMING)
+    pairs = simhash_pairs(
+        d, max_hamming=MAX_HAMMING,
+        sketches=simhash_sketch_table(spark, sf_dir),
+    )
     return (
         pairs.groupBy("doc_a")
         .agg(F.count("*").alias("n_pairs"), F.min("hamming").alias("min_hamming"))
