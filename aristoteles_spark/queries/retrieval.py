@@ -112,8 +112,12 @@ def q_bm25_search(spark, sf_dir):
         # pass (element, index) — the closure keeps the lambda unary
         return F.size(F.filter("toks", lambda x: x == term))
 
-    for t in terms:
-        scored = scored.withColumn(f"tf_{t}", tf_of(t))
+    # one select, not a withColumn chain: each withColumn re-analyzes
+    # the whole plan, and this query's tree is wide enough that the
+    # chain's analyzer cost was ~12% of its wall (measured 1.75 -> 1.55s)
+    scored = scored.select(
+        "*", *[tf_of(t).alias(f"tf_{t}") for t in terms]
+    )
 
     def qscore(ts: list[str]):
         parts = [

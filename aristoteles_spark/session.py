@@ -38,6 +38,17 @@ def get_spark(
         # Python Data Source API (sources/wview_datasource.py): allow
         # pushFilters() to prune partitions/rows at planning time
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # codegen class cache sized for a many-query session: the default
+        # 100 entries thrash under hundreds of distinct queries — every
+        # pass recompiles every WholeStageCodegen unit through Janino
+        # (measured: a 50-query slice of the suite ran 23% faster at
+        # 10000, mirrored A/B sum-of-mins 39.5 -> 30.3 s). Generated
+        # classes are a few KB each; real usage is a few thousand
+        # entries, so the cap is headroom, not a memory commitment.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
