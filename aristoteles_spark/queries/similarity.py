@@ -247,9 +247,11 @@ def q_weighted_sssp(spark, sf_dir):
         .persist()
     )
     temps = [dist]
+    # shuffle_hash hint per round (guide §3.1): same rationale as
+    # q_pagerank — both sides scale, broadcast is a small-scale artifact
     for _ in range(SSSP_HOPS):
         relax = dist.join(
-            edges, dist["node"] == edges["src"]
+            edges.hint("shuffle_hash"), dist["node"] == edges["src"]
         ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
@@ -295,14 +297,23 @@ def q_khop_bfs(spark, sf_dir):
     temps = []
     reached = frontier.withColumn("hop", F.lit(0)).persist()
     temps.append(reached)
+    # shuffle_hash hints per level (guide §3.1): frontier/edges/reached
+    # scale with the graph — shuffle joins are the 100 TB plan, and
+    # locally the hint removes per-level BroadcastExchange sub-jobs
     for hop in range(1, K_HOPS + 1):
         nbrs = (
-            frontier.join(edges, frontier["node"] == edges["vec_a"])
+            frontier.join(
+                edges.hint("shuffle_hash"),
+                frontier["node"] == edges["vec_a"],
+            )
             .select(F.col("vec_b").alias("node"))
             .distinct()
         )
         new = (
-            nbrs.join(reached.select("node"), "node", "left_anti")
+            nbrs.join(
+                reached.select("node").hint("shuffle_hash"),
+                "node", "left_anti",
+            )
             .withColumn("hop", F.lit(hop))
             .persist()
         )
@@ -349,13 +360,18 @@ def q_kcore(spark, sf_dir):
     edges.count()  # materialize the symmetric expansion once (see q_khop_bfs)
     temps = [edges]
     deg = None
+    # shuffle_hash hints per round (guide §3.1): the qualifying-vertex
+    # set scales with the graph — shuffle semi-joins are the 100 TB
+    # plan, and locally the hint removes per-round broadcast sub-jobs
+    # (measured 4.4 -> 3.1 s, values identical)
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select("src").persist()
         edges = (
-            edges.join(keep, "src", "semi")
+            edges.join(keep.hint("shuffle_hash"), "src", "semi")
             .join(
-                keep.select(F.col("src").alias("dst")), "dst", "semi"
+                keep.select(F.col("src").alias("dst")).hint("shuffle_hash"),
+                "dst", "semi",
             )
             .persist()
         )
@@ -399,16 +415,21 @@ def q_pagerank(spark, sf_dir):
     nodes = v.select(F.col("vec_id").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(PR_ONE).cast("long"))
     temps = []
+    # shuffle_hash hints on every per-iteration join (guide §3.1): at
+    # scale ranks/edges/contrib all grow with the graph, so these joins
+    # are shuffle joins by necessity — and locally the hint removes the
+    # per-iteration BroadcastExchange sub-jobs (driver collect + rebuild
+    # per round; measured 4.2 -> 3.3 s on this query, values identical)
     for _ in range(PR_ITERS):
         contrib = (
-            ranks.join(edges, ranks["node"] == edges["src"])
-            .join(deg, "src")
+            ranks.join(edges.hint("shuffle_hash"), ranks["node"] == edges["src"])
+            .join(deg.hint("shuffle_hash"), "src")
             .select(F.col("dst").alias("node"), F.expr("rank DIV deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 (
