@@ -69,6 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .repartition(spark.sparkContext.defaultParallelism)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            # the cached frame is ALREADY spread to full parallelism, so
+            # a later fan_out() over it would be a redundant corpus
+            # exchange (plus the sort-before-repartition) in every
+            # consumer query — mark it so fan_out can no-op (the flag
+            # lives only on cache-mode frames; oracle/audit/sweep runs
+            # never see it and keep their explicit repartition plans)
+            df._aspark_prespread = True
             _TABLE_CACHE[key] = df
         return df
     return _load_table_scan(spark, sf_dir, name)
@@ -102,6 +109,11 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     plain filters/aggregations (Catalyst handles those; the exchange
     would be pure overhead).
     """
+    if parts is None and getattr(df, "_aspark_prespread", False):
+        # session-cached table, already round-robin-spread to
+        # defaultParallelism at cache time: repartitioning again would
+        # shuffle the corpus once more for the same layout
+        return df
     n = parts or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
