@@ -222,6 +222,71 @@ N_SUB = 4
 SUB_DIM = DIM // N_SUB  # 16 dims per subspace
 
 
+def _fused_pq_codebooks(vq, mod=CENT_MOD, off=CENT_OFF, cap=SEED_CAP):
+    """One-pass trainer for all N_SUB subspace codebooks (round 9,
+    guide §1.2 "remove unnecessary passes"): the N_SUB subspace Lloyd
+    trainings are independent, so the N_SUB separate assign scans
+    collapse into ONE corpus scan computing every subspace's in-row
+    argmin, and the N_SUB (cid, dim) update aggregates into ONE keyed
+    by (sub, cid, dim). Value-identical to the per-subspace loop by
+    construction: per subspace the member set, tie-break (struct min on
+    (d2q, cid)) and floor-mean are exactly the per-slice forms
+    ``pack_centroids(update(assign(sub, seeds)))`` ran — pinned by
+    tests/test_extensions.py::test_fused_pq_codebooks_identical.
+    Returns (sub, cid, cq array<long> of SUB_DIM)."""
+    from aristoteles_spark.operators.clustering import dist2q
+
+    seeds = F.broadcast(
+        vq.filter((F.col("vec_id") % mod == off) & (F.col("vec_id") < cap))
+        .select(F.struct(F.col("vec_id").alias("cid"), "xq").alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cs"))
+    )
+
+    def argmin_for(s):
+        sub_xq = F.slice("xq", s * SUB_DIM + 1, SUB_DIM)
+        return F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    dist2q(sub_xq, F.slice(c["xq"], s * SUB_DIM + 1, SUB_DIM))
+                    .alias("d2q"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+
+    assigned = vq.crossJoin(seeds).select(
+        "xq",
+        F.array(*[argmin_for(s) for s in range(N_SUB)]).alias("cids"),
+    )
+    tall = assigned.select(
+        "cids", F.posexplode("xq").alias("pos", "xqv")
+    ).select(
+        (F.col("pos") / F.lit(SUB_DIM)).cast("int").alias("sub"),
+        F.element_at(
+            "cids", (F.col("pos") / F.lit(SUB_DIM)).cast("int") + 1
+        ).alias("cid"),
+        (F.col("pos") % SUB_DIM + 1).alias("dim"),
+        "xqv",
+    )
+    return (
+        tall.groupBy("sub", "cid", "dim")
+        .agg(
+            F.floor(F.sum("xqv").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq"),
+        )
+        .groupBy("sub", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                lambda x: x["cq"],
+            ).alias("cq")
+        )
+    )
+
+
 def q_product_quantize(spark, sf_dir):
     """pq1 — product quantization: split each embedding into 4
     subvectors, train a per-subspace codebook with one Lloyd iteration,
@@ -229,29 +294,23 @@ def q_product_quantize(spark, sf_dir):
     error. The compression step behind IVF-PQ ANN indexes (what a 100 TB
     vector corpus actually stores: 4 small ints instead of 64 floats).
 
-    Plan: codebook training is 4 subspace-sliced Lloyd passes (each =
-    zero-shuffle assign + (k x 16)-key update); the 4 trained codebooks
-    union into ONE ~20-row broadcast; encoding is a single corpus scan
-    with 4 in-row argmins — no shuffle. (A production run would train on
-    a sample rather than the full corpus; the plan shape is unchanged.)
+    Plan: codebook training is ONE fused corpus pass (all 4 subspace
+    argmins in-row, one (sub, cid, dim)-keyed update aggregate — see
+    _fused_pq_codebooks); the 4 trained codebooks form ONE ~20-row
+    broadcast; encoding is a single corpus scan with 4 in-row argmins —
+    no shuffle. (A production run would train on a sample rather than
+    the full corpus; the plan shape is unchanged.)
 
     Determinism: same fixed-point integer arithmetic as km1/km2."""
-    from functools import reduce
-
-    # vq appears five times in one plan (4 subspace trainings + the
-    # encode); materialize the quantized vectors once — at corpus scale
-    # the int-array table is exactly what a PQ index build stores
+    # vq is consumed by the train pass and the encode pass; materialize
+    # the quantized vectors once — at corpus scale the int-array table
+    # is exactly what a PQ index build stores
     from aristoteles_spark.operators.barrier import audit_barrier
 
     vq = audit_barrier(_vq(spark, sf_dir))
-    cbs = []
-    for s in range(N_SUB):
-        sub = vq.select(
-            "vec_id", F.slice("xq", s * SUB_DIM + 1, SUB_DIM).alias("xq")
-        )
-        cb = pack_centroids(update(assign(sub, _init_cents(sub))))
-        cbs.append(cb.withColumn("sub", F.lit(s)))
-    allcb = reduce(lambda a, b: a.unionByName(b), cbs)
+    # Fused training (round 9, guide §1.2 "remove unnecessary passes"):
+    # 5 corpus passes become 2 (train + encode) — see _fused_pq_codebooks.
+    allcb = _fused_pq_codebooks(vq)
     packed = F.broadcast(
         allcb.select(F.struct("sub", "cid", "cq").alias("c"))
         .groupBy()
@@ -431,19 +490,10 @@ def _ivfpq_parts(spark, sf_dir):
     )
 
     def build_allcb():
-        from functools import reduce
-
-        cbs = []
-        for s in range(N_SUB):
-            sub = vq.select(
-                "vec_id", F.slice("xq", s * SUB_DIM + 1, SUB_DIM).alias("xq")
-            )
-            seeds = _init_cents(
-                sub, IVFPQ_CB_MOD, IVFPQ_CB_OFF, IVFPQ_CB_CAP
-            )
-            cb = pack_centroids(update(assign(sub, seeds)))
-            cbs.append(cb.withColumn("sub", F.lit(s)))
-        return reduce(lambda a, b: a.unionByName(b), cbs)
+        # fused one-pass trainer (round 9): N_SUB assign scans -> 1
+        return _fused_pq_codebooks(
+            vq, IVFPQ_CB_MOD, IVFPQ_CB_OFF, IVFPQ_CB_CAP
+        )
 
     # the trained codebook table (~4 x <=286 tiny rows, but its BUILD is
     # the 4 subspace Lloyd passes) is the second stored artifact —

@@ -225,6 +225,42 @@ class TestAnnRecall:
         assert q1 == q2 == IVF_EVAL_QUERIES
 
 
+class TestFusedPqTrainer:
+    def test_fused_pq_codebooks_identical(self, spark):
+        """Round 9: the one-pass fused subspace trainer must emit
+        exactly the codebooks the per-subspace
+        pack_centroids(update(assign(...))) loop trained."""
+        from aristoteles_spark.operators.clustering import (
+            assign,
+            pack_centroids,
+            quantize,
+            update,
+        )
+        from aristoteles_spark.queries.clustering import (
+            N_SUB,
+            SUB_DIM,
+            _fused_pq_codebooks,
+            _init_cents,
+        )
+
+        v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        vq = v.select("vec_id", quantize(F.col("embedding")).alias("xq"))
+        mod, off, cap = 7, 1, 10_000  # denser than pq1's defaults
+        loop = set()
+        for s in range(N_SUB):
+            sub = vq.select(
+                "vec_id", F.slice("xq", s * SUB_DIM + 1, SUB_DIM).alias("xq")
+            )
+            seeds = _init_cents(sub, mod, off, cap)
+            for r in pack_centroids(update(assign(sub, seeds))).collect():
+                loop.add((s, r.cid, tuple(r.cq)))
+        fused = {
+            (r.sub, r.cid, tuple(r.cq))
+            for r in _fused_pq_codebooks(vq, mod, off, cap).collect()
+        }
+        assert fused == loop and len(fused) > 0
+
+
 class TestAdaptiveLsh:
     def test_banded_equijoin_matches_allpairs(self, spark):
         """The two physical strategies (all-pairs over distinct sigs vs
