@@ -1001,9 +1001,12 @@ def simhash_pairs(
     nblocks = max_hamming + 1
     width = 32 // nblocks + (1 if 32 % nblocks else 0)
     # ``sketches``: optional precomputed (doc, simhash) frame — sketches
-    # are per-row pure, so a shared table is bit-identical to re-hashing
+    # are per-row pure, so a shared table is bit-identical to re-hashing.
+    # The caller-supplied frame gets a DETACHED persist via select('*')
+    # (ADVICE r9): persisting/unpersisting the shared table object itself
+    # would silently evict a caller's own cache through _finalize below.
     members = (
-        sketches
+        sketches.select("*")
         if sketches is not None
         else simhash_sketches(df, text_col, id_col)
     ).persist()

@@ -909,11 +909,7 @@ def _lsh_quality_plan(spark, sf_dir):
     Determinism: the sample is a total (h32(doc_id), doc_id) order's
     prefix; counts are integers; precision/recall are floor(1e6*a/b) on
     those integers (the mx1 rule)."""
-    import os
-
     from aristoteles_spark.functions.text import h32
-    from aristoteles_spark.operators.barrier import barrier_disabled
-    from aristoteles_spark.operators.materialize import shared_table
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
 
@@ -928,34 +924,19 @@ def _lsh_quality_plan(spark, sf_dir):
         )
         return d.join(F.broadcast(sample_ids), "doc_id")
 
-    # materialize the 500-row sample ONCE: both pair operators issue
-    # several internal jobs (vocab/signature counts), and each would
-    # otherwise re-run the corpus scan + TakeOrdered underneath
-    # (measured 54s vs 9s at the 10x sweep). Round 9: the sample AND the
-    # exact-Jaccard ground-truth pair table are session-shared
-    # (materialize.shared_table) — both are deterministic evaluation
-    # artifacts a production recall harness writes once and re-reads;
-    # under the scale sweep's NO_SHARED_TABLES regime the old
-    # persist+count path runs instead so per-query growth stays honest.
-    shared_off = (
-        barrier_disabled()
-        or os.environ.get("SPARK_GRAFT_NO_SHARED_TABLES") == "1"
-    )
-    if shared_off:
-        sample_docs = build_sample().persist()
-        sample_docs.count()
-        truth_pairs = ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T)
-    else:
-        sample_docs = shared_table(
-            spark,
-            ("lshq_sample", os.path.abspath(sf_dir), LSHQ_SAMPLE),
-            build_sample,
-        )
-        truth_pairs = shared_table(
-            spark,
-            ("lshq_truth", os.path.abspath(sf_dir), LSHQ_SAMPLE, LSHQ_T),
-            lambda: ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T),
-        )
+    # materialize the 500-row sample ONCE per invocation: both pair
+    # operators issue several internal jobs (vocab/signature counts),
+    # and each would otherwise re-run the corpus scan + TakeOrdered
+    # underneath (measured 54s vs 9s at the 10x sweep). Round 10
+    # (VERDICT r9 item 3): the round-9 session-sharing of the sample and
+    # the exact-Jaccard ground-truth table is REMOVED — both are dd12's
+    # own evaluation intermediates with no other consumer, so memoizing
+    # them across runs was caching dd12's own result; the query now pays
+    # for its truth table every time, like every other query pays for
+    # its own plan.
+    sample_docs = build_sample().persist()
+    sample_docs.count()
+    truth_pairs = ngram_jaccard_pairs(sample_docs, threshold=LSHQ_T)
     truth = truth_pairs.select(
         "doc_a", "doc_b", F.lit(1).alias("in_t")
     )

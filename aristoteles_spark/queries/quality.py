@@ -495,15 +495,16 @@ def _logreg_feats_shared(spark, sf_dir):
 
 
 def _logreg_weights_shared(spark, sf_dir, feats):
-    """The full-corpus trained weight table shared by qc3 (which emits
-    it) and qc4 (which scores with it) — the model-registry shape: a
-    production pipeline trains the gate once and writes the weights;
-    every scoring pass reads them (round 9, the _logreg_feats_shared
-    discipline one level up). Training is fixed-iteration integer-exact
-    GD, so the memoized table is value-identical to a rebuild. qc5's
-    weights are NOT shared: its model trains on the 80% split only — a
-    different artifact. Under the scale sweep's NO_SHARED_TABLES regime
-    both queries train their own model (growth ratios stay honest)."""
+    """The full-corpus trained weight table read by qc4 (the SCORING
+    half of the model-registry shape: a production pipeline trains the
+    gate once and writes the weights; every scoring pass reads them).
+    qc3 — the TRAIN query — does NOT read this memo (round 10, VERDICT
+    r9 item 3): it performs its declared training on every invocation.
+    Training is fixed-iteration integer-exact GD, so the memoized table
+    is value-identical to qc3's fresh run. qc5's weights are NOT shared
+    either: its model trains on the 80% split only — a different
+    artifact. Under the scale sweep's NO_SHARED_TABLES regime qc4
+    trains its own model too (growth ratios stay honest)."""
     import os
 
     from aristoteles_spark.operators.logreg import logreg_train
@@ -528,9 +529,19 @@ def q_logreg_train(spark, sf_dir):
     emitting the quantized weight table. The missing link of the
     CCNet/FineWeb loop: qc1 applies fixed weights, this PRODUCES them.
     Measured at sf0.01: train accuracy 788000 ppm on a 50.0%-positive
-    label (chance = 500000)."""
+    label (chance = 500000).
+
+    Round 10 (VERDICT r9 item 3): qc3 TRAINS on every invocation — a
+    "train" query whose timed run is a memo read of the shared weight
+    table is not performing its declared computation. Only qc4 (the
+    scoring half of the model-registry shape) reads the shared table."""
+    from aristoteles_spark.operators.logreg import logreg_train
+
     feats = _logreg_feats_shared(spark, sf_dir).persist()
-    w = _logreg_weights_shared(spark, sf_dir, feats)
+    w = logreg_train(
+        feats, n_buckets=LOGREG_BUCKETS, iters=LOGREG_ITERS,
+        lr_div=LOGREG_LR_DIV,
+    )
     out = w.select(
         F.col("b").alias("bucket"), F.col("w").alias("w_q")
     ).orderBy("bucket")

@@ -37,8 +37,12 @@ from aristoteles_spark.sources.parquet_source import fan_out, load_table
 
 EVAL_MOD = 7  # doc_id % 7 == 0 is the held-out eval set (as ct1)
 N_SHARDS = 8
-NUM_HASHES = 16
-BANDS = 4
+# shared with queries/dedup BY IMPORT (ADVICE r9): rl1 slices the
+# session-shared minhash_sig_table, whose signature width is dedup's
+# NUM_HASHES — an independent constant here could silently diverge and
+# unionByName would accept different-length sig arrays (element_at past
+# the shorter array yields nulls that quietly drop near-dup matches).
+from aristoteles_spark.queries.dedup import BANDS, NUM_HASHES  # noqa: E402
 # rl1 clone seeding (round 8): a straight-excerpt clone family gives the
 # substring-duplication gate live data — random synthetic text never
 # repeats a 16-token window (ln2's lesson), so without seeding the new
@@ -50,6 +54,30 @@ RL_CLONE_MOD, RL_CLONE_OFF, RL_CLONE_BASE = 13, 4, 4_000_000
 RL_DUP_NUM, RL_DUP_DEN = 1, 4
 RL_SUBSTR_W = 16  # ln2's minimum duplicated-run length
 
+# (applicationId, sf_dir) -> checked flag; see _assert_clone_id_space
+_ID_SPACE_OK: dict[tuple[str, str], bool] = {}
+
+
+def _assert_clone_id_space(spark, sf_dir, raw) -> None:
+    """ADVICE r9: the base/clone routing keys on doc_id < RL_CLONE_BASE,
+    and clone ids are base + RL_CLONE_BASE. If base doc ids ever reach
+    RL_CLONE_BASE, base docs silently take the fresh-sign clone path
+    (values still correct, reuse lost) and clone ids collide with real
+    ids (values WRONG). Assert the precondition once per (session,
+    sf_dir) instead of trusting it."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if _ID_SPACE_OK.get(key):
+        return
+    hi = raw.agg(F.max("doc_id")).first()[0]
+    assert hi is None or hi < RL_CLONE_BASE, (
+        f"rl1: max base doc_id {hi} >= RL_CLONE_BASE {RL_CLONE_BASE}; "
+        "clone ids would collide with real ids — raise RL_CLONE_BASE "
+        "(mirrored in the oracle SQL) before running at this scale"
+    )
+    _ID_SPACE_OK[key] = True
+
 
 def q_release_pipeline(spark, sf_dir):
     from aristoteles_spark.operators.dedup import minhash_signatures
@@ -58,6 +86,7 @@ def q_release_pipeline(spark, sf_dir):
     raw = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
+    _assert_clone_id_space(spark, sf_dir, raw)
     clones = raw.filter(F.col("doc_id") % RL_CLONE_MOD == RL_CLONE_OFF).select(
         (F.col("doc_id") + RL_CLONE_BASE).alias("doc_id"),
         F.substring("text", 30, 200).alias("text"),

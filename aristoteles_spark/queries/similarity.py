@@ -174,13 +174,26 @@ def q_semantic_clusters(spark, sf_dir):
     connected components (operators/graph.py) as the cluster labeling —
     the 'semantic dedup' stage of a pretraining pipeline (SemDeDup-style,
     but with an exact deterministic pair predicate)."""
+    import os
+
+    from aristoteles_spark.operators.barrier import barrier_disabled
     from aristoteles_spark.operators.graph import connected_components
 
     v = _load(spark, sf_dir)
     pairs = _shared_pairs(spark, sf_dir, NEARDUP_T)
     nodes = v.select(F.col("vec_id").alias("doc"))
+    # the shared edge table is already a localCheckpoint barrier, so CC
+    # must not re-materialize it per invocation (round 10; see
+    # connected_components.edges_materialized). Under the audit / scale-
+    # sweep regimes _shared_pairs returns the raw builder instead and CC
+    # keeps its own barrier.
+    shared_on = not (
+        barrier_disabled()
+        or os.environ.get("SPARK_GRAFT_NO_SHARED_TABLES") == "1"
+    )
     return connected_components(
-        nodes, pairs, src_col="vec_a", dst_col="vec_b"
+        nodes, pairs, src_col="vec_a", dst_col="vec_b",
+        edges_materialized=shared_on,
     ).orderBy("node")
 
 

@@ -112,8 +112,13 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     if parts is None and getattr(df, "_aspark_prespread", False):
         # session-cached table, already round-robin-spread to
         # defaultParallelism at cache time: repartitioning again would
-        # shuffle the corpus once more for the same layout
-        return df
+        # shuffle the corpus once more for the same layout. Return a
+        # DETACHED alias (ADVICE r9): handing out the shared cached
+        # DataFrame object itself would let any consumer's persist()/
+        # unpersist() or attribute writes mutate the session-wide cache;
+        # the alias resolves to the same InMemoryRelation via the
+        # CacheManager, so the plan is unchanged.
+        return df.select("*")
     n = parts or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 

@@ -209,6 +209,7 @@ def main() -> None:
         for _ in range(24):
             spark.range(1000).count()
 
+    warmup_timings: dict[str, float] = {}
     probe()  # warm codegen
     sched_probe()
     # probed once per timed pass below (inside the measurement window —
@@ -218,11 +219,30 @@ def main() -> None:
     sched_calibrations: list[float] = [round(_timed(sched_probe), 3)]
 
     # warmup pass: JIT the codegen/broadcast/shuffle paths and populate FS
-    # caches so per-query numbers reflect steady-state throughput
-    for fn in qs.values():
+    # caches so per-query numbers reflect steady-state throughput. The
+    # pass is TIMED (round 10, VERDICT r9 item 2): every one-time session
+    # build — the base-table cache, every operators/materialize shared
+    # table, the streaming staged inputs/stored indexes — lands here, so
+    # warmup_pass_sec plus the per-table shared_table build log makes
+    # that cost explicit instead of silently excluded from every number.
+    t_warm0 = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
         fn(spark, SF_DIR).collect()
+        warmup_timings[name] = round(time.time() - t0, 3)
+    warmup_pass_sec = round(time.time() - t_warm0, 3)
+    try:
+        from aristoteles_spark.operators.materialize import BUILD_LOG
+
+        shared_builds = dict(sorted(BUILD_LOG.items()))
+    except ImportError:
+        shared_builds = {}
+    one_time_build_sec = round(sum(shared_builds.values()), 3)
 
     # two timed passes, per-query MIN: external interference on this host
+    # (warmup_timings is per-query warmup wall — build costs INCLUDED —
+    # so a query whose timed min is far below its warmup time is visibly
+    # amortizing a one-time build; see one_time_build_sec)
     # arrives in multi-minute bursts (measured: a recurring background task
     # inflated whichever contiguous stretch of queries it overlapped by
     # 5-25x). The burst can overlap one pass's stretch but not the same
@@ -289,6 +309,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "warmup_pass_sec": warmup_pass_sec,
+                "warmup_timings": warmup_timings,
+                "one_time_build_sec": one_time_build_sec,
+                "shared_table_build_sec": shared_builds,
                 "calibration_sec": calibration,
                 "calibration_runs": calibrations,
                 "sched_calibration_sec": sched_calibration,
@@ -338,6 +362,19 @@ def main() -> None:
                         "fixed round 3's suite-wide cache-pressure drift, "
                         "and the 100x sweep proves all four sublinear."
                     ),
+                    "one_time_builds": (
+                        "round 10 (VERDICT r9 item 2): the warmup pass is "
+                        "now timed — warmup_pass_sec is its total wall, "
+                        "warmup_timings the per-query warmup walls (one-"
+                        "time builds INCLUDED), shared_table_build_sec the "
+                        "per-table build cost of every operators/"
+                        "materialize shared table and one_time_build_sec "
+                        "their sum. The timed per-query numbers keep the "
+                        "same min-of-2-warm-passes methodology as every "
+                        "previous round (comparable across rounds); the "
+                        "new fields make the previously-untimed session "
+                        "build cost explicit."
+                    ),
                     "cache_tables": (
                         "suite runs with SPARK_GRAFT_CACHE_TABLES=1: the ten "
                         "shared base tables persist once (MEMORY_AND_DISK) "
@@ -364,6 +401,8 @@ def main() -> None:
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
+                "warmup_pass_sec": warmup_pass_sec,
+                "one_time_build_sec": one_time_build_sec,
             }
         )
     )
