@@ -38,7 +38,10 @@ def q_stream_hourly(spark, sf_dir):
 
 def q_stream_user_totals(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
-    out = run_available_now(user_totals_stateful(ev), "st2_user_totals", "append")
+    out = run_available_now(
+        user_totals_stateful(ev), "st2_user_totals", "append",
+        skip_nodata=True,  # no watermark: nothing for a no-data batch to do
+    )
     # one AvailableNow microbatch -> one emitted row per user (final totals)
     return out.orderBy("user_id")
 
@@ -52,7 +55,10 @@ def q_stream_dedup(spark, sf_dir):
 def q_stream_stream_join(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     out = run_available_now(
-        stream_stream_purchase_attribution(ev), "st4_attribution", "append"
+        stream_stream_purchase_attribution(ev), "st4_attribution", "append",
+        # inner join: every match emits in its data batch; the trailing
+        # no-data round only evicts state (no output) — skip it
+        skip_nodata=True,
     )
     return out.orderBy("purchase_id", "click_id")
 
@@ -128,7 +134,10 @@ def q_stream_ewma(spark, sf_dir):
     from aristoteles_spark.streaming.events import user_ewma_stateful
 
     ev = stream_events(spark, sf_dir)
-    out = run_available_now(user_ewma_stateful(ev), "st9_ewma", "append")
+    out = run_available_now(
+        user_ewma_stateful(ev), "st9_ewma", "append",
+        skip_nodata=True,  # no watermark: nothing for a no-data batch to do
+    )
     return out.orderBy("user_id")
 
 
@@ -136,12 +145,12 @@ def q_stream_left_outer(spark, sf_dir):
     """Watermarked LEFT OUTER stream-stream join run to completion:
     unmatched clicks must surface with nulls, which requires watermark
     advancement PAST their join windows — provided by the deterministic
-    flush source (two far-future sentinel microbatches after the data
+    flush source (one far-future sentinel microbatch after the data
     batch; see streaming/events.py:stream_events_with_flush). The
     result equals the batch left join exactly: batch 1 sees all real
-    data under watermark 0 (no drops, all inner matches), batches 2-3
-    advance the watermark beyond every real window (all outer rows
-    flushed)."""
+    data under watermark 0 (no drops, all inner matches), batch 2's
+    sentinel lifts the watermark beyond every real window, and the
+    trailing no-data finalization batch flushes all outer rows."""
     from aristoteles_spark.streaming.events import (
         SENTINEL_USER,
         stream_events_with_flush,

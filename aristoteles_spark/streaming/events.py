@@ -347,7 +347,14 @@ def run_foreach_batch_parquet(
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         (
-            df.write.mode("overwrite")
+            # cluster by the partition value before the partitioned write
+            # (round 10; the round-9 sinks/merge discipline, guide §6):
+            # without it every (shuffle task x partition value) pair
+            # fans out its own small file and the read-back pays one
+            # footer per file. At 100 TB add a salt toward the 128 MB-
+            # 1 GB file target; locally one file per partition IS it.
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(out_dir)
@@ -370,9 +377,22 @@ def run_foreach_batch_parquet(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    name: str,
+    output_mode: str,
+    skip_nodata: bool = False,
+) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the materialized result as a batch DataFrame."""
+    memory sink; return the materialized result as a batch DataFrame.
+
+    ``skip_nodata``: the caller asserts the query's emitted rows cannot
+    depend on the trailing no-data finalization batch, so it is skipped
+    (round 10, guide §1.2 "don't compute things you throw away"). True
+    for: stateful ops WITHOUT a watermark (st2/st9 — no event-time state
+    to finalize) and watermarked INNER stream-stream joins (st4 — the
+    final watermark round only evicts state, inner rows were all emitted
+    by data batches). NOT for outer joins (st10 — eviction IS emission)."""
     spark = result.sparkSession
     # state-store instances scale with shuffle partitions; for the test
     # scale a handful is plenty and cuts per-batch store-commit overhead.
@@ -382,10 +402,11 @@ def run_available_now(result: DataFrame, name: str, output_mode: str) -> DataFra
     # complete mode re-emits the full result on every data batch, so the
     # trailing no-data finalization batch (whose only purpose is flushing
     # watermark-gated APPEND output) adds a state-store round for nothing.
-    # Append-mode runs keep it — their final emissions depend on it.
+    # Append-mode runs keep it unless the caller opts out — their final
+    # emissions may depend on it.
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_nodata = spark.conf.get(nodata_key)
-    if output_mode == "complete":
+    if output_mode == "complete" or skip_nodata:
         spark.conf.set(nodata_key, "false")
     try:
         with _ckpt_tmpdir(f"ckpt_{name}_") as ckpt:
@@ -411,20 +432,26 @@ SENTINEL_USER = -999  # flush rows; never joins real keys, filtered from output
 
 
 def stream_events_with_flush(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
-    """events as a 3-microbatch stream that FLUSHES outer-join state.
+    """events as a 2-microbatch stream that FLUSHES outer-join state.
 
     Outer stream-stream join rows (the unmatched-side nulls) are emitted
     only when the watermark passes the end of a row's join window — and
     the watermark used in batch N is computed from data seen through
     batch N-1. A single AvailableNow batch over a bounded file therefore
     terminates with every unmatched row still buffered (Spark's
-    documented outer-join delay). The standard fix is to append sentinel
-    future events: batch 1 = all real data (watermark 0: nothing
-    dropped, all inner matches found), batches 2-3 = one far-future
-    click+purchase pair each (user_id = SENTINEL_USER), so by batch 3
-    the watermark exceeds every real row's window and all outer rows
-    have been flushed. maxFilesPerTrigger=1 + explicit mtimes make the
-    batch split deterministic — and with it the emitted set.
+    documented outer-join delay). The standard fix is to append a
+    sentinel future event pair: batch 1 = all real data (watermark 0:
+    nothing dropped, all inner matches found), batch 2 = one far-future
+    click+purchase pair (user_id = SENTINEL_USER) that lifts the
+    watermark past every real row's window; the TRAILING NO-DATA batch
+    (noDataMicroBatches, on for append runs) then applies that watermark
+    and flushes every remaining outer row. Round 10: this replaces the
+    earlier second sentinel batch — the no-data finalization round does
+    the same watermark application without a third source file, saving a
+    full microbatch (plan + two state-store commit rounds) per run;
+    oracle-checked equal to the batch left join. maxFilesPerTrigger=1 +
+    explicit mtimes make the batch split deterministic — and with it the
+    emitted set.
 
     A production continuous stream needs no sentinels (real traffic
     advances the watermark); this shim exists to run the same operator
@@ -453,20 +480,19 @@ def stream_events_with_flush(spark: SparkSession, sf_dir: str, tag: str) -> Data
                 ("props", pa.string()),
             ]
         )
-        for i, year in enumerate((2030, 2031), start=1):
-            t0 = dt.datetime(year, 1, 1)
-            tbl = pa.Table.from_pylist(
-                [
-                    {"event_id": -2 * i, "ts": t0, "user_id": SENTINEL_USER,
-                     "event_type": "click", "value": None, "props": None},
-                    {"event_id": -2 * i - 1, "ts": t0, "user_id": SENTINEL_USER,
-                     "event_type": "purchase", "value": None, "props": None},
-                ],
-                schema=schema,
-            )
-            p = os.path.join(d, f"part-{i}.parquet")
-            pq.write_table(tbl, p)
-            os.utime(p, (1000 + i, 1000 + i))
+        t0 = dt.datetime(2030, 1, 1)
+        tbl = pa.Table.from_pylist(
+            [
+                {"event_id": -2, "ts": t0, "user_id": SENTINEL_USER,
+                 "event_type": "click", "value": None, "props": None},
+                {"event_id": -3, "ts": t0, "user_id": SENTINEL_USER,
+                 "event_type": "purchase", "value": None, "props": None},
+            ],
+            schema=schema,
+        )
+        p = os.path.join(d, "part-1.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1001, 1001))
 
     d = _staged_input_dir(
         ("flush", os.path.realpath(sf_dir)), f"{tag}_in_", build
