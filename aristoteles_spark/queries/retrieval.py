@@ -67,6 +67,25 @@ RRF_K = 60  # the SIGIR'09 constant
 LEG_K = 20  # depth of each leg's candidate list
 
 
+def ir2_query_vec_ids(spark, sf_dir):
+    """ir2's fixed-budget query ids as a (vec_id) frame — the documents
+    that qualify (% QUERY_MOD == QUERY_OFF), carry an embedding, first
+    Q_BUDGET in doc_id order. Factored out so the session-shared exact
+    truth table (queries/similarity.exact_knn_truth) can build over the
+    UNION of ir2's and sim6's query sets; deterministic (doc_id is
+    unique, the orderBy is total)."""
+    d = load_table(spark, sf_dir, "documents")
+    v = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.select("doc_id")
+        .where(F.col("doc_id") % QUERY_MOD == QUERY_OFF)
+        .join(v.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .orderBy("doc_id")
+        .limit(Q_BUDGET)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+
+
 def _bm25_term(tf, dl, df, n_docs, avgdl):
     """One term's BM25 contribution; op order mirrored EXACTLY in the SQL
     oracles (parenthesization = evaluation order = bit-identical)."""
@@ -180,8 +199,6 @@ def q_hybrid_rrf(spark, sf_dir):
     rrf = 1/(K+rank_text) + 1/(K+rank_vec) with absent legs contributing
     0 — exact integer-derived rationals, engine-portable. The fused
     frame is at most 2*LEG_K rows per query."""
-    from aristoteles_spark.operators.similarity import knn_brute
-
     d = fan_out(load_table(spark, sf_dir, "documents"))
     v = load_table(spark, sf_dir, "embeddings")
     # fixed-budget query set (tiny, consumed by three subtrees — the
@@ -253,17 +270,27 @@ def q_hybrid_rrf(spark, sf_dir):
         .select("query_id", "doc_id", "rank_text")
     )
 
-    qvec = v.join(
-        qids.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    )
-    wv = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
+    # vector leg: this query set's rank<=LEG_K slice of the session-
+    # shared exact truth table (round 10, VERDICT r9 item 6) — value-
+    # identical to knn_brute(v, qvec, LEG_K) + the rank window it
+    # replaced (same total order; see exact_knn_truth and
+    # tests/test_extensions.py::TestSharedKnnTruth). Also removes ir2's
+    # redundant second row_number over knn_brute's own window (the
+    # round-9 "withColumn→select where measured" item for ir2).
+    from aristoteles_spark.queries.similarity import TRUTH_K, exact_knn_truth
+
+    assert LEG_K <= TRUTH_K, "shared truth table shallower than ir2's leg"
     vec_leg = (
-        knn_brute(v, qvec, k=LEG_K)
-        .withColumn("rank_vec", F.row_number().over(wv))
+        exact_knn_truth(spark, sf_dir)
+        .join(
+            F.broadcast(qids.select(F.col("doc_id").alias("query_id"))),
+            "query_id",
+        )
+        .where(F.col("rank") <= LEG_K)
         .select(
-            "query_id", F.col("neighbor_id").alias("doc_id"), "rank_vec"
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_vec"),
         )
     )
 

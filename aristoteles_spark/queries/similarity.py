@@ -458,6 +458,51 @@ def q_pagerank(spark, sf_dir):
 
 ANN_EVAL_QUERIES = 50  # fixed recall-evaluation budget (hash-smallest)
 
+# depth of the shared exact-cosine truth table — must cover the deepest
+# slice any consumer takes (ir2's LEG_K = 20 > sim6's K = 5; asserted at
+# the ir2 call site)
+TRUTH_K = 20
+
+
+def exact_knn_truth(spark, sf_dir):
+    """Session-shared exact cosine top-TRUTH_K table over the UNION of
+    the suite's evaluation query sets — sim6's hash-sample and ir2's
+    fixed budget (VERDICT r9 item 6: the 'evaluation harness writes its
+    truth table once' artifact, with the build cost charged/visible via
+    operators/materialize.BUILD_LOG + bench one_time_build_sec).
+
+    Columns (query_id, neighbor_id, cos_sim, rank); rank is row_number
+    over (cos_sim DESC, neighbor_id ASC) — knn_brute's own total order,
+    so a ``rank <= k`` slice of a query's rows is bit-identical to
+    ``knn_brute(v, q, k)`` for any k <= TRUTH_K (prefix property of a
+    total order; pinned by tests/test_extensions.py::TestSharedKnnTruth).
+    Under the plan-audit / scale-sweep regimes shared_table degrades to
+    an inline build, so strategy plans and growth ratios stay honest."""
+    import os
+
+    from aristoteles_spark.operators.materialize import shared_table
+
+    def build():
+        from aristoteles_spark.queries.retrieval import ir2_query_vec_ids
+
+        v = _load(spark, sf_dir)
+        ids = (
+            _hash_query_ids(v, ANN_EVAL_QUERIES)
+            .unionByName(ir2_query_vec_ids(spark, sf_dir))
+            .distinct()
+        )
+        q = v.join(F.broadcast(ids), "vec_id")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return knn_brute(v, q, k=TRUTH_K).withColumn(
+            "rank", F.row_number().over(w)
+        )
+
+    return shared_table(
+        spark, ("exact_knn_truth", os.path.abspath(sf_dir), TRUTH_K), build
+    )
+
 
 def q_ann_recall(spark, sf_dir):
     """sim6 — ANN recall census (see _ann_recall_plan). Materializes the
@@ -489,7 +534,17 @@ def _ann_recall_plan(spark, sf_dir):
         F.broadcast(_hash_query_ids(v, ANN_EVAL_QUERIES)), "vec_id"
     ).persist()
     q.count()  # materialize: three operators each issue internal jobs
-    truth = knn_brute(v, q, k=K).select("query_id", "neighbor_id")
+    # exact truth = this query set's rank<=K slice of the shared truth
+    # table (value-identical to knn_brute(v, q, K) — see exact_knn_truth)
+    truth = (
+        exact_knn_truth(spark, sf_dir)
+        .join(
+            F.broadcast(q.select(F.col("vec_id").alias("query_id"))),
+            "query_id",
+        )
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id")
+    )
     lsh = knn_lsh(v, q, _planes_for(spark, sf_dir), k=K).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_l")
     )

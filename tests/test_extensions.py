@@ -261,6 +261,68 @@ class TestFusedPqTrainer:
         assert fused == loop and len(fused) > 0
 
 
+class TestSharedKnnTruth:
+    def test_truth_slices_match_knn_brute(self, spark):
+        """Round 10 (VERDICT r9 item 6): both consumers' slices of the
+        session-shared exact truth table must be bit-identical to the
+        knn_brute call each replaced — sim6's (rank<=K) truth set and
+        ir2's (rank<=LEG_K) ranked vector leg."""
+        from pyspark.sql import Window
+
+        from aristoteles_spark.queries.retrieval import (
+            LEG_K,
+            ir2_query_vec_ids,
+        )
+        from aristoteles_spark.queries.similarity import (
+            ANN_EVAL_QUERIES,
+            K,
+            _hash_query_ids,
+            _load,
+            exact_knn_truth,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        v = _load(spark, sf)
+        truth = exact_knn_truth(spark, sf)
+
+        q6 = v.join(F.broadcast(_hash_query_ids(v, ANN_EVAL_QUERIES)), "vec_id")
+        direct6 = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_brute(v, q6, k=K).collect()
+        }
+        slice6 = {
+            (r.query_id, r.neighbor_id)
+            for r in truth.join(
+                F.broadcast(q6.select(F.col("vec_id").alias("query_id"))),
+                "query_id",
+            )
+            .filter(F.col("rank") <= K)
+            .collect()
+        }
+        assert slice6 == direct6 and len(direct6) > 0
+
+        qi = v.join(F.broadcast(ir2_query_vec_ids(spark, sf)), "vec_id")
+        wv = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        direct_i = {
+            (r.query_id, r.neighbor_id, r.rv)
+            for r in knn_brute(v, qi, k=LEG_K)
+            .withColumn("rv", F.row_number().over(wv))
+            .collect()
+        }
+        slice_i = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in truth.join(
+                F.broadcast(qi.select(F.col("vec_id").alias("query_id"))),
+                "query_id",
+            )
+            .filter(F.col("rank") <= LEG_K)
+            .collect()
+        }
+        assert slice_i == direct_i and len(direct_i) > 0
+
+
 class TestAdaptiveLsh:
     def test_banded_equijoin_matches_allpairs(self, spark):
         """The two physical strategies (all-pairs over distinct sigs vs
