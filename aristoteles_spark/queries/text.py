@@ -457,18 +457,23 @@ def q_ngram_novelty(spark, sf_dir):
     """Per-document n-gram novelty — the memorization-risk metric
     between pairwise dedup (dd*) and train/eval decontamination (ct1):
     for each document, the fraction of its distinct 8-gram shingles
-    that also occur in at least one OTHER document. One exploded pass
-    builds the corpus gram-frequency table (partial-agg groupBy on the
-    gram); joining it back re-uses the same gram key partitioning. The
-    ratio is an exact integer division (single correctly-rounded double
-    op, engine-identical)."""
+    that also occur in at least one OTHER document. ONE exploded pass
+    (round 10, guide §1.2): the gram-frequency count is a window over
+    the gram key instead of a groupBy + join-back — the earlier
+    formulation re-ran the tokenize+shingle subtree for each side of the
+    join (2 corpus passes, measured 0.8–1.0 s each of nv1's 2.2 s);
+    count(*) OVER (PARTITION BY g) is the same exact integer k on the
+    same single exchange. The ratio is an exact integer division (single
+    correctly-rounded double op, engine-identical)."""
+    from pyspark.sql import Window
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id", F.explode(_gram_hashes(tokens("text"))).alias("g")
     )
-    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
+    k = F.count(F.lit(1)).over(Window.partitionBy("g"))
     return (
-        grams.join(freq, "g")
+        grams.select("doc_id", k.alias("k"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
