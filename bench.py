@@ -92,7 +92,17 @@ _R8_TX4_NOTE = (
     "run and the scheduler probe swung 2.76 -> 4.17s (x1.5) — the "
     "documented hourly-steal pattern, not code."
 )
+_R10_UNMEMO = (
+    "deliberate (round 10, VERDICT r9 item 3): the round-9 session memo "
+    "made this query's timed run a warm read of its own declared "
+    "computation (qc3's training / dd12's evaluation sample + exact-"
+    "Jaccard truth). The memo is removed; the query now performs that "
+    "work on every invocation. The slowdown vs the memoized round-9 "
+    "number is the honest cost, not a regression."
+)
 REGRESSION_NOTES: dict[str, str] = {
+    "qc3_logreg_train": _R10_UNMEMO,
+    "dd12_lsh_quality": _R10_UNMEMO,
     "tx4_fingerprint": _R8_TX4_NOTE,
     "dd1_exact_groups": _R7_AB_CLEAN,
     "mm1_binary_stats": _R7_AB_CLEAN,
